@@ -26,6 +26,11 @@ import jax
 if _FORCE_CPU:
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-bound (one big fused frame
+# program per RenderConfig), so reruns go from ~8 min to seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpurt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

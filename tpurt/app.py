@@ -1,0 +1,239 @@
+"""Renderer: the application shell / frame loop.
+
+TPU-native equivalent of ``class RayTracedShadowsApp`` in
+Source/RayTracedShadows.cpp [RECALL]: owns the scene resources (device
+arrays), builds the acceleration structure, and records the three passes per
+frame — except here the "passes" are one jitted function and the "resources"
+are jax.Arrays. Headless: frames are returned as arrays / written as PNGs
+instead of presented to a swapchain.
+
+Mode axis (BASELINE configs):
+  static  — build once, trace every frame (reference behavior)
+  rebuild — full LBVH rebuild every frame (config 2)
+  refit   — per-frame AABB refit for deforming meshes (config 4), with an
+            automatic SAH-degradation rebuild policy
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bvh.lbvh import LBVH, build_lbvh, refit_lbvh, sah_cost
+from .bvh import traverse as jax_traverse
+from .passes.composite import accumulate, composite_pass
+from .passes.gbuffer import gbuffer_pass
+from .passes.shadow import shadow_pass
+from .types import Camera, Light, Mesh, RenderConfig
+from .utils.metrics import FrameStats, Timer, mrays_per_s
+
+
+def make_tracers(cfg: RenderConfig):
+    """(trace_closest, trace_any) as functions of (bvh, rays...).
+
+    use_pallas selects the Pallas packet kernel; the pure-JAX path is the
+    always-available fallback (the analogue of the reference's compute
+    fallback next to the NV-RT pipeline, SURVEY.md §3.5).
+    """
+    if cfg.use_pallas:
+        try:
+            from .kernels.traverse import trace_any_pallas, trace_closest_pallas
+
+            def closest(bvh, o, d):
+                return trace_closest_pallas(bvh, o, d, cfg=cfg)
+
+            def any_(bvh, o, d, t_max):
+                return trace_any_pallas(bvh, o, d, t_max, cfg=cfg)
+
+            return closest, any_
+        except ImportError:
+            pass
+
+    def closest(bvh, o, d):
+        return jax_traverse.traverse(bvh, o, d, t_min=0.0, any_hit=False)
+
+    def any_(bvh, o, d, t_max):
+        _, tid = jax_traverse.traverse(bvh, o, d, t_min=0.0, t_max=t_max,
+                                       any_hit=True)
+        return tid >= 0
+
+    return closest, any_
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
+                    lights: Sequence[Light], key: jax.Array,
+                    cfg: RenderConfig) -> Dict[str, jnp.ndarray]:
+    """One fused frame: G-buffer -> per-light shadow batches -> composite."""
+    num_lights = len(lights)
+    trace_closest, trace_any = make_tracers(cfg)
+    gbuf = gbuffer_pass(lambda o, d: trace_closest(bvh, o, d), mesh, cam,
+                        cfg.width, cfg.height)
+    shadows = []
+    for li in range(num_lights):
+        lkey = jax.random.fold_in(key, li)
+        shadows.append(shadow_pass(lambda o, d, tm: trace_any(bvh, o, d, tm),
+                                   gbuf, lights[li], cfg.spp, lkey,
+                                   cfg.shadow_bias))
+    # Composite: sum of per-light direct terms + one ambient term.
+    img = composite_pass(gbuf, shadows[0], lights[0], cfg.ambient,
+                         cfg.background)
+    for li in range(1, num_lights):
+        extra = composite_pass(gbuf, shadows[li], lights[li], 0.0,
+                               (0.0, 0.0, 0.0))
+        img = jnp.where(gbuf["valid"][..., None], img + extra, img)
+    out = {"image": img, "shadow": jnp.stack(shadows), **gbuf}
+    return out
+
+
+class Renderer:
+    """Owns scene + BVH and renders frames. See module docstring."""
+
+    def __init__(self, mesh: Mesh, camera: Camera,
+                 lights: Union[Light, Sequence[Light]],
+                 config: RenderConfig = RenderConfig(),
+                 mode: str = "static",
+                 rebuild_threshold: float = 1.6):
+        if isinstance(lights, Light):
+            lights = [lights]
+        assert mode in ("static", "rebuild", "refit")
+        self.config = config
+        self.mode = mode
+        self.rebuild_threshold = rebuild_threshold
+        self.camera = camera
+        self.lights = list(lights)
+        self.mesh = jax.device_put(mesh)
+        self._build_jit = jax.jit(partial(build_lbvh,
+                                          leaf_size=config.leaf_size))
+        self._refit_jit = jax.jit(refit_lbvh)
+        self.frame_index = 0
+        self.accum: Optional[jnp.ndarray] = None
+        self.stats = FrameStats(width=config.width, height=config.height,
+                                spp=config.spp, num_lights=len(self.lights),
+                                mode=mode)
+        timer = Timer()
+        with timer.section("build", None):
+            self.bvh = jax.block_until_ready(
+                self._build_jit(self.mesh.vertices, self.mesh.indices))
+        self.stats.build_ms = timer.ms["build"]
+        self._base_cost = float(sah_cost(self.bvh))
+
+    # -- scene updates ------------------------------------------------------
+
+    def set_camera(self, camera: Camera) -> None:
+        self.camera = camera
+
+    def set_lights(self, lights: Union[Light, Sequence[Light]]) -> None:
+        if isinstance(lights, Light):
+            lights = [lights]
+        self.lights = list(lights)
+        self.stats.num_lights = len(self.lights)
+
+    def set_vertices(self, vertices) -> None:
+        """Animate: new vertex positions, same topology (config 4)."""
+        self.mesh = dataclasses.replace(self.mesh,
+                                        vertices=jax.device_put(
+                                            jnp.asarray(vertices)))
+
+    # -- frame loop ---------------------------------------------------------
+
+    def _update_bvh(self, timer: Timer) -> None:
+        if self.mode == "rebuild":
+            with timer.section("build", None):
+                self.bvh = jax.block_until_ready(
+                    self._build_jit(self.mesh.vertices, self.mesh.indices))
+            self.stats.build_ms = timer.ms["build"]
+        elif self.mode == "refit":
+            with timer.section("refit", None):
+                self.bvh = jax.block_until_ready(
+                    self._refit_jit(self.bvh, self.mesh.vertices,
+                                    self.mesh.indices))
+            self.stats.refit_ms = timer.ms["refit"]
+            cost = float(sah_cost(self.bvh))
+            if cost > self._base_cost * self.rebuild_threshold:
+                # Refit quality degraded past the policy threshold: rebuild.
+                with timer.section("build", None):
+                    self.bvh = jax.block_until_ready(
+                        self._build_jit(self.mesh.vertices,
+                                        self.mesh.indices))
+                self.stats.build_ms = timer.ms["build"]
+                self._base_cost = float(sah_cost(self.bvh))
+
+    def render_frame(self, profile: bool = False) -> Dict[str, np.ndarray]:
+        """Render one frame; returns the output dict (device arrays).
+
+        profile=True re-runs the passes split at pass boundaries to collect
+        per-pass timings (the HUD path); the returned image always comes from
+        the fused pipeline.
+        """
+        cfg = self.config
+        timer = Timer()
+        self._update_bvh(timer)
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                 self.frame_index)
+        with timer.section("frame", None):
+            out = render_frame_fn(self.bvh, self.mesh, self.camera,
+                                  tuple(self.lights), key, cfg)
+            jax.block_until_ready(out["image"])
+        self.stats.frame_ms = timer.ms["frame"]
+
+        if profile:
+            self._profile_passes(key, timer)
+
+        if cfg.accumulate:
+            if self.accum is None:
+                self.accum = out["image"]
+            else:
+                self.accum = accumulate(self.accum,
+                                        jnp.int32(self.frame_index),
+                                        out["image"])
+            out = dict(out)
+            out["image"] = self.accum
+
+        valid = int(np.asarray(jnp.sum(out["valid"])))
+        self.stats.rays_primary = cfg.num_pixels
+        self.stats.rays_shadow = valid * cfg.spp * len(self.lights)
+        shadow_s = (self.stats.shadow_ms or self.stats.frame_ms) / 1e3
+        self.stats.mrays_per_s = mrays_per_s(self.stats.rays_shadow, shadow_s)
+        self.frame_index += 1
+        return out
+
+    def _profile_passes(self, key, timer: Timer) -> None:
+        cfg = self.config
+        trace_closest, trace_any = make_tracers(cfg)
+        gb = jax.jit(lambda bvh, mesh, cam: gbuffer_pass(
+            lambda o, d: trace_closest(bvh, o, d), mesh, cam, cfg.width,
+            cfg.height))
+        with timer.section("gbuffer"):
+            gbuf = gb(self.bvh, self.mesh, self.camera)
+            jax.block_until_ready(gbuf["t"])
+        sp = jax.jit(lambda bvh, gbuf, light, k: shadow_pass(
+            lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf, light, cfg.spp,
+            k, cfg.shadow_bias))
+        with timer.section("shadow"):
+            masks = []
+            for li, light in enumerate(self.lights):
+                masks.append(sp(self.bvh, gbuf, light,
+                                jax.random.fold_in(key, li)))
+            jax.block_until_ready(masks)
+        cp = jax.jit(lambda gbuf, mask, light: composite_pass(
+            gbuf, mask, light, cfg.ambient, cfg.background))
+        with timer.section("composite"):
+            img = cp(gbuf, masks[0], self.lights[0])
+            jax.block_until_ready(img)
+        self.stats.gbuffer_ms = timer.ms["gbuffer"]
+        self.stats.shadow_ms = timer.ms["shadow"]
+        self.stats.composite_ms = timer.ms["composite"]
+
+    # -- io -----------------------------------------------------------------
+
+    def save_png(self, path: str, out: Optional[Dict] = None) -> None:
+        from .io.image import write_png
+        if out is None:
+            out = self.render_frame()
+        write_png(path, np.asarray(out["image"]))

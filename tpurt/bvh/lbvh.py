@@ -1,0 +1,340 @@
+"""On-device LBVH: Morton sort + Karras-2012 topology + RMQ box computation.
+
+This is the TPU-native replacement for the reference's CPU BVH builder
+(Source/BVHBuilder.cpp ``BVHBuilder::build``: recursive SAH/median split +
+depth-first flatten with skip links [RECALL; mount empty at survey time]).
+Rationale (SURVEY.md §3.3): a recursive CPU build takes seconds for
+Sponza-class meshes and would leave the accelerator idle; the LBVH pipeline is
+embarrassingly parallel and runs fully inside jit, enabling per-frame rebuilds
+(BASELINE config 2) and cheap refits for animation (config 4).
+
+Design notes (TPU-first, not a translation):
+
+- **Leaves are K consecutive Morton-sorted triangles.** Triangle data is
+  gathered once into sorted order, so every leaf is a *contiguous* slice —
+  the traversal kernels stream leaf triangles with dense reads instead of
+  per-triangle gathers.
+- **Topology** is Karras 2012: every internal node found independently by
+  binary search over common-prefix lengths. All loops here are fixed-bound
+  with masking => one fused XLA program, no host control flow.
+- **Node AABBs via range-min/max query (RMQ)** instead of the classic
+  bottom-up atomic-flag walk (which XLA has no efficient analogue for):
+  internal node *i* covers the contiguous sorted-leaf range [first_i, last_i],
+  so its box is a range reduction over leaf boxes. We build an O(n log n)
+  sparse table in log2(n) vectorized sweeps and answer every node's box with
+  two gathers. The same routine IS the refit fast path (config 4): topology
+  fixed, recompute leaf boxes + table + node boxes.
+- **Stackless-depth bound**: delta (common-prefix length) strictly increases
+  root->leaf and is <= 30 + 32 (code bits + index-tiebreak bits), so
+  traversal stacks of 64 entries are provably sufficient.
+
+The flattened node layout stores, per internal node, BOTH children's boxes
+(so the traversal tests 2 boxes per fetched row) and child references with
+leaves encoded as negative ids — the same role as the reference's
+``BVHNode{bboxMin, bboxMax, prim, next}`` but shaped for vector hardware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .morton import morton_of_points
+from ..types import Mesh
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class LBVH:
+    """Flattened LBVH (all arrays device-resident, jit-friendly).
+
+    Ni = n_leaves - 1 internal nodes; leaf ``l`` covers sorted triangles
+    [l*leaf_size, (l+1)*leaf_size).
+
+    nodes_box   : f32[Ni, 12] = [Lmin, Lmax, Rmin, Rmax] child boxes
+    nodes_child : i32[Ni, 2]  child refs; >= 0 internal index, < 0 leaf
+                  encoded as -(leaf_id + 1)
+    nodes_first : i32[Ni] first covered sorted-leaf index (refit metadata)
+    nodes_last  : i32[Ni] last covered sorted-leaf index (inclusive)
+    tri_v0/e1/e2: f32[Tpad, 3] Morton-sorted precomputed triangle data
+                  (the Möller–Trumbore layout the reference bakes into
+                  leaves [RECALL])
+    tri_id      : i32[Tpad] sorted position -> original triangle id
+    root_min/max: f32[3] scene bounds
+    leaf_size   : static int
+    """
+
+    nodes_box: Any
+    nodes_child: Any
+    nodes_first: Any
+    nodes_last: Any
+    tri_v0: Any
+    tri_e1: Any
+    tri_e2: Any
+    tri_id: Any
+    root_min: Any
+    root_max: Any
+    leaf_size: int = 4
+
+    @property
+    def num_internal(self) -> int:
+        return int(self.nodes_child.shape[0])
+
+    @property
+    def num_leaves(self) -> int:
+        return self.num_internal + 1
+
+    @property
+    def num_sorted_tris(self) -> int:
+        return int(self.tri_id.shape[0])
+
+
+jax.tree_util.register_pytree_node(
+    LBVH,
+    lambda b: ((b.nodes_box, b.nodes_child, b.nodes_first, b.nodes_last,
+                b.tri_v0, b.tri_e1, b.tri_e2, b.tri_id, b.root_min,
+                b.root_max), (b.leaf_size,)),
+    lambda aux, c: LBVH(*c, leaf_size=aux[0]),
+)
+
+
+# ---------------------------------------------------------------------------
+# Karras topology
+# ---------------------------------------------------------------------------
+
+def _make_delta(codes: jnp.ndarray):
+    """delta(i, j): common-prefix length of leaf keys, index-augmented so all
+    keys are distinct (Karras 2012 §4); -1 outside [0, n-1]."""
+    n = codes.shape[0]
+    codes = codes.astype(jnp.uint32)
+
+    def delta(i: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+        valid = (j >= 0) & (j <= n - 1)
+        jc = jnp.clip(j, 0, n - 1)
+        x = codes[i] ^ codes[jc]
+        same = x == 0
+        ii = i.astype(jnp.int32)
+        jj = jc.astype(jnp.int32)
+        tie = 32 + jax.lax.clz((ii ^ jj).astype(jnp.uint32)).astype(jnp.int32)
+        d = jnp.where(same, tie, jax.lax.clz(x).astype(jnp.int32))
+        return jnp.where(valid, d, jnp.int32(-1))
+
+    return delta
+
+
+def karras_topology(leaf_codes: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Internal-node topology from sorted leaf codes.
+
+    Returns (child i32[Ni, 2], first i32[Ni], last i32[Ni]) with leaves
+    encoded as -(leaf_id + 1). Fully vectorized: every loop is a fixed 31/32
+    step masked sweep (SURVEY.md §3.3).
+    """
+    n = int(leaf_codes.shape[0])
+    assert n >= 2, "need at least two leaves"
+    ni = n - 1
+    delta = _make_delta(leaf_codes)
+    i = jnp.arange(ni, dtype=jnp.int32)
+
+    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
+    delta_min = delta(i, i - d)
+
+    # Doubling search for an upper bound on the range length.
+    l_max = jnp.full((ni,), 2, jnp.int32)
+    for _ in range(31):
+        grow = delta(i, i + l_max * d) > delta_min
+        l_max = jnp.where(grow, l_max * 2, l_max)
+
+    # Binary search for the exact range length l.
+    l = jnp.zeros((ni,), jnp.int32)
+    for k in range(30, -1, -1):
+        t = jnp.int32(1 << k)
+        ok = (t <= l_max // 2) & (delta(i, i + (l + t) * d) > delta_min)
+        l = jnp.where(ok, l + t, l)
+
+    j = i + l * d
+    delta_node = delta(i, j)
+
+    # Split search (ceil-halving do-while, masked to fixed 32 steps).
+    s = jnp.zeros((ni,), jnp.int32)
+    t = l
+    done = l == 0
+    for _ in range(32):
+        t = (t + 1) >> 1
+        ok = (~done) & (delta(i, i + (s + t) * d) > delta_node)
+        s = jnp.where(ok, s + t, s)
+        done = done | (t <= 1)
+
+    gamma = i + s * d + jnp.minimum(d, 0)
+    first = jnp.minimum(i, j)
+    last = jnp.maximum(i, j)
+    left_leaf = first == gamma
+    right_leaf = last == gamma + 1
+    child_l = jnp.where(left_leaf, -(gamma + 1), gamma)
+    child_r = jnp.where(right_leaf, -(gamma + 2), gamma + 1)
+    child = jnp.stack([child_l, child_r], axis=1).astype(jnp.int32)
+    return child, first.astype(jnp.int32), last.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# RMQ sparse table over leaf boxes -> node boxes (build AND refit path)
+# ---------------------------------------------------------------------------
+
+def _floor_log2(x: jnp.ndarray) -> jnp.ndarray:
+    return 31 - jax.lax.clz(x.astype(jnp.uint32)).astype(jnp.int32)
+
+
+def range_boxes(leaf_min: jnp.ndarray, leaf_max: jnp.ndarray,
+                first: jnp.ndarray, last: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """AABB over each inclusive leaf range [first, last] via a sparse table.
+
+    leaf_min/max: f32[n, 3]; first/last: i32[Q]. Returns (f32[Q,3], f32[Q,3]).
+    Build: log2(n) vectorized sweeps; query: two gathers per range.
+    """
+    n = int(leaf_min.shape[0])
+    levels = max(1, n.bit_length())  # 2^(levels-1) <= n
+    tmins = [leaf_min]
+    tmaxs = [leaf_max]
+    for k in range(1, levels):
+        shift = 1 << (k - 1)
+        idx = jnp.minimum(jnp.arange(n) + shift, n - 1)
+        tmins.append(jnp.minimum(tmins[-1], tmins[-1][idx]))
+        tmaxs.append(jnp.maximum(tmaxs[-1], tmaxs[-1][idx]))
+    tmin = jnp.stack(tmins)  # [levels, n, 3]
+    tmax = jnp.stack(tmaxs)
+
+    length = last - first + 1
+    k = jnp.clip(_floor_log2(length), 0, levels - 1)
+    p2 = (jnp.int32(1) << k)
+    a = first
+    b = jnp.maximum(last - p2 + 1, 0)
+    out_min = jnp.minimum(tmin[k, a], tmin[k, b])
+    out_max = jnp.maximum(tmax[k, a], tmax[k, b])
+    return out_min, out_max
+
+
+def _assemble_node_boxes(leaf_min, leaf_max, child, first, last):
+    """Per-node [Lmin Lmax Rmin Rmax] rows from leaf boxes + topology."""
+    node_min, node_max = range_boxes(leaf_min, leaf_max, first, last)
+    ni = child.shape[0]
+
+    def child_box(c):
+        is_leaf = c < 0
+        leaf_id = jnp.clip(-c - 1, 0, leaf_min.shape[0] - 1)
+        node_id = jnp.clip(c, 0, ni - 1)
+        bmin = jnp.where(is_leaf[:, None], leaf_min[leaf_id], node_min[node_id])
+        bmax = jnp.where(is_leaf[:, None], leaf_max[leaf_id], node_max[node_id])
+        return bmin, bmax
+
+    lmin, lmax = child_box(child[:, 0])
+    rmin, rmax = child_box(child[:, 1])
+    nodes_box = jnp.concatenate([lmin, lmax, rmin, rmax], axis=1)
+    return nodes_box, node_min[0], node_max[0]
+
+
+# ---------------------------------------------------------------------------
+# Build + refit
+# ---------------------------------------------------------------------------
+
+def _sorted_tri_data(vertices, indices, tri_id):
+    tri = indices[tri_id]          # i32[Tpad, 3]
+    v0 = vertices[tri[:, 0]]
+    v1 = vertices[tri[:, 1]]
+    v2 = vertices[tri[:, 2]]
+    return v0, v1 - v0, v2 - v0
+
+
+def _leaf_boxes(v0, e1, e2, leaf_size: int):
+    v1 = v0 + e1
+    v2 = v0 + e2
+    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+    n_leaves = v0.shape[0] // leaf_size
+    lmin = tmin.reshape(n_leaves, leaf_size, 3).min(axis=1)
+    lmax = tmax.reshape(n_leaves, leaf_size, 3).max(axis=1)
+    return lmin, lmax, tmin, tmax
+
+
+def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
+               leaf_size: int = 4) -> LBVH:
+    """Full on-device build: sort + topology + boxes. jit-able; all shapes
+    depend only on (num_triangles, leaf_size)."""
+    num_tris = int(indices.shape[0])
+    tpad = _round_up(max(num_tris, 2 * leaf_size), leaf_size)
+    pad = tpad - num_tris
+    # Pad by repeating the last triangle: duplicates are harmless for both
+    # any-hit and closest-hit queries and keep every box tight.
+    idx = jnp.concatenate(
+        [indices, jnp.broadcast_to(indices[-1:], (pad, 3))]) if pad else indices
+
+    tri = idx.astype(jnp.int32)
+    v0 = vertices[tri[:, 0]]
+    v1 = vertices[tri[:, 1]]
+    v2 = vertices[tri[:, 2]]
+    tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+    centroid = (tmin + tmax) * 0.5
+    scene_min = tmin.min(axis=0)
+    scene_max = tmax.max(axis=0)
+
+    codes = morton_of_points(centroid, scene_min, scene_max)
+    order = jnp.argsort(codes)
+    # Padded rows are literal copies of triangle T-1, so clamping their ids
+    # keeps shading lookups (albedo/normals by original id) in range while
+    # refit gathers identical geometry.
+    tri_id = jnp.minimum(order, num_tris - 1).astype(jnp.int32)
+
+    sv0, se1, se2 = _sorted_tri_data(vertices, tri, tri_id)
+    lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
+    leaf_codes = codes[order][::leaf_size]
+
+    child, first, last = karras_topology(leaf_codes)
+    nodes_box, root_min, root_max = _assemble_node_boxes(
+        lmin, lmax, child, first, last)
+
+    return LBVH(nodes_box=nodes_box, nodes_child=child, nodes_first=first,
+                nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
+                tri_id=tri_id, root_min=root_min, root_max=root_max,
+                leaf_size=leaf_size)
+
+
+def refit_lbvh(bvh: LBVH, vertices: jnp.ndarray, indices: jnp.ndarray) -> LBVH:
+    """Config-4 fast path: same topology + sorted order, new vertex positions.
+
+    Cost: one gather over triangles + log2(n_leaves) reduction sweeps — no
+    sort, no topology search. The analogue of the classic bottom-up refit,
+    reformulated as RMQ so it is a single fused XLA program.
+    """
+    tri = indices.astype(jnp.int32)
+    pad = bvh.num_sorted_tris - int(tri.shape[0])
+    if pad:
+        tri = jnp.concatenate([tri, jnp.broadcast_to(tri[-1:], (pad, 3))])
+    sv0, se1, se2 = _sorted_tri_data(vertices, tri, bvh.tri_id)
+    lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, bvh.leaf_size)
+    nodes_box, root_min, root_max = _assemble_node_boxes(
+        lmin, lmax, bvh.nodes_child, bvh.nodes_first, bvh.nodes_last)
+    return dataclasses.replace(
+        bvh, nodes_box=nodes_box, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
+        root_min=root_min, root_max=root_max)
+
+
+def sah_cost(bvh: LBVH) -> jnp.ndarray:
+    """Relative SAH quality metric: sum of child-box surface areas divided by
+    root surface area. Drives the rebuild-vs-refit policy (config 4): refits
+    inflate boxes over time; rebuild when cost rises past a threshold."""
+    def area(bmin, bmax):
+        d = jnp.maximum(bmax - bmin, 0.0)
+        return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                      + d[..., 2] * d[..., 0])
+
+    box = bvh.nodes_box
+    a = area(box[:, 0:3], box[:, 3:6]) + area(box[:, 6:9], box[:, 9:12])
+    root = area(bvh.root_min, bvh.root_max)
+    return jnp.sum(a) / jnp.maximum(root, 1e-12)

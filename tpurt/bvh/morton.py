@@ -1,0 +1,67 @@
+"""Morton (Z-order) codes in JAX: 30-bit 3D interleave, encode/decode.
+
+Part of the on-device LBVH build that replaces the reference's CPU SAH builder
+(Source/BVHBuilder.cpp ``BVHBuilder::build`` [RECALL]) with the GPU-style
+pipeline of Karras 2012: quantize centroids -> Morton -> radix sort ->
+parallel topology. Everything here is jit-safe, vectorized jnp.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def expand_bits_10(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of each uint32 lane so consecutive bits land 3
+    apart (the classic magic-number dilation)."""
+    v = v.astype(jnp.uint32) & jnp.uint32(0x3FF)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def compact_bits_10(v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of expand_bits_10."""
+    v = v.astype(jnp.uint32) & jnp.uint32(0x09249249)
+    v = (v | (v >> 2)) & jnp.uint32(0x030C30C3)
+    v = (v | (v >> 4)) & jnp.uint32(0x0300F00F)
+    v = (v | (v >> 8)) & jnp.uint32(0x030000FF)
+    v = (v | (v >> 16)) & jnp.uint32(0x000003FF)
+    return v
+
+
+def morton_encode(q: jnp.ndarray) -> jnp.ndarray:
+    """q: uint32[..., 3] with components in [0, 1023] -> uint32[...] codes.
+
+    Bit layout: x gets bits 2,5,8,... (LSB side), y bits 1,4,..., z bits 0,3,..
+    i.e. code = (ex << 2) | (ey << 1) | ez.
+    """
+    ex = expand_bits_10(q[..., 0])
+    ey = expand_bits_10(q[..., 1])
+    ez = expand_bits_10(q[..., 2])
+    return (ex << 2) | (ey << 1) | ez
+
+
+def morton_decode(code: jnp.ndarray) -> jnp.ndarray:
+    """uint32[...] -> uint32[..., 3] quantized coordinates."""
+    x = compact_bits_10(code >> 2)
+    y = compact_bits_10(code >> 1)
+    z = compact_bits_10(code)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def quantize_points(p: jnp.ndarray, scene_min: jnp.ndarray,
+                    scene_max: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
+    """Map points into the [0, 2^bits - 1] integer lattice of the scene AABB."""
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    unit = (p - scene_min) / extent
+    grid = jnp.float32((1 << bits) - 1)
+    q = jnp.clip(unit * (grid + 1.0), 0.0, grid)
+    return q.astype(jnp.uint32)
+
+
+def morton_of_points(p: jnp.ndarray, scene_min, scene_max) -> jnp.ndarray:
+    """Convenience: world-space points -> 30-bit Morton codes."""
+    return morton_encode(quantize_points(p, scene_min, scene_max))

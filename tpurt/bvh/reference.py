@@ -92,24 +92,29 @@ def brute_force_closest(mesh: Mesh, origins: np.ndarray, dirs: np.ndarray,
     n = origins.shape[0]
     out_t = np.full(n, np.inf)
     out_id = np.full(n, -1, np.int64)
-    for i in range(n):
-        o, d = origins[i], dirs[i]
-        pvec = np.cross(d[None, :], e2)
-        det = np.einsum("ij,ij->i", e1, pvec)
+    # Chunk rays so the [rays, tris] intermediates stay bounded.
+    chunk = max(1, min(n, 8_000_000 // max(len(v0), 1)))
+    for lo in range(0, n, chunk):
+        o = origins[lo:lo + chunk]          # [R, 3]
+        d = dirs[lo:lo + chunk]
+        pvec = np.cross(d[:, None, :], e2[None, :, :])       # [R, T, 3]
+        det = np.einsum("tj,rtj->rt", e1, pvec)
         with np.errstate(divide="ignore", invalid="ignore"):
             inv_det = np.where(np.abs(det) < 1e-12, np.nan, 1.0 / det)
-            tvec = o[None, :] - v0
-            u = np.einsum("ij,ij->i", tvec, pvec) * inv_det
-            qvec = np.cross(tvec, e1)
-            vv = np.einsum("j,ij->i", d, qvec) * inv_det
-            t = np.einsum("ij,ij->i", e2, qvec) * inv_det
+            tvec = o[:, None, :] - v0[None, :, :]
+            u = np.einsum("rtj,rtj->rt", tvec, pvec) * inv_det
+            qvec = np.cross(tvec, e1[None, :, :])
+            vv = np.einsum("rj,rtj->rt", d, qvec) * inv_det
+            t = np.einsum("tj,rtj->rt", e2, qvec) * inv_det
         ok = ((u >= 0) & (u <= 1) & (vv >= 0) & (u + vv <= 1)
               & (t > t_min) & (t < t_max) & np.isfinite(t))
-        if ok.any():
-            tt = np.where(ok, t, np.inf)
-            j = int(np.argmin(tt))
-            out_t[i] = tt[j]
-            out_id[i] = j
+        tt = np.where(ok, t, np.inf)
+        j = np.argmin(tt, axis=1)
+        rows = np.arange(len(o))
+        best = tt[rows, j]
+        hit = np.isfinite(best)
+        out_t[lo:lo + chunk][hit] = best[hit]
+        out_id[lo:lo + chunk][hit] = j[hit]
     return out_t, out_id
 
 

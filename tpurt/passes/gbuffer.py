@@ -1,0 +1,95 @@
+"""G-buffer pass: primary visibility as a batched ray cast.
+
+Replaces the reference's raster G-buffer (Model.vert/Model.frag writing world
+position, normal, albedo, depth [RECALL]) with a closest-hit ray cast through
+the same BVH — the idiomatic TPU route per BASELINE.json ("primary visibility
+... run as batched JAX passes"), reusing the traversal kernel instead of
+emulating a rasterizer.
+
+Outputs a dict of image-shaped arrays:
+  position f32[H,W,3], normal f32[H,W,3] (smooth), gnormal f32[H,W,3]
+  (geometric, for shadow bias), albedo f32[H,W,3], depth f32[H,W],
+  t f32[H,W], tri_id i32[H,W], valid bool[H,W]
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from ..camera import generate_rays, normalize, view_depth
+from ..types import Camera, Mesh
+
+
+def shade_attributes(mesh: Mesh, tri_id: jnp.ndarray, position: jnp.ndarray,
+                     valid: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Interpolated vertex attributes at hit points.
+
+    Barycentrics are recomputed from the hit position against the hit
+    triangle (one gather per pixel — cheaper than carrying u/v through the
+    traversal kernels).
+    """
+    tid = jnp.maximum(tri_id, 0)
+    tri = mesh.indices[tid]                       # [..., 3]
+    v0 = mesh.vertices[tri[..., 0]]
+    v1 = mesh.vertices[tri[..., 1]]
+    v2 = mesh.vertices[tri[..., 2]]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    # Solve p - v0 = u*e1 + v*e2 in the triangle plane (2x2 normal equations).
+    w = position - v0
+    d11 = jnp.sum(e1 * e1, axis=-1)
+    d12 = jnp.sum(e1 * e2, axis=-1)
+    d22 = jnp.sum(e2 * e2, axis=-1)
+    dw1 = jnp.sum(w * e1, axis=-1)
+    dw2 = jnp.sum(w * e2, axis=-1)
+    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+    u = (d22 * dw1 - d12 * dw2) / det
+    v = (d11 * dw2 - d12 * dw1) / det
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+
+    n0 = mesh.normals[tri[..., 0]]
+    n1 = mesh.normals[tri[..., 1]]
+    n2 = mesh.normals[tri[..., 2]]
+    smooth = normalize(n0 + u[..., None] * (n1 - n0) + v[..., None] * (n2 - n0))
+    gnormal = normalize(jnp.cross(e1, e2))
+    albedo = mesh.albedo[tid]
+    zeros = jnp.zeros_like(smooth)
+    vmask = valid[..., None]
+    return {
+        "normal": jnp.where(vmask, smooth, zeros),
+        "gnormal": jnp.where(vmask, gnormal, zeros),
+        "albedo": jnp.where(vmask, albedo, zeros),
+    }
+
+
+def gbuffer_pass(trace_closest: Callable, mesh: Mesh, cam: Camera,
+                 width: int, height: int,
+                 jitter: jnp.ndarray | None = None) -> Dict[str, jnp.ndarray]:
+    """trace_closest(origins, dirs) -> (t, tri_id); injected so the same pass
+    runs on the pure-JAX traversal or the Pallas kernel."""
+    origins, dirs = generate_rays(cam, width, height, jitter)
+    t, tri_id = trace_closest(origins, dirs)
+    valid = tri_id >= 0
+    t_safe = jnp.where(valid, t, 0.0)
+    position = origins + dirs * t_safe[..., None]
+    attrs = shade_attributes(mesh, tri_id, position, valid)
+    # Offset-ready geometric normal: flip toward the viewer so the shadow
+    # bias pushes off the visible side (reference applies a normal-offset
+    # bias before tracing [RECALL]).
+    facing = jnp.sign(-jnp.sum(attrs["gnormal"] * dirs, axis=-1, keepdims=True))
+    gnormal = attrs["gnormal"] * jnp.where(facing == 0, 1.0, facing)
+    smooth = attrs["normal"] * jnp.where(facing == 0, 1.0, facing)
+    return {
+        "position": position,
+        "normal": smooth,
+        "gnormal": gnormal,
+        "albedo": attrs["albedo"],
+        "depth": view_depth(cam, position, valid),
+        "t": t,
+        "tri_id": tri_id,
+        "valid": valid,
+        "view_dir": dirs,
+    }
