@@ -1,0 +1,165 @@
+"""Stage-5 tests: Pallas packet-traversal kernel vs the JAX traversal.
+
+Runs in interpreter mode on CPU (SURVEY.md §3.5: the interpret/compiled axis
+replaces the reference's compute-vs-NV-hardware mode axis; compiled-mode
+parity is exercised on real TPU by bench.py and the opt-in TPU smoke test).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.bvh.lbvh import build_lbvh
+from tpurt.bvh.traverse import traverse
+from tpurt.kernels.pack import pack_bvh, vmem_bytes
+from tpurt.kernels.traverse import (from_packets, to_packets,
+                                    trace_any_pallas, trace_closest_pallas)
+from tpurt.scenes import random_soup, teapot_scene
+
+
+def _build(mesh, leaf_size=4):
+    return build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
+                      leaf_size=leaf_size)
+
+
+def _rays(rng, n, extent=8.0):
+    o = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+def test_pack_roundtrip_node_records():
+    mesh = random_soup(100, seed=0)
+    bvh = _build(mesh)
+    packed = pack_bvh(bvh)
+    ni = bvh.num_internal
+    rec = np.asarray(packed.nodes).reshape(-1, 16)[:ni]
+    np.testing.assert_allclose(rec[:, :12], np.asarray(bvh.nodes_box))
+    child = rec[:, 12:14].view(np.int32)
+    np.testing.assert_array_equal(child, np.asarray(bvh.nodes_child))
+    # Leaf rows carry k*9 floats of (v0, e1, e2).
+    k = bvh.leaf_size
+    tris = np.asarray(packed.tris)
+    assert tris.shape == (bvh.num_leaves, 128)
+    row0 = tris[0, :9]
+    np.testing.assert_allclose(row0[:3], np.asarray(bvh.tri_v0)[0])
+    np.testing.assert_allclose(row0[3:6], np.asarray(bvh.tri_e1)[0])
+    assert vmem_bytes(packed) == (packed.nodes.size + packed.tris.size) * 4
+
+
+@pytest.mark.parametrize("leaf_size", [15, 20])
+def test_pack_rejects_oversized_leaves(leaf_size):
+    mesh = random_soup(64, seed=1)
+    bvh = _build(mesh, leaf_size=leaf_size)
+    with pytest.raises(ValueError):
+        pack_bvh(bvh)
+
+
+# ---------------------------------------------------------------------------
+# Packet tiling
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,w", [(64, 96), (50, 70), (32, 32), (1, 200)])
+def test_packet_tiling_roundtrip(h, w):
+    rng = np.random.default_rng(h * w)
+    a = rng.normal(size=(h, w)).astype(np.float32)
+    p = to_packets(jnp.asarray(a))
+    assert p.shape[1:] == (8, 128)
+    back = np.asarray(from_packets(p, h, w))
+    np.testing.assert_array_equal(back, a)
+
+
+# ---------------------------------------------------------------------------
+# Kernel vs JAX traversal (interpret mode)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("leaf_size", [1, 4, 8, 14])
+def test_closest_matches_jax_traversal(leaf_size, rng):
+    mesh = random_soup(150, seed=leaf_size)
+    bvh = _build(mesh, leaf_size=leaf_size)
+    o, d = _rays(rng, 700)
+    t_ref, id_ref = traverse(bvh, jnp.asarray(o), jnp.asarray(d))
+    t_k, id_k = trace_closest_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_k),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_k))
+
+
+def test_any_hit_matches_jax_traversal(rng):
+    mesh = teapot_scene(2000)
+    bvh = _build(mesh, leaf_size=8)
+    o, d = _rays(rng, 1024, extent=6.0)
+    _, id_ref = traverse(bvh, jnp.asarray(o), jnp.asarray(d), t_min=1e-4,
+                         any_hit=True)
+    occ = trace_any_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
+                           t_max=jnp.full(1024, 3e38), t_min=1e-4,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(id_ref) >= 0, np.asarray(occ))
+
+
+def test_any_hit_respects_tmax(rng):
+    mesh = random_soup(120, seed=5)
+    bvh = _build(mesh)
+    o, d = _rays(rng, 512)
+    t_ref, _ = traverse(bvh, jnp.asarray(o), jnp.asarray(d))
+    t_ref = np.asarray(t_ref)
+    # t_max just below each closest hit -> only rays with a second, nearer...
+    # no: any hit in (0, tmax); cutting below the closest t of the FIRST hit
+    # may still find others? closest is minimal -> no hit possible.
+    tmax = np.where(np.isfinite(t_ref), t_ref * 0.999, 0.5).astype(np.float32)
+    occ = trace_any_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
+                           t_max=jnp.asarray(tmax), interpret=True)
+    occ = np.asarray(occ)
+    assert not occ[np.isfinite(t_ref)].any()
+
+
+def test_inactive_rays_skip(rng):
+    mesh = random_soup(80, seed=6)
+    bvh = _build(mesh)
+    o, d = _rays(rng, 256)
+    occ = trace_any_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
+                           t_max=jnp.zeros(256), interpret=True)
+    assert not np.asarray(occ).any()
+
+
+def test_image_shaped_rays(rng):
+    """(H, W, 3) ray grids go through the spatial 32x32 tiling path."""
+    mesh = teapot_scene(1000)
+    bvh = _build(mesh)
+    from tpurt.scenes import default_camera_for
+    from tpurt.camera import generate_rays
+    cam = default_camera_for(mesh)
+    o, d = generate_rays(cam, 70, 50)  # non-multiples of 32 -> padding
+    t_ref, id_ref = traverse(bvh, o, d)
+    t_k, id_k = trace_closest_pallas(bvh, o, d, interpret=True)
+    assert t_k.shape == (50, 70)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_k),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_k))
+
+
+def test_full_pipeline_with_pallas_tracers(rng):
+    """render_frame_fn with use_pallas=True (interpret) == use_pallas=False."""
+    from tpurt.app import render_frame_fn
+    from tpurt.scenes import default_camera_for
+    from tpurt.types import Light, RenderConfig
+    mesh = teapot_scene(1200)
+    cam = default_camera_for(mesh)
+    light = Light.directional((0.45, 0.8, 0.3))
+    bvh = _build(mesh, leaf_size=8)
+    key = jax.random.PRNGKey(0)
+    a = render_frame_fn(bvh, mesh, cam, (light,), key,
+                        RenderConfig(width=64, height=48, use_pallas=True,
+                                     leaf_size=8))
+    b = render_frame_fn(bvh, mesh, cam, (light,), key,
+                        RenderConfig(width=64, height=48, use_pallas=False,
+                                     leaf_size=8))
+    np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]),
+                               rtol=1e-4, atol=1e-5)

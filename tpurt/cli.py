@@ -1,0 +1,155 @@
+"""Command-line interface.
+
+The reference is launched as ``RayTracedShadows <scene.obj>`` with an
+interactive window (Source/RayTracedShadows.cpp ``main`` -> Rush
+``Platform_Main`` [RECALL]); this headless equivalent renders N frames and
+writes PNGs, with every BASELINE.json benchmark config expressible as a
+preset:
+
+    python -m tpurt.cli --scene teapot  --preset config1 --out out.png
+    python -m tpurt.cli --scene sponza  --preset config2 --frames 10
+    python -m tpurt.cli --scene bunny.obj --width 1280 --height 720 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from .types import Camera, Light, RenderConfig
+
+PRESETS = {
+    # BASELINE.json configs 1-5.
+    "config1": dict(width=512, height=512, spp=1, mode="static",
+                    lights="directional"),
+    "config2": dict(width=1920, height=1080, spp=1, mode="rebuild",
+                    lights="directional"),
+    "config3": dict(width=1920, height=1080, spp=8, mode="static",
+                    lights="sun", accumulate=True),
+    "config4": dict(width=1920, height=1080, spp=1, mode="refit",
+                    lights="directional", animate=True),
+    "config5": dict(width=3840, height=2160, spp=1, mode="static",
+                    lights="multi", sort_rays=True),
+}
+
+
+def build_scene(name: str):
+    from . import scenes
+    from .io.obj import load_obj
+    if name == "teapot":
+        return scenes.teapot_scene()
+    if name == "sponza":
+        return scenes.sponza_scene()
+    if name.startswith("soup"):
+        n = int(name[4:] or "1000")
+        return scenes.random_soup(n)
+    return load_obj(name)
+
+
+def build_lights(kind: str, direction):
+    if kind == "directional":
+        return [Light.directional(direction)]
+    if kind == "sun":
+        return [Light.sun(direction, angular_radius_deg=2.0)]
+    if kind == "multi":
+        return [Light.directional(direction, intensity=0.8),
+                Light.directional((-0.55, 0.65, 0.25), color=(1.0, 0.85, 0.6),
+                                  intensity=0.5),
+                Light.directional((0.1, 0.9, -0.4), color=(0.7, 0.8, 1.0),
+                                  intensity=0.35)]
+    raise ValueError(kind)
+
+
+def _respect_platform_env() -> None:
+    """Honor JAX_PLATFORMS even where a sitecustomize hook force-updated
+    jax_platforms after env parsing (observed with the axon TPU plugin)."""
+    import os
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+
+
+def main(argv=None) -> int:
+    _respect_platform_env()
+    p = argparse.ArgumentParser(prog="tpurt",
+                                description="TPU-native ray-traced shadows")
+    p.add_argument("--scene", default="teapot",
+                   help="teapot | sponza | soup<N> | path/to/model.obj")
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="BASELINE benchmark config preset")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--spp", type=int, default=1)
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--mode", choices=("static", "rebuild", "refit"),
+                   default="static")
+    p.add_argument("--light", choices=("directional", "sun", "multi"),
+                   default="directional")
+    p.add_argument("--light-dir", type=float, nargs=3,
+                   default=(0.45, 0.8, 0.3))
+    p.add_argument("--ambient", type=float, default=0.08)
+    p.add_argument("--no-pallas", action="store_true",
+                   help="use the pure-JAX traversal instead of the Pallas kernel")
+    p.add_argument("--sort-rays", action="store_true")
+    p.add_argument("--accumulate", action="store_true")
+    p.add_argument("--animate", action="store_true",
+                   help="deform the mesh every frame (exercises refit)")
+    p.add_argument("--leaf-size", type=int, default=None)
+    p.add_argument("--out", default=None, help="output PNG path")
+    p.add_argument("--profile", action="store_true",
+                   help="collect per-pass timings (reference HUD analogue)")
+    p.add_argument("--stats-json", action="store_true",
+                   help="print per-frame stats as JSON lines")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    opts = dict(width=args.width, height=args.height, spp=args.spp,
+                mode=args.mode, lights=args.light,
+                accumulate=args.accumulate, animate=args.animate,
+                sort_rays=args.sort_rays)
+    if args.preset:
+        opts.update(PRESETS[args.preset])
+
+    mesh = build_scene(args.scene)
+    from .scenes import default_camera_for, deform
+    cam = default_camera_for(mesh)
+    lights = build_lights(opts["lights"], args.light_dir)
+    leaf_size = args.leaf_size if args.leaf_size is not None else \
+        (4 if args.no_pallas else 8)
+    cfg = RenderConfig(width=opts["width"], height=opts["height"],
+                       spp=opts["spp"], ambient=args.ambient,
+                       use_pallas=not args.no_pallas,
+                       sort_rays=opts.get("sort_rays", False),
+                       accumulate=opts.get("accumulate", False),
+                       leaf_size=leaf_size, seed=args.seed)
+
+    from .app import Renderer
+    r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"])
+    print(f"scene={args.scene} tris={mesh.num_triangles} "
+          f"{cfg.width}x{cfg.height} spp={cfg.spp} lights={len(lights)} "
+          f"mode={opts['mode']} pallas={cfg.use_pallas}", file=sys.stderr)
+
+    out = None
+    for f in range(args.frames):
+        if opts.get("animate"):
+            r.set_vertices(deform(mesh, time=f * 0.08))
+        out = r.render_frame(profile=args.profile)
+        if args.stats_json:
+            print(json.dumps(r.stats.as_dict()))
+        else:
+            print(r.stats.hud(), file=sys.stderr)
+
+    if args.out and out is not None:
+        from .io.image import write_png
+        write_png(args.out, np.asarray(out["image"]))
+        print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,379 @@
+"""Pallas TPU wavefront packet-traversal kernel.
+
+TPU-native replacement for the reference's per-pixel BVH walk
+(Source/Shaders/RayTracedShadows.comp ``castShadowRay``: stackless skip-link
+loop, one SIMT thread per pixel [RECALL]). TPUs have no SIMT divergence
+machinery — a Pallas program owns an entire 8x128 VPU tile — so the design is
+classic *packet traversal* re-shaped for the VPU:
+
+- One grid step = one packet of 8x128 = 1024 rays, cut from a 32x32 pixel
+  tile (spatially coherent, so the packet's node-visit union stays small —
+  the coherence the reference gets from SIMT warps on adjacent pixels).
+- One *shared* traversal stack per packet, held in SMEM and driven by the
+  scalar core while the VPU does 1024-wide box/triangle tests: a node is
+  descended if ANY active lane hits its box.
+- Node fetch = one dynamic row load: 8 packed nodes per 128-lane VMEM row
+  (see kernels/pack.py); record scalars are extracted at compile-time lane
+  offsets after an 8-way static-slice switch.
+- Leaf fetch = one aligned row load: all leaf triangles live in one 128-lane
+  row; Möller–Trumbore runs for all lanes x leaf-tris with static offsets.
+- Any-hit mode keeps a per-lane ``occluded`` mask and exits as soon as every
+  active lane is resolved (the reference's early-out, but packet-wide);
+  closest-hit mode keeps per-lane (best_t, best_index) and culls nodes
+  against the per-lane best_t.
+- Whole-packet skips: padding/sky packets (all t_max <= 0) never enter the
+  loop — the reference's invalid-pixel skip, amortized to packet granularity.
+
+The BVH (nodes + leaf triangles) is VMEM-resident: ~(16 + 9.15) bytes/tri
+at leaf_size 14, so Sponza-class scenes (~260k tris) fit in ~6.7 MB.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..bvh.lbvh import LBVH
+from .pack import NODES_PER_ROW, PackedBVH, pack_bvh
+
+STACK_DEPTH = 64
+TILE = 32  # 32x32 pixel tile -> one 8x128 packet
+_BIG = 3.4e38  # plain float: a jnp scalar would be captured as a kernel const
+# Safety cap on traversal iterations per packet: every node is pushed at
+# most once (tree), so pops <= Ni + 1; anything beyond that is a corrupted
+# walk. The cap guarantees a runaway loop can NEVER spin the TPU forever and
+# wedge the device (observed during bring-up: a hung kernel takes the whole
+# terminal down with it).
+
+
+def _iter_cap(num_internal: int) -> int:
+    return 2 * num_internal + 64
+
+
+def _compiled_backend() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers
+# ---------------------------------------------------------------------------
+
+def _load_node(ns_ref, node):
+    """-> ((1,16) record, childL i32, childR i32)."""
+    row = ns_ref[pl.ds(node >> 3, 1), :]                      # (1, 128)
+    grp = (node & 7).astype(jnp.int32)
+    rec = jax.lax.switch(
+        grp, [lambda r, o=o: r[:, o * 16:(o + 1) * 16] for o in
+              range(NODES_PER_ROW)], row)                     # (1, 16)
+    children = jax.lax.bitcast_convert_type(rec[:, 12:14], jnp.int32)  # (1,2)
+    return rec, children[0, 0], children[0, 1]
+
+
+def _slab(rec, off, ox, oy, oz, ix, iy, iz, t_min, t_cap):
+    """Packet ray-AABB test for the child box at record offset ``off``.
+
+    Returns bool (8,128). NaNs (origin on slab plane of an axis-parallel
+    ray) resolve hit-permissively, matching the oracle/JAX paths.
+    """
+    bx0, by0, bz0 = rec[0, off], rec[0, off + 1], rec[0, off + 2]
+    bx1, by1, bz1 = rec[0, off + 3], rec[0, off + 4], rec[0, off + 5]
+
+    def axis(b0, b1, o, inv):
+        t0 = (b0 - o) * inv
+        t1 = (b1 - o) * inv
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        lo = jnp.where(jnp.isnan(lo), -_BIG, lo)
+        hi = jnp.where(jnp.isnan(hi), _BIG, hi)
+        return lo, hi
+
+    lx, hx = axis(bx0, bx1, ox, ix)
+    ly, hy = axis(by0, by1, oy, iy)
+    lz, hz = axis(bz0, bz1, oz, iz)
+    enter = jnp.maximum(jnp.maximum(lx, ly), jnp.maximum(lz, t_min))
+    exit_ = jnp.minimum(jnp.minimum(hx, hy), jnp.minimum(hz, t_cap))
+    return enter <= exit_
+
+
+def _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz, eps=1e-9):
+    """Möller–Trumbore for all ``k`` leaf triangles -> list of t (8,128)
+    arrays (inf = miss). Lane offsets are static; only the row is dynamic."""
+    row = tr_ref[pl.ds(leaf_id, 1), :]                        # (1, 128)
+    ts = []
+    for j in range(k):
+        b = 9 * j
+        v0x, v0y, v0z = row[0, b], row[0, b + 1], row[0, b + 2]
+        e1x, e1y, e1z = row[0, b + 3], row[0, b + 4], row[0, b + 5]
+        e2x, e2y, e2z = row[0, b + 6], row[0, b + 7], row[0, b + 8]
+        # pvec = d x e2  (e2 scalar, d lanes)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= eps
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        # qvec = tvec x e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        ts.append(jnp.where(ok, t, _BIG))
+    return ts
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _any_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref, oy_ref, oz_ref,
+                    dx_ref, dy_ref, dz_ref, tmax_ref, out_ref, stack_ref):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
+    t_min = tmin_ref[0]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    active0 = tmax > t_min
+
+    stack_ref[0] = jnp.int32(0)
+
+    # ``occ`` is an int32 0/1 mask, not bool: Mosaic cannot legalize i1
+    # vectors as scf.if (lax.cond) results.
+    def visit_child(child, hit_lanes, sp, occ):
+        anyhit = jnp.any(hit_lanes)
+        is_leaf = child < 0
+
+        def test_leaf(occ):
+            leaf_id = jnp.maximum(-child - 1, 0)
+            ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+            hit = jnp.zeros(occ.shape, jnp.bool_)
+            for t in ts:
+                hit = hit | ((t > t_min) & (t < tmax))
+            return occ | jnp.where(hit & active0, 1, 0)
+
+        occ = jax.lax.cond(anyhit & is_leaf, test_leaf, lambda o: o, occ)
+        push = anyhit & (~is_leaf)
+        # Unconditional store: slot ``sp`` is free whether or not we push, so
+        # writing a dummy on the no-push path is safe and avoids predicated
+        # SMEM stores inside the while body.
+        stack_ref[sp] = jnp.where(push, child, 0)
+        return sp + push.astype(jnp.int32), occ
+
+    def cond(state):
+        it, sp, occ = state
+        return (sp > 0) & (it < max_iters) & jnp.any(active0 & (occ == 0))
+
+    def body(state):
+        it, sp, occ = state
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec, child_l, child_r = _load_node(ns_ref, node)
+        lanes = active0 & (occ == 0)
+        cap = jnp.where(lanes, tmax, -_BIG)
+        hit_l = _slab(rec, 0, ox, oy, oz, ix, iy, iz, t_min, cap) & lanes
+        hit_r = _slab(rec, 6, ox, oy, oz, ix, iy, iz, t_min, cap) & lanes
+        sp, occ = visit_child(child_l, hit_l, sp, occ)
+        sp, occ = visit_child(child_r, hit_r, sp, occ)
+        return it + 1, sp, occ
+
+    occ0 = jnp.zeros(ox.shape, jnp.int32)
+    _, _, occ = jax.lax.while_loop(cond, body,
+                                   (jnp.int32(0), jnp.int32(1), occ0))
+    out_ref[0] = occ
+
+
+def _closest_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref, oy_ref,
+                        oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref, t_out_ref,
+                        idx_out_ref, stack_ref):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
+    t_min = tmin_ref[0]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    active0 = tmax > t_min
+
+    stack_ref[0] = jnp.int32(0)
+
+    def visit_child(child, hit_lanes, sp, best_t, best_i):
+        anyhit = jnp.any(hit_lanes)
+        is_leaf = child < 0
+
+        def test_leaf(carry):
+            best_t, best_i = carry
+            leaf_id = jnp.maximum(-child - 1, 0)
+            ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+            base = leaf_id * k
+            for j, t in enumerate(ts):
+                better = (t > t_min) & (t < best_t) & active0
+                best_t = jnp.where(better, t, best_t)
+                best_i = jnp.where(better, base + j, best_i)
+            return best_t, best_i
+
+        best_t, best_i = jax.lax.cond(anyhit & is_leaf, test_leaf,
+                                      lambda c: c, (best_t, best_i))
+        push = anyhit & (~is_leaf)
+        stack_ref[sp] = jnp.where(push, child, 0)
+        return sp + push.astype(jnp.int32), best_t, best_i
+
+    def cond(state):
+        it, sp, _, _ = state
+        return (sp > 0) & (it < max_iters)
+
+    def body(state):
+        it, sp, best_t, best_i = state
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec, child_l, child_r = _load_node(ns_ref, node)
+        cap = jnp.where(active0, best_t, -_BIG)
+        hit_l = _slab(rec, 0, ox, oy, oz, ix, iy, iz, t_min, cap)
+        hit_r = _slab(rec, 6, ox, oy, oz, ix, iy, iz, t_min, cap)
+        sp, best_t, best_i = visit_child(child_l, hit_l, sp, best_t, best_i)
+        sp, best_t, best_i = visit_child(child_r, hit_r, sp, best_t, best_i)
+        return it + 1, sp, best_t, best_i
+
+    best_t0 = jnp.where(active0, tmax, -_BIG)
+    best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+    _, _, best_t, best_i = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), best_t0, best_i0))
+    t_out_ref[0] = jnp.where(best_i >= 0, best_t, _BIG)
+    idx_out_ref[0] = best_i
+
+
+# ---------------------------------------------------------------------------
+# Packet layout: image <-> (P, 8, 128) tiles
+# ---------------------------------------------------------------------------
+
+def _tile_shape(h: int, w: int) -> Tuple[int, int]:
+    return -(-h // TILE), -(-w // TILE)
+
+
+def to_packets(a: jnp.ndarray, fill=0.0) -> jnp.ndarray:
+    """f32[H, W] -> f32[P, 8, 128]: 32x32 pixel tiles, row-major in-tile."""
+    h, w = a.shape
+    ht, wt = _tile_shape(h, w)
+    ap = jnp.pad(a, ((0, ht * TILE - h), (0, wt * TILE - w)),
+                 constant_values=fill)
+    t = ap.reshape(ht, TILE, wt, TILE).transpose(0, 2, 1, 3)
+    return t.reshape(ht * wt, 8, 128)
+
+
+def from_packets(p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Inverse of to_packets."""
+    ht, wt = _tile_shape(h, w)
+    t = p.reshape(ht, wt, TILE, TILE).transpose(0, 2, 1, 3)
+    return t.reshape(ht * TILE, wt * TILE)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Host-callable wrappers
+# ---------------------------------------------------------------------------
+
+def _ray_packets(origins, dirs, t_max):
+    """(H,W,3) rays -> seven (P,8,128) component arrays (spatial tiling), or
+    flat chunking for non-image ray sets."""
+    if origins.ndim == 3:
+        h, w = origins.shape[:2]
+        comps = [to_packets(origins[..., c]) for c in range(3)]
+        comps += [to_packets(dirs[..., c], fill=1.0) for c in range(3)]
+        tm = to_packets(jnp.broadcast_to(t_max, (h, w)), fill=-1.0)
+        meta = ("img", h, w)
+    else:
+        n = origins.shape[0]
+        npad = -(-n // 1024) * 1024
+        def flat(x, fill):
+            x = jnp.concatenate(
+                [x, jnp.full((npad - n,), fill, x.dtype)]) if npad != n else x
+            return x.reshape(-1, 8, 128)
+        comps = [flat(origins[:, c], 0.0) for c in range(3)]
+        comps += [flat(dirs[:, c], 1.0) for c in range(3)]
+        tm = flat(jnp.broadcast_to(t_max, (n,)).astype(jnp.float32), -1.0)
+        meta = ("flat", n, npad)
+    return comps, tm, meta
+
+
+def _unpack(res, meta):
+    kind, a, b = meta
+    if kind == "img":
+        return from_packets(res, a, b)
+    return res.reshape(-1)[:a]
+
+
+def _common_call(packed: PackedBVH, kernel, out_shapes, comps, tm, t_min,
+                 interpret):
+    p = comps[0].shape[0]
+    nodes = packed.nodes
+    tris = packed.tris
+    if interpret is None:
+        interpret = not _compiled_backend()
+    # NB: with PrefetchScalarGridSpec the index maps receive the scalar
+    # prefetch refs after the grid indices — accept and ignore them.
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=[const_spec(nodes.shape), const_spec(tris.shape)]
+        + [ray_spec] * 7,
+        out_specs=tuple(ray_spec for _ in out_shapes),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+    )
+    fn = pl.pallas_call(
+        functools.partial(kernel, packed.leaf_size,
+                          _iter_cap(packed.num_internal)),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((p, 8, 128), dt) for dt in out_shapes),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    return fn(tmin_arr, nodes, tris, *comps, tm)
+
+
+def _as_packed(bvh) -> PackedBVH:
+    return bvh if isinstance(bvh, PackedBVH) else pack_bvh(bvh)
+
+
+def trace_any_pallas(bvh, origins, dirs, t_max, cfg=None, t_min: float = 0.0,
+                     interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Occlusion query: bool[H, W] (True = something between t_min and t_max).
+
+    Rays with t_max <= t_min are inactive and return False (sky skip)."""
+    packed = _as_packed(bvh)
+    comps, tm, meta = _ray_packets(origins, dirs, t_max)
+    (occ,) = _common_call(packed, _any_hit_kernel, (jnp.int32,), comps, tm,
+                          t_min, interpret)
+    return _unpack(occ, meta) > 0
+
+
+def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
+                         t_min: float = 0.0,
+                         interpret: Optional[bool] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest hit: (t f32[H, W], tri_id i32[H, W]); miss = (inf, -1)."""
+    packed = _as_packed(bvh)
+    comps, tm, meta = _ray_packets(origins, dirs, t_max)
+    t, sidx = _common_call(packed, _closest_hit_kernel,
+                           (jnp.float32, jnp.int32), comps, tm, t_min,
+                           interpret)
+    t = _unpack(t, meta)
+    sidx = _unpack(sidx, meta)
+    tri_id = jnp.where(sidx >= 0,
+                       packed.tri_id[jnp.clip(sidx, 0,
+                                              packed.tri_id.shape[0] - 1)],
+                       -1)
+    t = jnp.where(sidx >= 0, t, jnp.inf)
+    return t, tri_id
