@@ -31,13 +31,13 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     from tpurt.camera import generate_rays
     from tpurt.passes.gbuffer import gbuffer_pass
     from tpurt.passes.shadow import shadow_ray_batch
-    from tpurt.scenes import default_camera_for, sponza_scene
+    from tpurt.scenes import sponza_interior_camera, sponza_scene
     from tpurt.types import Light, RenderConfig
 
     cfg = RenderConfig(width=width, height=height, use_pallas=use_pallas,
                        leaf_size=leaf_size)
     mesh = jax.device_put(sponza_scene(tris))
-    cam = default_camera_for(mesh)
+    cam = sponza_interior_camera()
     light = Light.directional((0.25, 0.9, 0.2))
     log(f"scene tris={mesh.num_triangles} {width}x{height} "
         f"pallas={use_pallas} leaf={leaf_size}")
@@ -98,9 +98,9 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
 def main() -> int:
     result = None
     for attempt, kw in enumerate([
-        dict(use_pallas=True, leaf_size=8, width=1920, height=1080,
+        dict(use_pallas=True, leaf_size=14, width=1920, height=1080,
              tris=260_000),
-        dict(use_pallas=True, leaf_size=8, width=1920, height=1080,
+        dict(use_pallas=True, leaf_size=14, width=1920, height=1080,
              tris=120_000),
         dict(use_pallas=False, leaf_size=4, width=960, height=540,
              tris=60_000),

@@ -41,7 +41,7 @@ def test_pack_roundtrip_node_records():
     ni = bvh.num_internal
     rec = np.asarray(packed.nodes).reshape(-1, 16)[:ni]
     np.testing.assert_allclose(rec[:, :12], np.asarray(bvh.nodes_box))
-    child = rec[:, 12:14].view(np.int32)
+    child = rec[:, 12:14].astype(np.int32)  # float-encoded exact ints
     np.testing.assert_array_equal(child, np.asarray(bvh.nodes_child))
     # Leaf rows carry k*9 floats of (v0, e1, e2).
     k = bvh.leaf_size

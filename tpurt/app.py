@@ -41,26 +41,32 @@ def make_tracers(cfg: RenderConfig):
     fallback next to the NV-RT pipeline, SURVEY.md §3.5).
     """
     if cfg.use_pallas:
-        try:
-            from .kernels.traverse import trace_any_pallas, trace_closest_pallas
+        from .kernels.traverse import trace_any_pallas, trace_closest_pallas
 
-            def closest(bvh, o, d):
-                return trace_closest_pallas(bvh, o, d, cfg=cfg)
+        def closest(bvh, o, d):
+            return trace_closest_pallas(bvh, o, d, cfg=cfg)
 
-            def any_(bvh, o, d, t_max):
-                return trace_any_pallas(bvh, o, d, t_max, cfg=cfg)
+        def any_(bvh, o, d, t_max):
+            return trace_any_pallas(bvh, o, d, t_max, cfg=cfg)
+    else:
+        def closest(bvh, o, d):
+            return jax_traverse.traverse(bvh, o, d, t_min=0.0, any_hit=False)
 
-            return closest, any_
-        except ImportError:
-            pass
+        def any_(bvh, o, d, t_max):
+            _, tid = jax_traverse.traverse(bvh, o, d, t_min=0.0, t_max=t_max,
+                                           any_hit=True)
+            return tid >= 0
 
-    def closest(bvh, o, d):
-        return jax_traverse.traverse(bvh, o, d, t_min=0.0, any_hit=False)
+    if cfg.sort_rays:
+        from .passes.sort import make_sorted_tracer
 
-    def any_(bvh, o, d, t_max):
-        _, tid = jax_traverse.traverse(bvh, o, d, t_min=0.0, t_max=t_max,
-                                       any_hit=True)
-        return tid >= 0
+        raw_any = any_
+
+        def any_(bvh, o, d, t_max):  # noqa: F811 - deliberate wrap
+            sorted_tracer = make_sorted_tracer(
+                lambda so, sd, stm: raw_any(bvh, so, sd, stm),
+                bvh.root_min, bvh.root_max)
+            return sorted_tracer(o, d, t_max)
 
     return closest, any_
 

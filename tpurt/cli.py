@@ -116,8 +116,9 @@ def main(argv=None) -> int:
         opts.update(PRESETS[args.preset])
 
     mesh = build_scene(args.scene)
-    from .scenes import default_camera_for, deform
-    cam = default_camera_for(mesh)
+    from .scenes import default_camera_for, deform, sponza_interior_camera
+    cam = (sponza_interior_camera() if args.scene == "sponza"
+           else default_camera_for(mesh))
     lights = build_lights(opts["lights"], args.light_dir)
     leaf_size = args.leaf_size if args.leaf_size is not None else \
         (4 if args.no_pallas else 8)

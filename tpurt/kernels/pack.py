@@ -59,7 +59,13 @@ def pack_bvh(bvh: LBVH) -> PackedBVH:
         raise ValueError(f"leaf_size {k} > {MAX_LEAF_SIZE} cannot pack into "
                          "one 128-lane row")
     ni = bvh.num_internal
-    child_f = jax.lax.bitcast_convert_type(bvh.nodes_child, jnp.float32)
+    # Child refs are stored as float VALUES (exact for |idx| < 2^24), NOT
+    # bitcasts: small int bit patterns are denormal floats, and the TPU VPU
+    # flushes denormals to zero in vector ops (found the hard way — every
+    # child ref read back as 0 on hardware while interpret mode passed).
+    if ni >= (1 << 24):
+        raise ValueError("node index exceeds exact-f32 range")
+    child_f = bvh.nodes_child.astype(jnp.float32)
     rec = jnp.concatenate([bvh.nodes_box, child_f,
                            jnp.zeros((ni, 2), jnp.float32)], axis=1)  # [Ni,16]
     nr = -(-ni // NODES_PER_ROW) * NODES_PER_ROW

@@ -70,7 +70,7 @@ def _load_node(ns_ref, node):
     rec = jax.lax.switch(
         grp, [lambda r, o=o: r[:, o * 16:(o + 1) * 16] for o in
               range(NODES_PER_ROW)], row)                     # (1, 16)
-    children = jax.lax.bitcast_convert_type(rec[:, 12:14], jnp.int32)  # (1,2)
+    children = rec[:, 12:14].astype(jnp.int32)  # float-encoded exact ints
     return rec, children[0, 0], children[0, 1]
 
 
@@ -169,12 +169,15 @@ def _any_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref, oy
         stack_ref[sp] = jnp.where(push, child, 0)
         return sp + push.astype(jnp.int32), occ
 
+    # Early-exit flag is a carried SCALAR: vector reductions inside the
+    # while *cond* hang Mosaic on v5e (bisected during bring-up); reducing in
+    # the body and carrying the scalar is equivalent and safe.
     def cond(state):
-        it, sp, occ = state
-        return (sp > 0) & (it < max_iters) & jnp.any(active0 & (occ == 0))
+        it, sp, alive, occ = state
+        return (sp > 0) & (it < max_iters) & alive
 
     def body(state):
-        it, sp, occ = state
+        it, sp, _, occ = state
         sp = sp - 1
         node = stack_ref[sp]
         rec, child_l, child_r = _load_node(ns_ref, node)
@@ -184,11 +187,13 @@ def _any_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref, oy
         hit_r = _slab(rec, 6, ox, oy, oz, ix, iy, iz, t_min, cap) & lanes
         sp, occ = visit_child(child_l, hit_l, sp, occ)
         sp, occ = visit_child(child_r, hit_r, sp, occ)
-        return it + 1, sp, occ
+        alive = jnp.any(active0 & (occ == 0))
+        return it + 1, sp, alive, occ
 
     occ0 = jnp.zeros(ox.shape, jnp.int32)
-    _, _, occ = jax.lax.while_loop(cond, body,
-                                   (jnp.int32(0), jnp.int32(1), occ0))
+    alive0 = jnp.any(active0)
+    _, _, _, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), alive0, occ0))
     out_ref[0] = occ
 
 

@@ -288,6 +288,15 @@ def sponza_scene(tris_target: int = 260_000, seed: int = 7) -> Mesh:
     return merge_meshes(parts)
 
 
+def sponza_interior_camera(fov_y_deg: float = 65.0):
+    """Camera inside the colonnaded hall, looking down the atrium — the
+    representative benchmark view (Sponza is an interior scene; an exterior
+    framing would measure bare walls)."""
+    from .types import Camera
+    return Camera.look_at((-13.0, 2.2, 0.0), (14.0, 4.5, 0.5),
+                          fov_y_deg=fov_y_deg, znear=0.01, zfar=200.0)
+
+
 def default_camera_for(mesh: Mesh, fov_y_deg: float = 55.0):
     """Frame the mesh: eye on a diagonal, looking at the centroid."""
     from .types import Camera
