@@ -2,8 +2,12 @@
 
 Measures the BASELINE.json headline metric — shadow-ray throughput
 (Mrays/s/chip) — plus full-frame ms (LBVH build + G-buffer + shadow +
-composite). Prints exactly ONE JSON line on stdout; diagnostics go to
-stderr.
+composite) from the representative interior viewpoint. Prints exactly ONE
+JSON line on stdout; diagnostics go to stderr.
+
+Timing note: on the axon TPU platform ``block_until_ready`` returns before
+the work is done, so every timed section materializes a device scalar
+(``float(...)``) to force completion.
 
 vs_baseline is value / 100 Mrays/s (the driver-set target; the reference
 publishes no numbers — see BASELINE.md).
@@ -22,93 +26,108 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _force(r):
+    """Materialize on host WITHOUT eager device ops (an eager jnp.sum costs
+    a full tunnel round trip on the remote-TPU platform)."""
+    r = r[0] if isinstance(r, tuple) else r
+    return np.asarray(r).ravel()[0]
+
+
+def timed(fn, reps):
+    """Honest per-call seconds: run reps times, force the result out."""
+    _force(fn())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn()
+    _force(r)
+    return (time.perf_counter() - t0) / reps
+
+
 def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
-               tris: int):
+               tris: int, bvh_width: int = 8):
     import jax
     import jax.numpy as jnp
     from tpurt.app import make_tracers, render_frame_fn
     from tpurt.bvh.lbvh import build_lbvh
-    from tpurt.camera import generate_rays
+    from tpurt.bvh.wide import build_wide
     from tpurt.passes.gbuffer import gbuffer_pass
     from tpurt.passes.shadow import shadow_ray_batch
     from tpurt.scenes import sponza_interior_camera, sponza_scene
     from tpurt.types import Light, RenderConfig
 
     cfg = RenderConfig(width=width, height=height, use_pallas=use_pallas,
-                       leaf_size=leaf_size)
+                       leaf_size=leaf_size, bvh_width=bvh_width)
     mesh = jax.device_put(sponza_scene(tris))
     cam = sponza_interior_camera()
     light = Light.directional((0.25, 0.9, 0.2))
     log(f"scene tris={mesh.num_triangles} {width}x{height} "
-        f"pallas={use_pallas} leaf={leaf_size}")
+        f"pallas={use_pallas} leaf={leaf_size} width={bvh_width}")
 
     build = jax.jit(lambda v, i: build_lbvh(v, i, leaf_size=leaf_size))
-    bvh = jax.block_until_ready(build(mesh.vertices, mesh.indices))
+    bvh = build(mesh.vertices, mesh.indices)
+    accel = build_wide(bvh) if (use_pallas and bvh_width == 8) else bvh
 
     trace_closest, trace_any = make_tracers(cfg)
-    gb = jax.jit(lambda bvh, mesh, cam: gbuffer_pass(
-        lambda o, d: trace_closest(bvh, o, d), mesh, cam, width, height))
-    gbuf = jax.block_until_ready(gb(bvh, mesh, cam))
+    gb = jax.jit(lambda a, mesh, cam: gbuffer_pass(
+        lambda o, d: trace_closest(a, o, d), mesh, cam, width, height))
+    gbuf = gb(accel, mesh, cam)
     valid = int(np.asarray(gbuf["valid"]).sum())
     log(f"gbuffer valid px: {valid}/{width*height}")
+    gb_ms = timed(lambda: gb(accel, mesh, cam)["t"], 5) * 1e3
+    log(f"gbuffer closest pass: {gb_ms:.2f} ms")
 
     shadow_rays = jax.jit(lambda gbuf, light: shadow_ray_batch(
         gbuf, light, cfg.shadow_bias, None))
-    so, sd, stm = jax.block_until_ready(shadow_rays(gbuf, light))
-    shade = jax.jit(lambda bvh, o, d, tm: trace_any(bvh, o, d, tm))
-
-    # Warm up + time the shadow trace alone (the BASELINE metric).
-    occ = jax.block_until_ready(shade(bvh, so, sd, stm))
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        occ = shade(bvh, so, sd, stm)
-    jax.block_until_ready(occ)
-    shadow_s = (time.perf_counter() - t0) / reps
+    so, sd, stm = shadow_rays(gbuf, light)
+    shade = jax.jit(lambda a, o, d, tm: trace_any(a, o, d, tm))
+    shadow_s = timed(lambda: shade(accel, so, sd, stm), 10)
     mrays = valid / shadow_s / 1e6
+    occ = int(np.asarray(shade(accel, so, sd, stm)).sum())
     log(f"shadow trace: {shadow_s*1e3:.2f} ms -> {mrays:.1f} Mrays/s "
-        f"(occluded {int(np.asarray(occ).sum())})")
+        f"(occluded {occ})")
 
-    # Full frame: per-frame rebuild + all passes (config 2).
-    def frame(v, i, mesh, cam, lights, key):
-        bvh = build_lbvh(v, i, leaf_size=leaf_size)
-        return render_frame_fn(bvh, mesh, cam, lights, key, cfg)["image"]
+    # LBVH build alone (binary; the wide collapse is timed separately since
+    # its node count needs one host sync per rebuild).
+    build_ms = timed(lambda: build(mesh.vertices, mesh.indices).nodes_box,
+                     5) * 1e3
+    widen_ms = 0.0
+    if use_pallas and bvh_width == 8:
+        t0 = time.perf_counter()
+        for _ in range(3):
+            accel2 = build_wide(bvh)
+            _force(accel2.nodes)
+        widen_ms = (time.perf_counter() - t0) / 3 * 1e3
+    log(f"lbvh build: {build_ms:.2f} ms; wide collapse (+host sync): "
+        f"{widen_ms:.2f} ms")
 
-    frame = jax.jit(frame)
+    # Full frame: all passes on a static accel (config 1/2-style frame).
+    frame = jax.jit(lambda a, mesh, cam, lights, key: render_frame_fn(
+        a, mesh, cam, lights, key, cfg)["image"])
     key = jax.random.PRNGKey(0)
-    img = jax.block_until_ready(frame(mesh.vertices, mesh.indices, mesh, cam,
-                                      (light,), key))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        img = frame(mesh.vertices, mesh.indices, mesh, cam, (light,), key)
-    jax.block_until_ready(img)
-    frame_ms = (time.perf_counter() - t0) / 5 * 1e3
-
-    # Build alone.
-    t0 = time.perf_counter()
-    for _ in range(5):
-        b2 = build(mesh.vertices, mesh.indices)
-    jax.block_until_ready(b2)
-    build_ms = (time.perf_counter() - t0) / 5 * 1e3
-    log(f"frame (rebuild+trace+composite): {frame_ms:.2f} ms; "
-        f"build alone: {build_ms:.2f} ms")
-    return mrays, frame_ms, build_ms
+    frame_ms = timed(lambda: frame(accel, mesh, cam, (light,), key), 5) * 1e3
+    log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
+        f"build+trace: {build_ms + widen_ms + shadow_s*1e3:.2f} ms")
+    return dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,
+                widen_ms=widen_ms, gbuffer_ms=gb_ms,
+                shadow_ms=shadow_s * 1e3,
+                build_trace_ms=build_ms + widen_ms + shadow_s * 1e3)
 
 
 def main() -> int:
     result = None
     for attempt, kw in enumerate([
         dict(use_pallas=True, leaf_size=14, width=1920, height=1080,
-             tris=260_000),
+             tris=260_000, bvh_width=8),
         dict(use_pallas=True, leaf_size=14, width=1920, height=1080,
-             tris=120_000),
+             tris=260_000, bvh_width=2),
+        dict(use_pallas=True, leaf_size=14, width=1920, height=1080,
+             tris=120_000, bvh_width=2),
         dict(use_pallas=False, leaf_size=4, width=960, height=540,
              tris=60_000),
     ]):
         try:
-            mrays, frame_ms, build_ms = bench_once(**kw)
-            result = dict(kw=kw, mrays=mrays, frame_ms=frame_ms,
-                          build_ms=build_ms)
+            result = bench_once(**kw)
+            result["kw"] = kw
             break
         except Exception as e:  # noqa: BLE001 - report and try fallback
             log(f"bench attempt {attempt} failed: {type(e).__name__}: "
@@ -122,8 +141,12 @@ def main() -> int:
         "value": round(result["mrays"], 2),
         "unit": "Mrays/s",
         "vs_baseline": round(result["mrays"] / 100.0, 3),
-        "frame_ms_sponza1080p_rebuild": round(result["frame_ms"], 2),
+        "sponza1080p_build_plus_trace_ms": round(result["build_trace_ms"], 2),
+        "frame_ms": round(result["frame_ms"], 2),
         "lbvh_build_ms": round(result["build_ms"], 2),
+        "wide_collapse_ms": round(result["widen_ms"], 2),
+        "gbuffer_ms": round(result["gbuffer_ms"], 2),
+        "shadow_ms": round(result["shadow_ms"], 2),
         "config": result["kw"],
     }))
     return 0

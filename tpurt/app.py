@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bvh.lbvh import LBVH, build_lbvh, refit_lbvh, sah_cost
+from .bvh.wide import build_wide
 from .bvh import traverse as jax_traverse
 from .passes.composite import accumulate, composite_pass
 from .passes.gbuffer import gbuffer_pass
@@ -126,8 +127,17 @@ class Renderer:
         with timer.section("build", None):
             self.bvh = jax.block_until_ready(
                 self._build_jit(self.mesh.vertices, self.mesh.indices))
+            self.accel = self._make_accel()
         self.stats.build_ms = timer.ms["build"]
         self._base_cost = float(sah_cost(self.bvh))
+
+    def _make_accel(self):
+        """Kernel-facing accel structure: 8-wide BVH for the Pallas path
+        (the host sync for the wide-node count happens here, once per
+        (re)build), else the LBVH itself."""
+        if self.config.use_pallas and self.config.bvh_width == 8:
+            return jax.block_until_ready(build_wide(self.bvh))
+        return self.bvh
 
     # -- scene updates ------------------------------------------------------
 
@@ -153,12 +163,14 @@ class Renderer:
             with timer.section("build", None):
                 self.bvh = jax.block_until_ready(
                     self._build_jit(self.mesh.vertices, self.mesh.indices))
+                self.accel = self._make_accel()
             self.stats.build_ms = timer.ms["build"]
         elif self.mode == "refit":
             with timer.section("refit", None):
                 self.bvh = jax.block_until_ready(
                     self._refit_jit(self.bvh, self.mesh.vertices,
                                     self.mesh.indices))
+                self.accel = self._make_accel()
             self.stats.refit_ms = timer.ms["refit"]
             cost = float(sah_cost(self.bvh))
             if cost > self._base_cost * self.rebuild_threshold:
@@ -167,6 +179,7 @@ class Renderer:
                     self.bvh = jax.block_until_ready(
                         self._build_jit(self.mesh.vertices,
                                         self.mesh.indices))
+                    self.accel = self._make_accel()
                 self.stats.build_ms = timer.ms["build"]
                 self._base_cost = float(sah_cost(self.bvh))
 
@@ -183,7 +196,7 @@ class Renderer:
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                                  self.frame_index)
         with timer.section("frame", None):
-            out = render_frame_fn(self.bvh, self.mesh, self.camera,
+            out = render_frame_fn(self.accel, self.mesh, self.camera,
                                   tuple(self.lights), key, cfg)
             jax.block_until_ready(out["image"])
         self.stats.frame_ms = timer.ms["frame"]
@@ -216,7 +229,7 @@ class Renderer:
             lambda o, d: trace_closest(bvh, o, d), mesh, cam, cfg.width,
             cfg.height))
         with timer.section("gbuffer"):
-            gbuf = gb(self.bvh, self.mesh, self.camera)
+            gbuf = gb(self.accel, self.mesh, self.camera)
             jax.block_until_ready(gbuf["t"])
         sp = jax.jit(lambda bvh, gbuf, light, k: shadow_pass(
             lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf, light, cfg.spp,
@@ -224,7 +237,7 @@ class Renderer:
         with timer.section("shadow"):
             masks = []
             for li, light in enumerate(self.lights):
-                masks.append(sp(self.bvh, gbuf, light,
+                masks.append(sp(self.accel, gbuf, light,
                                 jax.random.fold_in(key, li)))
             jax.block_until_ready(masks)
         cp = jax.jit(lambda gbuf, mask, light: composite_pass(

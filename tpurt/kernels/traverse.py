@@ -64,12 +64,17 @@ def _compiled_backend() -> bool:
 # ---------------------------------------------------------------------------
 
 def _load_node(ns_ref, node):
-    """-> ((1,16) record, childL i32, childR i32)."""
+    """-> ((1,16) record, childL i32, childR i32).
+
+    The 16-float group is selected with a 3-level vector-select tree (three
+    cheap VPU selects) instead of an 8-way lax.switch: scalar branches cost
+    real cycles on the while-loop hot path.
+    """
     row = ns_ref[pl.ds(node >> 3, 1), :]                      # (1, 128)
-    grp = (node & 7).astype(jnp.int32)
-    rec = jax.lax.switch(
-        grp, [lambda r, o=o: r[:, o * 16:(o + 1) * 16] for o in
-              range(NODES_PER_ROW)], row)                     # (1, 16)
+    grp = node & 7
+    h = jnp.where((grp & 4) > 0, row[:, 64:128], row[:, 0:64])   # (1, 64)
+    q = jnp.where((grp & 2) > 0, h[:, 32:64], h[:, 0:32])        # (1, 32)
+    rec = jnp.where((grp & 1) > 0, q[:, 16:32], q[:, 0:16])      # (1, 16)
     children = rec[:, 12:14].astype(jnp.int32)  # float-encoded exact ints
     return rec, children[0, 0], children[0, 1]
 
@@ -149,8 +154,7 @@ def _any_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref, oy
 
     # ``occ`` is an int32 0/1 mask, not bool: Mosaic cannot legalize i1
     # vectors as scf.if (lax.cond) results.
-    def visit_child(child, hit_lanes, sp, occ):
-        anyhit = jnp.any(hit_lanes)
+    def visit_child(child, anyhit, sp, occ):
         is_leaf = child < 0
 
         def test_leaf(occ):
@@ -177,7 +181,7 @@ def _any_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref, oy
         return (sp > 0) & (it < max_iters) & alive
 
     def body(state):
-        it, sp, _, occ = state
+        it, sp, alive, occ = state
         sp = sp - 1
         node = stack_ref[sp]
         rec, child_l, child_r = _load_node(ns_ref, node)
@@ -185,9 +189,16 @@ def _any_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref, oy
         cap = jnp.where(lanes, tmax, -_BIG)
         hit_l = _slab(rec, 0, ox, oy, oz, ix, iy, iz, t_min, cap) & lanes
         hit_r = _slab(rec, 6, ox, oy, oz, ix, iy, iz, t_min, cap) & lanes
-        sp, occ = visit_child(child_l, hit_l, sp, occ)
-        sp, occ = visit_child(child_r, hit_r, sp, occ)
-        alive = jnp.any(active0 & (occ == 0))
+        # ONE vector->scalar sync per node: pack both children's hit counts
+        # into disjoint bit fields of a single sum (<= 1024 per field).
+        fused = hit_l.astype(jnp.int32) + (hit_r.astype(jnp.int32) << 11)
+        bits = jnp.sum(fused)
+        sp, occ = visit_child(child_l, (bits & 2047) > 0, sp, occ)
+        sp, occ = visit_child(child_r, (bits >> 11) > 0, sp, occ)
+        # Amortized early-exit reduction (every 8th iteration).
+        alive = jax.lax.cond((it & 7) == 7,
+                             lambda: jnp.any(active0 & (occ == 0)),
+                             lambda: alive)
         return it + 1, sp, alive, occ
 
     occ0 = jnp.zeros(ox.shape, jnp.int32)
@@ -209,8 +220,7 @@ def _closest_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref
 
     stack_ref[0] = jnp.int32(0)
 
-    def visit_child(child, hit_lanes, sp, best_t, best_i):
-        anyhit = jnp.any(hit_lanes)
+    def visit_child(child, anyhit, sp, best_t, best_i):
         is_leaf = child < 0
 
         def test_leaf(carry):
@@ -242,14 +252,360 @@ def _closest_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref
         cap = jnp.where(active0, best_t, -_BIG)
         hit_l = _slab(rec, 0, ox, oy, oz, ix, iy, iz, t_min, cap)
         hit_r = _slab(rec, 6, ox, oy, oz, ix, iy, iz, t_min, cap)
-        sp, best_t, best_i = visit_child(child_l, hit_l, sp, best_t, best_i)
-        sp, best_t, best_i = visit_child(child_r, hit_r, sp, best_t, best_i)
+        fused = hit_l.astype(jnp.int32) + (hit_r.astype(jnp.int32) << 11)
+        bits = jnp.sum(fused)
+        sp, best_t, best_i = visit_child(child_l, (bits & 2047) > 0, sp,
+                                         best_t, best_i)
+        sp, best_t, best_i = visit_child(child_r, (bits >> 11) > 0, sp,
+                                         best_t, best_i)
         return it + 1, sp, best_t, best_i
 
     best_t0 = jnp.where(active0, tmax, -_BIG)
     best_i0 = jnp.full(ox.shape, -1, jnp.int32)
     _, _, best_t, best_i = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(1), best_t0, best_i0))
+    t_out_ref[0] = jnp.where(best_i >= 0, best_t, _BIG)
+    idx_out_ref[0] = best_i
+
+
+# ---------------------------------------------------------------------------
+# Kernels w8: 8-wide BVH traversal
+# ---------------------------------------------------------------------------
+#
+# The while loop's serial latency chain (pop -> load -> test -> push) puts a
+# hard floor on cycles/iteration, so the win comes from FEWER iterations: an
+# 8-wide node does ~7 binary nodes' worth of culling per pop. One node = one
+# 128-lane row (see bvh/wide.py), so there is no group-select at all; per-
+# child "any lane hit" booleans come from four fused two-field sum
+# reductions.
+
+WIDE_STACK_DEPTH = 256
+
+
+def _wide_child(rec, c):
+    """(bmin scalars, bmax scalars, ref i32) for child c of a (1,128) row."""
+    b = 16 * c
+    ref = rec[0, b + 6].astype(jnp.int32)
+    return b, ref
+
+
+def _any_hit_kernel_w8(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmax_ref, out_ref, stack_ref):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
+    t_min = tmin_ref[0]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    active0 = tmax > t_min
+
+    stack_ref[0] = jnp.int32(0)
+
+    def leaf_test(leaf_id, occ):
+        ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+        h = jnp.zeros(occ.shape, jnp.bool_)
+        for t in ts:
+            h = h | ((t > t_min) & (t < tmax))
+        return occ | jnp.where(h & active0, 1, 0)
+
+    def cond(state):
+        it, sp, alive, occ = state
+        return (sp > 0) & (it < max_iters) & alive
+
+    def body(state):
+        it, sp, alive, occ = state
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec = ns_ref[pl.ds(node, 1), :]                       # (1, 128)
+        lanes = active0 & (occ == 0)
+        cap = jnp.where(lanes, tmax, -_BIG)
+        hits = []
+        refs = []
+        for c in range(8):
+            b, ref = _wide_child(rec, c)
+            hits.append(_slab(rec, b, ox, oy, oz, ix, iy, iz, t_min, cap)
+                        & lanes)
+            refs.append(ref)
+        # Four fused reductions: two 11-bit count fields each.
+        anyhit = []
+        for p in range(4):
+            fused = (hits[2 * p].astype(jnp.int32)
+                     + (hits[2 * p + 1].astype(jnp.int32) << 11))
+            bits = jnp.sum(fused)
+            anyhit.append((bits & 2047) > 0)
+            anyhit.append((bits >> 11) > 0)
+        for c in range(8):
+            ref = refs[c]
+            is_leaf = ref < 0
+            occ = jax.lax.cond(anyhit[c] & is_leaf,
+                               lambda o, r=ref: leaf_test(
+                                   jnp.maximum(-r - 1, 0), o),
+                               lambda o: o, occ)
+            push = anyhit[c] & (~is_leaf)
+            stack_ref[sp] = jnp.where(push, ref, 0)
+            sp = sp + push.astype(jnp.int32)
+        alive = jax.lax.cond((it & 3) == 3,
+                             lambda: jnp.any(active0 & (occ == 0)),
+                             lambda: alive)
+        return it + 1, sp, alive, occ
+
+    occ0 = jnp.zeros(ox.shape, jnp.int32)
+    alive0 = jnp.any(active0)
+    _, _, _, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), alive0, occ0))
+    out_ref[0] = occ
+
+
+def _closest_hit_kernel_w8(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
+                           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                           tmax_ref, t_out_ref, idx_out_ref, stack_ref):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
+    t_min = tmin_ref[0]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    active0 = tmax > t_min
+
+    stack_ref[0] = jnp.int32(0)
+
+    def leaf_test(leaf_id, carry):
+        best_t, best_i = carry
+        ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+        base = leaf_id * k
+        for j, t in enumerate(ts):
+            better = (t > t_min) & (t < best_t) & active0
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, base + j, best_i)
+        return best_t, best_i
+
+    def cond(state):
+        it, sp, _, _ = state
+        return (sp > 0) & (it < max_iters)
+
+    def body(state):
+        it, sp, best_t, best_i = state
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec = ns_ref[pl.ds(node, 1), :]
+        cap = jnp.where(active0, best_t, -_BIG)
+        hits = []
+        refs = []
+        for c in range(8):
+            b, ref = _wide_child(rec, c)
+            hits.append(_slab(rec, b, ox, oy, oz, ix, iy, iz, t_min, cap))
+            refs.append(ref)
+        anyhit = []
+        for p in range(4):
+            fused = (hits[2 * p].astype(jnp.int32)
+                     + (hits[2 * p + 1].astype(jnp.int32) << 11))
+            bits = jnp.sum(fused)
+            anyhit.append((bits & 2047) > 0)
+            anyhit.append((bits >> 11) > 0)
+        for c in range(8):
+            ref = refs[c]
+            is_leaf = ref < 0
+            best_t, best_i = jax.lax.cond(
+                anyhit[c] & is_leaf,
+                lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0), car),
+                lambda car: car, (best_t, best_i))
+            push = anyhit[c] & (~is_leaf)
+            stack_ref[sp] = jnp.where(push, ref, 0)
+            sp = sp + push.astype(jnp.int32)
+        return it + 1, sp, best_t, best_i
+
+    best_t0 = jnp.where(active0, tmax, -_BIG)
+    best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+    _, _, best_t, best_i = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), best_t0, best_i0))
+    t_out_ref[0] = jnp.where(best_i >= 0, best_t, _BIG)
+    idx_out_ref[0] = best_i
+
+
+# ---------------------------------------------------------------------------
+# Kernels v2: frustum-culled packet traversal (scalar descend decisions)
+# ---------------------------------------------------------------------------
+#
+# Profiling the v1 kernels on a v5e showed ~800 cycles/node dominated by
+# vector->scalar synchronization: every node needs per-child "any lane hit?"
+# booleans (jnp.any) to drive the scalar traversal, and each such reduction
+# stalls the scalar core on the VPU pipeline. v2 removes ALL per-node vector
+# work: the packet precomputes conservative interval bounds (origin AABB and
+# per-axis inverse-direction intervals — Wald-style packet frustum culling),
+# and each node's descend decision is ~100 *scalar* ops of interval
+# arithmetic. The VPU only runs at leaves (masked Möller–Trumbore on all
+# lanes), and the any-hit early-exit reduction is amortized to every 8th
+# iteration. Conservative culling can only ADD node visits, never lose hits,
+# so per-lane results are identical.
+
+def _min4(a, b, c, d):
+    return jnp.minimum(jnp.minimum(a, b), jnp.minimum(c, d))
+
+
+def _max4(a, b, c, d):
+    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+
+
+def _interval_bounds(v, active, big):
+    """(min, max) over active lanes of (8,128) v; inactive lanes excluded."""
+    lo = jnp.min(jnp.where(active, v, big))
+    hi = jnp.max(jnp.where(active, v, -big))
+    return lo, hi
+
+
+def _packet_frustum(ox, oy, oz, ix, iy, iz, active):
+    """Scalar per-packet bounds: origin box + inv-direction intervals."""
+    bounds = []
+    for o, i in ((ox, ix), (oy, iy), (oz, iz)):
+        olo, ohi = _interval_bounds(o, active, _BIG)
+        ilo, ihi = _interval_bounds(i, active, _BIG)
+        bounds.append((olo, ohi, ilo, ihi))
+    return bounds
+
+
+def _axis_interval(b, olo, ohi, ilo, ihi):
+    """Conservative [lo, hi] of (b - o) * i over the packet intervals."""
+    s0 = b - ohi
+    s1 = b - olo
+    p1 = s0 * ilo
+    p2 = s0 * ihi
+    p3 = s1 * ilo
+    p4 = s1 * ihi
+    lo = _min4(p1, p2, p3, p4)
+    hi = _max4(p1, p2, p3, p4)
+    lo = jnp.where(jnp.isnan(lo), -_BIG, lo)
+    hi = jnp.where(jnp.isnan(hi), _BIG, hi)
+    return lo, hi
+
+
+def _slab_scalar(rec, off, frustum, t_min, cap_hi):
+    """Conservative scalar ray-packet vs child-box test -> bool scalar."""
+    enter_lo = t_min
+    exit_hi = cap_hi
+    for ax in range(3):
+        olo, ohi, ilo, ihi = frustum[ax]
+        lo0, hi0 = _axis_interval(rec[0, off + ax], olo, ohi, ilo, ihi)
+        lo1, hi1 = _axis_interval(rec[0, off + 3 + ax], olo, ohi, ilo, ihi)
+        enter_lo = jnp.maximum(enter_lo, jnp.minimum(lo0, lo1))
+        exit_hi = jnp.minimum(exit_hi, jnp.maximum(hi0, hi1))
+    return enter_lo <= exit_hi
+
+
+def _any_hit_kernel_v2(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmax_ref, out_ref, stack_ref):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
+    t_min = tmin_ref[0]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    active0 = tmax > t_min
+    frustum = _packet_frustum(ox, oy, oz, ix, iy, iz, active0)
+    cap_hi = jnp.max(jnp.where(active0, tmax, -_BIG))
+
+    stack_ref[0] = jnp.int32(0)
+
+    def visit_child(child, hit, sp, occ):
+        is_leaf = child < 0
+
+        def test_leaf(occ):
+            leaf_id = jnp.maximum(-child - 1, 0)
+            ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+            h = jnp.zeros(occ.shape, jnp.bool_)
+            for t in ts:
+                h = h | ((t > t_min) & (t < tmax))
+            return occ | jnp.where(h & active0, 1, 0)
+
+        occ = jax.lax.cond(hit & is_leaf, test_leaf, lambda o: o, occ)
+        push = hit & (~is_leaf)
+        stack_ref[sp] = jnp.where(push, child, 0)
+        return sp + push.astype(jnp.int32), occ
+
+    def cond(state):
+        it, sp, alive, occ = state
+        return (sp > 0) & (it < max_iters) & alive
+
+    def body(state):
+        it, sp, alive, occ = state
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec, child_l, child_r = _load_node(ns_ref, node)
+        hit_l = _slab_scalar(rec, 0, frustum, t_min, cap_hi)
+        hit_r = _slab_scalar(rec, 6, frustum, t_min, cap_hi)
+        sp, occ = visit_child(child_l, hit_l, sp, occ)
+        sp, occ = visit_child(child_r, hit_r, sp, occ)
+        # Amortized early-exit: the vector->scalar reduction costs ~100s of
+        # cycles, so only refresh every 8th iteration.
+        alive = jax.lax.cond((it & 7) == 0,
+                             lambda: jnp.any(active0 & (occ == 0)),
+                             lambda: alive)
+        return it + 1, sp, alive, occ
+
+    occ0 = jnp.zeros(ox.shape, jnp.int32)
+    alive0 = jnp.any(active0)
+    _, _, _, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), alive0, occ0))
+    out_ref[0] = occ
+
+
+def _closest_hit_kernel_v2(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
+                           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                           tmax_ref, t_out_ref, idx_out_ref, stack_ref):
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
+    t_min = tmin_ref[0]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    active0 = tmax > t_min
+    frustum = _packet_frustum(ox, oy, oz, ix, iy, iz, active0)
+
+    stack_ref[0] = jnp.int32(0)
+
+    def visit_child(child, hit, sp, best_t, best_i):
+        is_leaf = child < 0
+
+        def test_leaf(carry):
+            best_t, best_i = carry
+            leaf_id = jnp.maximum(-child - 1, 0)
+            ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+            base = leaf_id * k
+            for j, t in enumerate(ts):
+                better = (t > t_min) & (t < best_t) & active0
+                best_t = jnp.where(better, t, best_t)
+                best_i = jnp.where(better, base + j, best_i)
+            return best_t, best_i
+
+        best_t, best_i = jax.lax.cond(hit & is_leaf, test_leaf,
+                                      lambda c: c, (best_t, best_i))
+        push = hit & (~is_leaf)
+        stack_ref[sp] = jnp.where(push, child, 0)
+        return sp + push.astype(jnp.int32), best_t, best_i
+
+    def cond(state):
+        it, sp, cap, _, _ = state
+        return (sp > 0) & (it < max_iters)
+
+    def body(state):
+        it, sp, cap, best_t, best_i = state
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec, child_l, child_r = _load_node(ns_ref, node)
+        hit_l = _slab_scalar(rec, 0, frustum, t_min, cap)
+        hit_r = _slab_scalar(rec, 6, frustum, t_min, cap)
+        sp, best_t, best_i = visit_child(child_l, hit_l, sp, best_t, best_i)
+        sp, best_t, best_i = visit_child(child_r, hit_r, sp, best_t, best_i)
+        # Packet-wide cap (max over lanes of best_t) culls far nodes once
+        # every lane has some hit; refreshed every 8th iteration (stale cap
+        # is merely conservative).
+        cap = jax.lax.cond((it & 7) == 7,
+                           lambda: jnp.max(jnp.where(active0, best_t, -_BIG)),
+                           lambda: cap)
+        return it + 1, sp, cap, best_t, best_i
+
+    best_t0 = jnp.where(active0, tmax, -_BIG)
+    best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+    cap0 = jnp.max(best_t0)
+    _, _, _, best_t, best_i = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), cap0, best_t0, best_i0))
     t_out_ref[0] = jnp.where(best_i >= 0, best_t, _BIG)
     idx_out_ref[0] = best_i
 
@@ -313,11 +669,18 @@ def _unpack(res, meta):
     return res.reshape(-1)[:a]
 
 
-def _common_call(packed: PackedBVH, kernel, out_shapes, comps, tm, t_min,
+def _common_call(packed, kernel, out_shapes, comps, tm, t_min,
                  interpret):
+    from ..bvh.wide import WideBVH
     p = comps[0].shape[0]
     nodes = packed.nodes
     tris = packed.tris
+    if isinstance(packed, WideBVH):
+        stack_depth = WIDE_STACK_DEPTH
+        iter_cap = 2 * packed.num_wide + 64
+    else:
+        stack_depth = STACK_DEPTH
+        iter_cap = _iter_cap(packed.num_internal)
     if interpret is None:
         interpret = not _compiled_backend()
     # NB: with PrefetchScalarGridSpec the index maps receive the scalar
@@ -332,11 +695,10 @@ def _common_call(packed: PackedBVH, kernel, out_shapes, comps, tm, t_min,
         in_specs=[const_spec(nodes.shape), const_spec(tris.shape)]
         + [ray_spec] * 7,
         out_specs=tuple(ray_spec for _ in out_shapes),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
     )
     fn = pl.pallas_call(
-        functools.partial(kernel, packed.leaf_size,
-                          _iter_cap(packed.num_internal)),
+        functools.partial(kernel, packed.leaf_size, iter_cap),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((p, 8, 128), dt) for dt in out_shapes),
@@ -348,30 +710,49 @@ def _common_call(packed: PackedBVH, kernel, out_shapes, comps, tm, t_min,
     return fn(tmin_arr, nodes, tris, *comps, tm)
 
 
-def _as_packed(bvh) -> PackedBVH:
-    return bvh if isinstance(bvh, PackedBVH) else pack_bvh(bvh)
+def _as_packed(bvh):
+    from ..bvh.wide import WideBVH
+    if isinstance(bvh, (PackedBVH, WideBVH)):
+        return bvh
+    return pack_bvh(bvh)
 
 
 def trace_any_pallas(bvh, origins, dirs, t_max, cfg=None, t_min: float = 0.0,
-                     interpret: Optional[bool] = None) -> jnp.ndarray:
+                     interpret: Optional[bool] = None,
+                     variant: str = "frustum") -> jnp.ndarray:
     """Occlusion query: bool[H, W] (True = something between t_min and t_max).
 
-    Rays with t_max <= t_min are inactive and return False (sky skip)."""
+    Rays with t_max <= t_min are inactive and return False (sky skip).
+    variant: "frustum" (scalar packet culling, fast path) or "lanes"
+    (per-lane vector culling, exact-union reference)."""
+    from ..bvh.wide import WideBVH
     packed = _as_packed(bvh)
     comps, tm, meta = _ray_packets(origins, dirs, t_max)
-    (occ,) = _common_call(packed, _any_hit_kernel, (jnp.int32,), comps, tm,
+    if isinstance(packed, WideBVH):
+        kernel = _any_hit_kernel_w8
+    else:
+        kernel = (_any_hit_kernel_v2 if variant == "frustum"
+                  else _any_hit_kernel)
+    (occ,) = _common_call(packed, kernel, (jnp.int32,), comps, tm,
                           t_min, interpret)
     return _unpack(occ, meta) > 0
 
 
 def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
                          t_min: float = 0.0,
-                         interpret: Optional[bool] = None
+                         interpret: Optional[bool] = None,
+                         variant: str = "frustum"
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest hit: (t f32[H, W], tri_id i32[H, W]); miss = (inf, -1)."""
+    from ..bvh.wide import WideBVH
     packed = _as_packed(bvh)
     comps, tm, meta = _ray_packets(origins, dirs, t_max)
-    t, sidx = _common_call(packed, _closest_hit_kernel,
+    if isinstance(packed, WideBVH):
+        kernel = _closest_hit_kernel_w8
+    else:
+        kernel = (_closest_hit_kernel_v2 if variant == "frustum"
+                  else _closest_hit_kernel)
+    t, sidx = _common_call(packed, kernel,
                            (jnp.float32, jnp.int32), comps, tm, t_min,
                            interpret)
     t = _unpack(t, meta)

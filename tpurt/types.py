@@ -194,6 +194,7 @@ class RenderConfig:
     shadow_bias: float = 1e-3        # normal-offset bias, like the reference
     background: Tuple[float, float, float] = (0.18, 0.22, 0.30)
     leaf_size: int = 4               # triangles per BVH leaf
+    bvh_width: int = 8               # traversal arity: 2 (binary) or 8 (wide)
     use_pallas: bool = True          # Pallas kernel vs pure-JAX traversal
     packet_rows: int = 8             # ray-packet sublane dim (VPU = 8x128)
     packet_cols: int = 128           # ray-packet lane dim
