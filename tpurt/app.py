@@ -79,7 +79,13 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
     """One fused frame: G-buffer -> per-light shadow batches -> composite."""
     num_lights = len(lights)
     trace_closest, trace_any = make_tracers(cfg)
-    gbuf = gbuffer_pass(lambda o, d: trace_closest(bvh, o, d), mesh, cam,
+    from .bvh.wide import WideBVH, order_children_for_point
+    gb_accel = bvh
+    if isinstance(bvh, WideBVH):
+        # Near-first child ordering w.r.t. the camera: primary-ray packets
+        # pop near children first so per-lane best_t culls the far ones.
+        gb_accel = order_children_for_point(bvh, cam.position)
+    gbuf = gbuffer_pass(lambda o, d: trace_closest(gb_accel, o, d), mesh, cam,
                         cfg.width, cfg.height)
     shadows = []
     for li in range(num_lights):

@@ -79,6 +79,14 @@ def _load_node(ns_ref, node):
     return rec, children[0, 0], children[0, 1]
 
 
+def _inv3(dx, dy, dz):
+    """Clamped inverse directions: finite +/-_BIG instead of inf so slab
+    products are NaN-free (0 * BIG = 0, unlike 0 * inf = NaN)."""
+    return (jnp.clip(1.0 / dx, -_BIG, _BIG),
+            jnp.clip(1.0 / dy, -_BIG, _BIG),
+            jnp.clip(1.0 / dz, -_BIG, _BIG))
+
+
 def _slab(rec, off, ox, oy, oz, ix, iy, iz, t_min, t_cap):
     """Packet ray-AABB test for the child box at record offset ``off``.
 
@@ -88,14 +96,12 @@ def _slab(rec, off, ox, oy, oz, ix, iy, iz, t_min, t_cap):
     bx0, by0, bz0 = rec[0, off], rec[0, off + 1], rec[0, off + 2]
     bx1, by1, bz1 = rec[0, off + 3], rec[0, off + 4], rec[0, off + 5]
 
+    # Callers clamp inv to finite (+/-_BIG), so t0/t1 can overflow to inf
+    # but can never be NaN -- the 12 NaN-cleanup ops per slab are gone.
     def axis(b0, b1, o, inv):
         t0 = (b0 - o) * inv
         t1 = (b1 - o) * inv
-        lo = jnp.minimum(t0, t1)
-        hi = jnp.maximum(t0, t1)
-        lo = jnp.where(jnp.isnan(lo), -_BIG, lo)
-        hi = jnp.where(jnp.isnan(hi), _BIG, hi)
-        return lo, hi
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
 
     lx, hx = axis(bx0, bx1, ox, ix)
     ly, hy = axis(by0, by1, oy, iy)
@@ -137,6 +143,40 @@ def _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz, eps=1e-9):
     return ts
 
 
+def _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz, t_min, tmax,
+                   eps=1e-9):
+    """Division-free Möller–Trumbore occlusion: all comparisons scaled by
+    |det| (two-sided via sign multiply), accumulating one bool (8,128) mask.
+    ~25% fewer VPU ops than computing t per triangle."""
+    row = tr_ref[pl.ds(leaf_id, 1), :]
+    hit = None
+    for j in range(k):
+        b = 9 * j
+        v0x, v0y, v0z = row[0, b], row[0, b + 1], row[0, b + 2]
+        e1x, e1y, e1z = row[0, b + 3], row[0, b + 4], row[0, b + 5]
+        e2x, e2y, e2z = row[0, b + 6], row[0, b + 7], row[0, b + 8]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        sgn = jnp.where(det < 0.0, -1.0, 1.0)
+        adet = det * sgn
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        nu = (tx * px + ty * py + tz * pz) * sgn
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        nv = (dx * qx + dy * qy + dz * qz) * sgn
+        nt = (e2x * qx + e2y * qy + e2z * qz) * sgn
+        ok = ((adet >= eps) & (nu >= 0.0) & (nv >= 0.0)
+              & (nu + nv <= adet)
+              & (nt > t_min * adet) & (nt < tmax * adet))
+        hit = ok if hit is None else (hit | ok)
+    return hit
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -147,7 +187,7 @@ def _any_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref, oy
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     tmax = tmax_ref[0]
     t_min = tmin_ref[0]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    ix, iy, iz = _inv3(dx, dy, dz)
     active0 = tmax > t_min
 
     stack_ref[0] = jnp.int32(0)
@@ -159,10 +199,8 @@ def _any_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref, oy
 
         def test_leaf(occ):
             leaf_id = jnp.maximum(-child - 1, 0)
-            ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
-            hit = jnp.zeros(occ.shape, jnp.bool_)
-            for t in ts:
-                hit = hit | ((t > t_min) & (t < tmax))
+            hit = _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz,
+                                 t_min, tmax)
             return occ | jnp.where(hit & active0, 1, 0)
 
         occ = jax.lax.cond(anyhit & is_leaf, test_leaf, lambda o: o, occ)
@@ -215,7 +253,7 @@ def _closest_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     tmax = tmax_ref[0]
     t_min = tmin_ref[0]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    ix, iy, iz = _inv3(dx, dy, dz)
     active0 = tmax > t_min
 
     stack_ref[0] = jnp.int32(0)
@@ -296,16 +334,14 @@ def _any_hit_kernel_w8(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     tmax = tmax_ref[0]
     t_min = tmin_ref[0]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    ix, iy, iz = _inv3(dx, dy, dz)
     active0 = tmax > t_min
 
     stack_ref[0] = jnp.int32(0)
 
     def leaf_test(leaf_id, occ):
-        ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
-        h = jnp.zeros(occ.shape, jnp.bool_)
-        for t in ts:
-            h = h | ((t > t_min) & (t < tmax))
+        h = _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz,
+                           t_min, tmax)
         return occ | jnp.where(h & active0, 1, 0)
 
     def cond(state):
@@ -321,19 +357,21 @@ def _any_hit_kernel_w8(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
         cap = jnp.where(lanes, tmax, -_BIG)
         hits = []
         refs = []
+        valids = []
         for c in range(8):
             b, ref = _wide_child(rec, c)
             hits.append(_slab(rec, b, ox, oy, oz, ix, iy, iz, t_min, cap)
                         & lanes)
             refs.append(ref)
+            valids.append(rec[0, b] <= rec[0, b + 3])  # empty-slot guard
         # Four fused reductions: two 11-bit count fields each.
         anyhit = []
         for p in range(4):
             fused = (hits[2 * p].astype(jnp.int32)
                      + (hits[2 * p + 1].astype(jnp.int32) << 11))
             bits = jnp.sum(fused)
-            anyhit.append((bits & 2047) > 0)
-            anyhit.append((bits >> 11) > 0)
+            anyhit.append(((bits & 2047) > 0) & valids[2 * p])
+            anyhit.append(((bits >> 11) > 0) & valids[2 * p + 1])
         for c in range(8):
             ref = refs[c]
             is_leaf = ref < 0
@@ -363,7 +401,7 @@ def _closest_hit_kernel_w8(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     tmax = tmax_ref[0]
     t_min = tmin_ref[0]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    ix, iy, iz = _inv3(dx, dy, dz)
     active0 = tmax > t_min
 
     stack_ref[0] = jnp.int32(0)
@@ -390,17 +428,19 @@ def _closest_hit_kernel_w8(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
         cap = jnp.where(active0, best_t, -_BIG)
         hits = []
         refs = []
+        valids = []
         for c in range(8):
             b, ref = _wide_child(rec, c)
             hits.append(_slab(rec, b, ox, oy, oz, ix, iy, iz, t_min, cap))
             refs.append(ref)
+            valids.append(rec[0, b] <= rec[0, b + 3])  # empty-slot guard
         anyhit = []
         for p in range(4):
             fused = (hits[2 * p].astype(jnp.int32)
                      + (hits[2 * p + 1].astype(jnp.int32) << 11))
             bits = jnp.sum(fused)
-            anyhit.append((bits & 2047) > 0)
-            anyhit.append((bits >> 11) > 0)
+            anyhit.append(((bits & 2047) > 0) & valids[2 * p])
+            anyhit.append(((bits >> 11) > 0) & valids[2 * p + 1])
         for c in range(8):
             ref = refs[c]
             is_leaf = ref < 0
@@ -497,7 +537,7 @@ def _any_hit_kernel_v2(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     tmax = tmax_ref[0]
     t_min = tmin_ref[0]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    ix, iy, iz = _inv3(dx, dy, dz)
     active0 = tmax > t_min
     frustum = _packet_frustum(ox, oy, oz, ix, iy, iz, active0)
     cap_hi = jnp.max(jnp.where(active0, tmax, -_BIG))
@@ -509,10 +549,8 @@ def _any_hit_kernel_v2(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
 
         def test_leaf(occ):
             leaf_id = jnp.maximum(-child - 1, 0)
-            ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
-            h = jnp.zeros(occ.shape, jnp.bool_)
-            for t in ts:
-                h = h | ((t > t_min) & (t < tmax))
+            h = _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz,
+                               t_min, tmax)
             return occ | jnp.where(h & active0, 1, 0)
 
         occ = jax.lax.cond(hit & is_leaf, test_leaf, lambda o: o, occ)
@@ -554,7 +592,7 @@ def _closest_hit_kernel_v2(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     tmax = tmax_ref[0]
     t_min = tmin_ref[0]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    ix, iy, iz = _inv3(dx, dy, dz)
     active0 = tmax > t_min
     frustum = _packet_frustum(ox, oy, oz, ix, iy, iz, active0)
 
