@@ -71,3 +71,27 @@ def test_cli_renders_png(tmp_path):
     from tpurt.io.image import read_png
     img = read_png(out)
     assert img.shape == (48, 64, 3)
+
+
+def test_renderer_checkpoint_resume(tmp_path):
+    """Accumulation checkpoint/resume continues the running mean exactly."""
+    import jax
+    from tpurt.app import Renderer
+    from tpurt.scenes import teapot_scene, default_camera_for
+    from tpurt.types import Light, RenderConfig
+    mesh = teapot_scene(600)
+    cam = default_camera_for(mesh)
+    sun = Light.sun((0.45, 0.8, 0.3), angular_radius_deg=6.0)
+    cfg = RenderConfig(width=24, height=16, spp=2, use_pallas=False,
+                       accumulate=True, seed=3)
+    a = Renderer(mesh, cam, sun, cfg)
+    for _ in range(2):
+        a.render_frame()
+    p = os.path.join(tmp_path, "ckpt.npz")
+    a.save_state(p)
+    want = np.asarray(a.render_frame()["image"])  # frame 3 on original
+
+    b = Renderer(mesh, cam, sun, cfg)
+    b.load_state(p)
+    got = np.asarray(b.render_frame()["image"])   # frame 3 after resume
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)

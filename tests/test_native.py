@@ -1,0 +1,87 @@
+"""C++ native runtime tests: OBJ parser and binned-SAH BVH vs the Python
+implementations. Skipped when no compiler/library is available."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpurt import native
+from tpurt.bvh.reference import (brute_force_closest, cpu_bvh_traverse)
+from tpurt.io.obj import load_obj, save_obj
+from tpurt.scenes import make_torus, random_soup, teapot_scene
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native library unavailable")
+
+
+@needs_native
+def test_native_obj_matches_python(tmp_path):
+    mesh = make_torus(seg_u=12, seg_v=8)
+    p = os.path.join(tmp_path, "t.obj")
+    save_obj(p, mesh)
+    pos, nrm, tp, tn = native.load_obj_raw(p)
+    py = load_obj(p)
+    assert tp.shape[0] == py.num_triangles
+    assert pos.shape[0] == mesh.num_vertices
+    assert nrm.shape[0] == mesh.num_vertices  # save_obj writes one vn per v
+    # Triangle geometry identical (python dedups verts; compare coordinates).
+    native_tri = pos[tp]                       # [T, 3, 3]
+    pyv = np.asarray(py.vertices)[np.asarray(py.indices)]
+    np.testing.assert_allclose(np.sort(native_tri.reshape(-1, 9), axis=0),
+                               np.sort(pyv.reshape(-1, 9), axis=0),
+                               atol=1e-5)
+
+
+@needs_native
+def test_native_obj_polygons_negative_indices(tmp_path):
+    p = os.path.join(tmp_path, "quad.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf -4 -3 -2 -1\n")
+    pos, nrm, tp, tn = native.load_obj_raw(p)
+    assert tp.shape == (2, 3)          # fan triangulated
+    assert (tn == -1).all()            # no normals in file
+    np.testing.assert_array_equal(tp[0], [0, 1, 2])
+
+
+@needs_native
+def test_native_bvh_matches_brute_force(rng):
+    mesh = random_soup(300, seed=13)
+    bvh = native.build_sah_bvh(np.asarray(mesh.vertices),
+                               np.asarray(mesh.indices), leaf_size=4)
+    assert bvh is not None
+    # Structural invariants: leaves cover every triangle once; skips monotone.
+    covered = np.zeros(mesh.num_triangles, bool)
+    for i in range(bvh.num_nodes):
+        c = bvh.prim_count[i]
+        if c > 0:
+            ids = bvh.tri_order[bvh.prim_start[i]: bvh.prim_start[i] + c]
+            assert not covered[ids].any()
+            covered[ids] = True
+    assert covered.all()
+    assert (bvh.skip > np.arange(bvh.num_nodes)).all()
+    # Traversal agreement with brute force (uses the Python traverser on the
+    # native-built structure -- the layouts are interchangeable by design).
+    o = rng.uniform(-8, 8, (48, 3)).astype(np.float32)
+    d = rng.normal(size=(48, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    want_t, _ = brute_force_closest(mesh, o, d)
+    got_t, _ = cpu_bvh_traverse(bvh, mesh, o, d)
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-5, atol=1e-7)
+
+
+@needs_native
+def test_native_bvh_sah_quality(rng):
+    """Binned SAH should traverse fewer nodes than median split on average
+    (sanity check that the SAH path is actually active)."""
+    from tpurt.bvh.reference import build_cpu_bvh
+    mesh = teapot_scene(3000)
+    nat = native.build_sah_bvh(np.asarray(mesh.vertices),
+                               np.asarray(mesh.indices), leaf_size=4)
+    med = build_cpu_bvh(mesh, leaf_size=4, method="median")
+    # Proxy for traversal cost: total surface area of interior nodes.
+    def cost(b):
+        d = np.maximum(b.bb_max - b.bb_min, 0)
+        sa = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+        return sa[b.prim_count == 0].sum()
+    assert cost(nat) <= cost(med) * 1.25

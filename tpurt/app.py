@@ -255,6 +255,25 @@ class Renderer:
         self.stats.shadow_ms = timer.ms["shadow"]
         self.stats.composite_ms = timer.ms["composite"]
 
+    # -- checkpoint / resume (SURVEY.md §5) ----------------------------------
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint the temporal-accumulation state (config 3): resuming
+        continues the running mean exactly."""
+        from .checkpoint import save_accumulation
+        accum = self.accum if self.accum is not None else \
+            jnp.zeros((self.config.height, self.config.width, 3), jnp.float32)
+        save_accumulation(path, accum, self.frame_index, self.config.seed)
+
+    def load_state(self, path: str) -> None:
+        from .checkpoint import load_accumulation
+        accum, frame_index, seed = load_accumulation(path)
+        assert seed == self.config.seed, (
+            f"checkpoint seed {seed} != config seed {self.config.seed}")
+        assert accum.shape == (self.config.height, self.config.width, 3)
+        self.accum = jax.device_put(jnp.asarray(accum))
+        self.frame_index = frame_index
+
     # -- io -----------------------------------------------------------------
 
     def save_png(self, path: str, out: Optional[Dict] = None) -> None:

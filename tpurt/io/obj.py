@@ -34,7 +34,48 @@ def _material_color(name: str) -> np.ndarray:
     return 0.25 + 0.65 * rgb
 
 
-def load_obj(path: str) -> Mesh:
+def _mesh_from_raw(pos: np.ndarray, nrm: np.ndarray, tri_pos: np.ndarray,
+                   tri_nrm: np.ndarray) -> Mesh:
+    """Vectorized corner dedup + normal resolution for the native parser's
+    raw output (no material parsing on this path: flat default albedo)."""
+    corners = np.stack([tri_pos.reshape(-1),
+                        tri_nrm.reshape(-1)], axis=1)
+    uniq, inverse = np.unique(corners, axis=0, return_inverse=True)
+    indices = inverse.reshape(-1, 3).astype(np.int32)
+    vertices = pos[uniq[:, 0]].astype(np.float32)
+    have_all_normals = len(nrm) > 0 and (uniq[:, 1] >= 0).all()
+    if have_all_normals:
+        vn = nrm[np.clip(uniq[:, 1], 0, len(nrm) - 1)].astype(np.float32)
+        lens = np.linalg.norm(vn, axis=1, keepdims=True)
+        vnormals = np.where(lens > 1e-12, vn / np.maximum(lens, 1e-12),
+                            np.array([0, 1, 0], np.float32))
+    else:
+        vnormals = compute_smooth_normals(vertices, indices)
+    albedo = np.full((len(indices), 3), 0.8, np.float32)
+    return Mesh(vertices=vertices, normals=vnormals.astype(np.float32),
+                indices=indices, albedo=albedo)
+
+
+def load_obj(path: str, use_native: bool | None = None) -> Mesh:
+    """Load an OBJ mesh. use_native=None tries the C++ parser
+    (tpurt/native.py, ~50x faster on large files; flat albedo) and falls
+    back to the pure-Python parser (which also assigns per-material
+    pseudo-colors)."""
+    if use_native is not False:
+        from .. import native
+        if native.available():
+            try:
+                raw = native.load_obj_raw(path)
+            except FileNotFoundError:
+                raise
+            if raw is not None:
+                return _mesh_from_raw(*raw)
+        if use_native:
+            raise RuntimeError("native OBJ parser requested but unavailable")
+    return _load_obj_python(path)
+
+
+def _load_obj_python(path: str) -> Mesh:
     positions: List[Tuple[float, float, float]] = []
     normals: List[Tuple[float, float, float]] = []
     faces: List[Tuple[int, int, int, int, int, int]] = []  # (p0,n0,p1,n1,p2,n2)

@@ -1,0 +1,139 @@
+"""ctypes bindings for the C++ native runtime (native/tpurt_native.cpp).
+
+Covers the host-side work where native code pays off — OBJ parsing and the
+CPU golden-oracle BVH build — mirroring the reference's native layer
+(tiny_obj_loader + Source/BVHBuilder.cpp [RECALL]). The TPU compute path
+stays JAX/Pallas; every entry point here has a pure-Python fallback, so the
+library is optional (built on demand with g++ via native/Makefile).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libtpurt_native.so")
+_lib = None
+_lib_failed = False
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None:
+        return _lib
+    if _lib_failed:
+        return None
+    if not os.path.exists(_LIB_PATH) and not _try_build():
+        _lib_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _lib_failed = True
+        return None
+    c_float_p = ctypes.POINTER(ctypes.c_float)
+    c_int_p = ctypes.POINTER(ctypes.c_int32)
+    lib.obj_load.restype = ctypes.c_void_p
+    lib.obj_load.argtypes = [ctypes.c_char_p]
+    for name in ("obj_num_positions", "obj_num_normals", "obj_num_tris"):
+        getattr(lib, name).restype = ctypes.c_int64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.obj_copy_positions.argtypes = [ctypes.c_void_p, c_float_p]
+    lib.obj_copy_normals.argtypes = [ctypes.c_void_p, c_float_p]
+    lib.obj_copy_tris.argtypes = [ctypes.c_void_p, c_int_p, c_int_p]
+    lib.obj_free.argtypes = [ctypes.c_void_p]
+    lib.bvh_build.restype = ctypes.c_void_p
+    lib.bvh_build.argtypes = [c_float_p, ctypes.c_int64, c_int_p,
+                              ctypes.c_int64, ctypes.c_int32]
+    lib.bvh_num_nodes.restype = ctypes.c_int64
+    lib.bvh_num_nodes.argtypes = [ctypes.c_void_p]
+    lib.bvh_copy.argtypes = [ctypes.c_void_p, c_float_p, c_float_p, c_int_p,
+                             c_int_p, c_int_p, c_int_p]
+    lib.bvh_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _ip(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def load_obj_raw(path: str) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray, np.ndarray]]:
+    """Fast OBJ parse -> (positions f32[P,3], normals f32[N,3],
+    tri_pos i32[T,3], tri_nrm i32[T,3] with -1 for 'no normal').
+    None if the native library is unavailable or the file has no faces."""
+    lib = load_library()
+    if lib is None:
+        return None
+    h = lib.obj_load(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        np_, nn, nt = (lib.obj_num_positions(h), lib.obj_num_normals(h),
+                       lib.obj_num_tris(h))
+        if nt == 0:
+            raise ValueError(f"no faces found in OBJ file: {path}")
+        pos = np.empty((np_, 3), np.float32)
+        nrm = np.empty((max(nn, 1), 3), np.float32)
+        tp = np.empty((nt, 3), np.int32)
+        tn = np.empty((nt, 3), np.int32)
+        if np_:
+            lib.obj_copy_positions(h, _fp(pos))
+        if nn:
+            lib.obj_copy_normals(h, _fp(nrm))
+        lib.obj_copy_tris(h, _ip(tp), _ip(tn))
+        return pos, nrm[:nn], tp, tn
+    finally:
+        lib.obj_free(h)
+
+
+def build_sah_bvh(vertices: np.ndarray, indices: np.ndarray,
+                  leaf_size: int = 4):
+    """Native binned-SAH build -> CpuBVH (same layout as the NumPy oracle's
+    recursive builder); None if the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    from .bvh.reference import CpuBVH
+    v = np.ascontiguousarray(vertices, np.float32)
+    idx = np.ascontiguousarray(indices, np.int32)
+    h = lib.bvh_build(_fp(v), v.shape[0], _ip(idx), idx.shape[0], leaf_size)
+    try:
+        n = lib.bvh_num_nodes(h)
+        bb_min = np.empty((n, 3), np.float32)
+        bb_max = np.empty((n, 3), np.float32)
+        prim_start = np.empty(n, np.int32)
+        prim_count = np.empty(n, np.int32)
+        skip = np.empty(n, np.int32)
+        order = np.empty(idx.shape[0], np.int32)
+        lib.bvh_copy(h, _fp(bb_min), _fp(bb_max), _ip(prim_start),
+                     _ip(prim_count), _ip(skip), _ip(order))
+        return CpuBVH(bb_min=bb_min, bb_max=bb_max, prim_start=prim_start,
+                      prim_count=prim_count, skip=skip, tri_order=order)
+    finally:
+        lib.bvh_free(h)
