@@ -75,7 +75,8 @@ def make_tracers(cfg: RenderConfig):
 @partial(jax.jit, static_argnames=("cfg",))
 def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
                     lights: Sequence[Light], key: jax.Array,
-                    cfg: RenderConfig) -> Dict[str, jnp.ndarray]:
+                    cfg: RenderConfig,
+                    shade_table=None) -> Dict[str, jnp.ndarray]:
     """One fused frame: G-buffer -> per-light shadow batches -> composite."""
     num_lights = len(lights)
     trace_closest, trace_any = make_tracers(cfg)
@@ -85,8 +86,17 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
         # Near-first child ordering w.r.t. the camera: primary-ray packets
         # pop near children first so per-lane best_t culls the far ones.
         gb_accel = order_children_for_point(bvh, cam.position)
-    gbuf = gbuffer_pass(lambda o, d: trace_closest(gb_accel, o, d), mesh, cam,
-                        cfg.width, cfg.height)
+    if shade_table is not None and cfg.use_pallas:
+        from .kernels.traverse import trace_closest_pallas
+
+        def tracer(o, d):
+            return trace_closest_pallas(gb_accel, o, d, cfg=cfg,
+                                        return_sorted=True)
+    else:
+        def tracer(o, d):
+            return trace_closest(gb_accel, o, d)
+    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, cfg.height,
+                        shade_table=shade_table if cfg.use_pallas else None)
     shadows = []
     for li in range(num_lights):
         lkey = jax.random.fold_in(key, li)
@@ -141,6 +151,8 @@ class Renderer:
         """Kernel-facing accel structure: 8-wide BVH for the Pallas path
         (the host sync for the wide-node count happens here, once per
         (re)build), else the LBVH itself."""
+        from .passes.shading import make_shade_table
+        self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
         if self.config.use_pallas and self.config.bvh_width == 8:
             return jax.block_until_ready(build_wide(self.bvh))
         return self.bvh
@@ -203,7 +215,9 @@ class Renderer:
                                  self.frame_index)
         with timer.section("frame", None):
             out = render_frame_fn(self.accel, self.mesh, self.camera,
-                                  tuple(self.lights), key, cfg)
+                                  tuple(self.lights), key, cfg,
+                                  shade_table=self.shade_table
+                                  if cfg.use_pallas else None)
             jax.block_until_ready(out["image"])
         self.stats.frame_ms = timer.ms["frame"]
 

@@ -120,8 +120,11 @@ def main(argv=None) -> int:
     cam = (sponza_interior_camera() if args.scene == "sponza"
            else default_camera_for(mesh))
     lights = build_lights(opts["lights"], args.light_dir)
+    # Pallas default 14: the kernel keeps leaf triangles VMEM-resident at
+    # ceil(T/leaf)*512B, so larger leaves are what lets Sponza-class scenes
+    # fit the ~16 MB budget (leaf 8 at 287k tris = 18.4 MB -> OOM).
     leaf_size = args.leaf_size if args.leaf_size is not None else \
-        (4 if args.no_pallas else 8)
+        (4 if args.no_pallas else 14)
     cfg = RenderConfig(width=opts["width"], height=opts["height"],
                        spp=opts["spp"], ambient=args.ambient,
                        use_pallas=not args.no_pallas,

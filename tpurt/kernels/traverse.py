@@ -779,9 +779,12 @@ def trace_any_pallas(bvh, origins, dirs, t_max, cfg=None, t_min: float = 0.0,
 def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
                          t_min: float = 0.0,
                          interpret: Optional[bool] = None,
-                         variant: str = "frustum"
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Closest hit: (t f32[H, W], tri_id i32[H, W]); miss = (inf, -1)."""
+                         variant: str = "frustum",
+                         return_sorted: bool = False):
+    """Closest hit: (t f32[H, W], tri_id i32[H, W]); miss = (inf, -1).
+    With return_sorted=True also returns the Morton-sorted hit index
+    (t, tri_id, sorted_idx) — the key into sorted-order side tables
+    (e.g. the packed shading table), cheaper to consume than tri_id."""
     from ..bvh.wide import WideBVH
     packed = _as_packed(bvh)
     comps, tm, meta = _ray_packets(origins, dirs, t_max)
@@ -800,4 +803,6 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
                                               packed.tri_id.shape[0] - 1)],
                        -1)
     t = jnp.where(sidx >= 0, t, jnp.inf)
+    if return_sorted:
+        return t, tri_id, sidx
     return t, tri_id

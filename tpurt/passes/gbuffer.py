@@ -67,15 +67,32 @@ def shade_attributes(mesh: Mesh, tri_id: jnp.ndarray, position: jnp.ndarray,
 
 def gbuffer_pass(trace_closest: Callable, mesh: Mesh, cam: Camera,
                  width: int, height: int,
-                 jitter: jnp.ndarray | None = None) -> Dict[str, jnp.ndarray]:
-    """trace_closest(origins, dirs) -> (t, tri_id); injected so the same pass
-    runs on the pure-JAX traversal or the Pallas kernel."""
+                 jitter: jnp.ndarray | None = None,
+                 shade_table: jnp.ndarray | None = None) -> Dict[str, jnp.ndarray]:
+    """trace_closest(origins, dirs) -> (t, tri_id[, sorted_idx]); injected so
+    the same pass runs on the pure-JAX traversal or the Pallas kernel.
+
+    When a packed ``shade_table`` (passes/shading.py) is provided AND the
+    tracer returns the sorted hit index, all shading attributes come from a
+    SINGLE per-pixel gather instead of ~8 (row-gathers cost ~45-95 ms per
+    2M-pixel lookup on TPU)."""
     origins, dirs = generate_rays(cam, width, height, jitter)
-    t, tri_id = trace_closest(origins, dirs)
+    res = trace_closest(origins, dirs)
+    sorted_idx = None
+    if len(res) == 3:
+        t, tri_id, sorted_idx = res
+    else:
+        t, tri_id = res
     valid = tri_id >= 0
     t_safe = jnp.where(valid, t, 0.0)
     position = origins + dirs * t_safe[..., None]
-    attrs = shade_attributes(mesh, tri_id, position, valid)
+    if shade_table is not None and sorted_idx is not None:
+        from .shading import shade_from_table
+        rows = shade_table[jnp.clip(sorted_idx, 0,
+                                    shade_table.shape[0] - 1)]
+        attrs = shade_from_table(rows, position, valid)
+    else:
+        attrs = shade_attributes(mesh, tri_id, position, valid)
     # Offset-ready geometric normal: flip toward the viewer so the shadow
     # bias pushes off the visible side (reference applies a normal-offset
     # bias before tracing [RECALL]).
