@@ -101,10 +101,13 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
         f"{widen_ms:.2f} ms")
 
     # Full frame: all passes on a static accel (config 1/2-style frame).
-    frame = jax.jit(lambda a, mesh, cam, lights, key: render_frame_fn(
-        a, mesh, cam, lights, key, cfg)["image"])
+    from tpurt.passes.shading import make_shade_table
+    st = jax.jit(make_shade_table)(bvh, mesh) if use_pallas else None
+    frame = jax.jit(lambda a, mesh, cam, lights, key, st: render_frame_fn(
+        a, mesh, cam, lights, key, cfg, shade_table=st)["image"])
     key = jax.random.PRNGKey(0)
-    frame_ms = timed(lambda: frame(accel, mesh, cam, (light,), key), 5) * 1e3
+    frame_ms = timed(lambda: frame(accel, mesh, cam, (light,), key, st),
+                     5) * 1e3
     log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
         f"build+trace: {build_ms + widen_ms + shadow_s*1e3:.2f} ms")
     return dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,

@@ -65,6 +65,7 @@ class LBVH:
     tri_v0/e1/e2: f32[Tpad, 3] Morton-sorted precomputed triangle data
                   (the Möller–Trumbore layout the reference bakes into
                   leaves [RECALL])
+    tri_sorted  : i32[Tpad, 3] vertex indices in sorted order (refit path)
     tri_id      : i32[Tpad] sorted position -> original triangle id
     root_min/max: f32[3] scene bounds
     leaf_size   : static int
@@ -77,6 +78,7 @@ class LBVH:
     tri_v0: Any
     tri_e1: Any
     tri_e2: Any
+    tri_sorted: Any
     tri_id: Any
     root_min: Any
     root_max: Any
@@ -98,8 +100,8 @@ class LBVH:
 jax.tree_util.register_pytree_node(
     LBVH,
     lambda b: ((b.nodes_box, b.nodes_child, b.nodes_first, b.nodes_last,
-                b.tri_v0, b.tri_e1, b.tri_e2, b.tri_id, b.root_min,
-                b.root_max), (b.leaf_size,)),
+                b.tri_v0, b.tri_e1, b.tri_e2, b.tri_sorted, b.tri_id,
+                b.root_min, b.root_max), (b.leaf_size,)),
     lambda aux, c: LBVH(*c, leaf_size=aux[0]),
 )
 
@@ -139,6 +141,10 @@ def karras_topology(leaf_codes: jnp.ndarray
     n = int(leaf_codes.shape[0])
     assert n >= 2, "need at least two leaves"
     ni = n - 1
+    # Sweep counts scale with the actual leaf count: ranges can never exceed
+    # n, so log2(n)+1 masked steps suffice (a fixed 31/32 would re-gather the
+    # code array ~3x more than needed; the gathers dominate build time).
+    log_n = max((n - 1).bit_length(), 1)
     delta = _make_delta(leaf_codes)
     i = jnp.arange(ni, dtype=jnp.int32)
 
@@ -147,13 +153,13 @@ def karras_topology(leaf_codes: jnp.ndarray
 
     # Doubling search for an upper bound on the range length.
     l_max = jnp.full((ni,), 2, jnp.int32)
-    for _ in range(31):
+    for _ in range(log_n):
         grow = delta(i, i + l_max * d) > delta_min
         l_max = jnp.where(grow, l_max * 2, l_max)
 
     # Binary search for the exact range length l.
     l = jnp.zeros((ni,), jnp.int32)
-    for k in range(30, -1, -1):
+    for k in range(log_n, -1, -1):
         t = jnp.int32(1 << k)
         ok = (t <= l_max // 2) & (delta(i, i + (l + t) * d) > delta_min)
         l = jnp.where(ok, l + t, l)
@@ -161,11 +167,11 @@ def karras_topology(leaf_codes: jnp.ndarray
     j = i + l * d
     delta_node = delta(i, j)
 
-    # Split search (ceil-halving do-while, masked to fixed 32 steps).
+    # Split search (ceil-halving do-while, masked to log2(n)+2 steps).
     s = jnp.zeros((ni,), jnp.int32)
     t = l
     done = l == 0
-    for _ in range(32):
+    for _ in range(log_n + 2):
         t = (t + 1) >> 1
         ok = (~done) & (delta(i, i + (s + t) * d) > delta_node)
         s = jnp.where(ok, s + t, s)
@@ -243,11 +249,10 @@ def _assemble_node_boxes(leaf_min, leaf_max, child, first, last):
 # Build + refit
 # ---------------------------------------------------------------------------
 
-def _sorted_tri_data(vertices, indices, tri_id):
-    tri = indices[tri_id]          # i32[Tpad, 3]
-    v0 = vertices[tri[:, 0]]
-    v1 = vertices[tri[:, 1]]
-    v2 = vertices[tri[:, 2]]
+def _sorted_tri_data(vertices, tri_sorted):
+    v0 = vertices[tri_sorted[:, 0]]
+    v1 = vertices[tri_sorted[:, 1]]
+    v2 = vertices[tri_sorted[:, 2]]
     return v0, v1 - v0, v2 - v0
 
 
@@ -291,7 +296,15 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     # refit gathers identical geometry.
     tri_id = jnp.minimum(order, num_tris - 1).astype(jnp.int32)
 
-    sv0, se1, se2 = _sorted_tri_data(vertices, tri, tri_id)
+    # ONE packed gather into sorted order (row-gathers dominate build time;
+    # packing v0/e1/e2 into 16-float rows replaces four separate gathers).
+    tri16 = jnp.concatenate(
+        [v0, v1 - v0, v2 - v0, jnp.zeros((tpad, 7), v0.dtype)], axis=1)
+    sorted16 = tri16[order]
+    sv0 = sorted16[:, 0:3]
+    se1 = sorted16[:, 3:6]
+    se2 = sorted16[:, 6:9]
+    tri_sorted = tri[order]
     lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
     leaf_codes = codes[order][::leaf_size]
 
@@ -301,8 +314,8 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
 
     return LBVH(nodes_box=nodes_box, nodes_child=child, nodes_first=first,
                 nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
-                tri_id=tri_id, root_min=root_min, root_max=root_max,
-                leaf_size=leaf_size)
+                tri_sorted=tri_sorted, tri_id=tri_id, root_min=root_min,
+                root_max=root_max, leaf_size=leaf_size)
 
 
 def refit_lbvh(bvh: LBVH, vertices: jnp.ndarray, indices: jnp.ndarray) -> LBVH:
@@ -312,11 +325,8 @@ def refit_lbvh(bvh: LBVH, vertices: jnp.ndarray, indices: jnp.ndarray) -> LBVH:
     sort, no topology search. The analogue of the classic bottom-up refit,
     reformulated as RMQ so it is a single fused XLA program.
     """
-    tri = indices.astype(jnp.int32)
-    pad = bvh.num_sorted_tris - int(tri.shape[0])
-    if pad:
-        tri = jnp.concatenate([tri, jnp.broadcast_to(tri[-1:], (pad, 3))])
-    sv0, se1, se2 = _sorted_tri_data(vertices, tri, bvh.tri_id)
+    del indices  # topology is frozen; sorted vertex ids live in the LBVH
+    sv0, se1, se2 = _sorted_tri_data(vertices, bvh.tri_sorted)
     lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, bvh.leaf_size)
     nodes_box, root_min, root_max = _assemble_node_boxes(
         lmin, lmax, bvh.nodes_child, bvh.nodes_first, bvh.nodes_last)

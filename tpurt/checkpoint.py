@@ -43,7 +43,8 @@ def scene_key(vertices: np.ndarray, indices: np.ndarray,
 
 
 _FIELDS = ("nodes_box", "nodes_child", "nodes_first", "nodes_last", "tri_v0",
-           "tri_e1", "tri_e2", "tri_id", "root_min", "root_max")
+           "tri_e1", "tri_e2", "tri_sorted", "tri_id", "root_min",
+           "root_max")
 
 
 def save_bvh(cache_dir: str, key: str, bvh: LBVH) -> str:
