@@ -121,7 +121,8 @@ class Renderer:
                  lights: Union[Light, Sequence[Light]],
                  config: RenderConfig = RenderConfig(),
                  mode: str = "static",
-                 rebuild_threshold: float = 1.6):
+                 rebuild_threshold: float = 1.6,
+                 cache_dir: Optional[str] = None):
         if isinstance(lights, Light):
             lights = [lights]
         assert mode in ("static", "rebuild", "refit")
@@ -141,11 +142,30 @@ class Renderer:
                                 mode=mode)
         timer = Timer()
         with timer.section("build", None):
-            self.bvh = jax.block_until_ready(
-                self._build_jit(self.mesh.vertices, self.mesh.indices))
+            self.bvh = self._build_or_load_cached(mesh, cache_dir)
             self.accel = self._make_accel()
         self.stats.build_ms = timer.ms["build"]
         self._base_cost = float(sah_cost(self.bvh))
+
+    def _build_or_load_cached(self, host_mesh: Mesh,
+                              cache_dir: Optional[str]):
+        """Content-addressed BVH cache (SURVEY.md §5): skip the build when
+        this exact geometry was built before (the reference rebuilds its CPU
+        BVH on every startup)."""
+        if cache_dir is None:
+            return jax.block_until_ready(
+                self._build_jit(self.mesh.vertices, self.mesh.indices))
+        from .checkpoint import load_bvh, save_bvh, scene_key
+        key = scene_key(np.asarray(host_mesh.vertices),
+                        np.asarray(host_mesh.indices),
+                        self.config.leaf_size)
+        cached = load_bvh(cache_dir, key)
+        if cached is not None:
+            return jax.device_put(cached)
+        bvh = jax.block_until_ready(
+            self._build_jit(self.mesh.vertices, self.mesh.indices))
+        save_bvh(cache_dir, key, jax.device_get(bvh))
+        return bvh
 
     def _make_accel(self):
         """Kernel-facing accel structure: 8-wide BVH for the Pallas path

@@ -106,7 +106,19 @@ def main(argv=None) -> int:
     p.add_argument("--stats-json", action="store_true",
                    help="print per-frame stats as JSON lines")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cache-dir", default=None,
+                   help="content-addressed LBVH cache directory")
+    p.add_argument("--debug", action="store_true",
+                   help="enable jax checks + NaN debugging + interpreted "
+                        "kernels (the sanitizer mode; SURVEY.md §5)")
     args = p.parse_args(argv)
+
+    if args.debug:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_enable_checks", True)
+        import tpurt.kernels.traverse as _kt
+        _kt._compiled_backend = lambda: False  # force interpreted kernels
 
     opts = dict(width=args.width, height=args.height, spp=args.spp,
                 mode=args.mode, lights=args.light,
@@ -133,7 +145,8 @@ def main(argv=None) -> int:
                        leaf_size=leaf_size, seed=args.seed)
 
     from .app import Renderer
-    r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"])
+    r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"],
+                 cache_dir=args.cache_dir)
     print(f"scene={args.scene} tris={mesh.num_triangles} "
           f"{cfg.width}x{cfg.height} spp={cfg.spp} lights={len(lights)} "
           f"mode={opts['mode']} pallas={cfg.use_pallas}", file=sys.stderr)
