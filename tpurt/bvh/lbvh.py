@@ -25,8 +25,8 @@ Design notes (TPU-first, not a translation):
   two gathers. The same routine IS the refit fast path (config 4): topology
   fixed, recompute leaf boxes + table + node boxes.
 - **Stackless-depth bound**: delta (common-prefix length) strictly increases
-  root->leaf and is <= 30 + 32 (code bits + index-tiebreak bits), so
-  traversal stacks of 64 entries are provably sufficient.
+  root->leaf and is <= 60 + 32 (code bits + index-tiebreak bits), so
+  traversal stacks of 128 entries are provably sufficient.
 
 The flattened node layout stores, per internal node, BOTH children's boxes
 (so the traversal tests 2 boxes per fetched row) and child references with
@@ -42,7 +42,7 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
-from .morton import morton_of_points
+from .morton import morton_of_points, morton_of_points_60
 from ..types import Mesh
 
 
@@ -110,35 +110,41 @@ jax.tree_util.register_pytree_node(
 # Karras topology
 # ---------------------------------------------------------------------------
 
-def _make_delta(codes: jnp.ndarray):
-    """delta(i, j): common-prefix length of leaf keys, index-augmented so all
-    keys are distinct (Karras 2012 §4); -1 outside [0, n-1]."""
-    n = codes.shape[0]
-    codes = codes.astype(jnp.uint32)
+def _make_delta(codes):
+    """delta(i, j): common-prefix length of 60-bit leaf keys (two uint32
+    words), index-augmented so all keys are distinct (Karras 2012 §4);
+    -1 outside [0, n-1]. Range: [0, 64+32]."""
+    hi, lo = codes
+    n = hi.shape[0]
+    hi = hi.astype(jnp.uint32)
+    lo = lo.astype(jnp.uint32)
 
     def delta(i: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
         valid = (j >= 0) & (j <= n - 1)
         jc = jnp.clip(j, 0, n - 1)
-        x = codes[i] ^ codes[jc]
-        same = x == 0
+        xh = hi[i] ^ hi[jc]
+        xl = lo[i] ^ lo[jc]
         ii = i.astype(jnp.int32)
         jj = jc.astype(jnp.int32)
-        tie = 32 + jax.lax.clz((ii ^ jj).astype(jnp.uint32)).astype(jnp.int32)
-        d = jnp.where(same, tie, jax.lax.clz(x).astype(jnp.int32))
+        tie = 64 + jax.lax.clz((ii ^ jj).astype(jnp.uint32)).astype(jnp.int32)
+        d_lo = jnp.where(xl == 0, tie,
+                         32 + jax.lax.clz(xl).astype(jnp.int32))
+        d = jnp.where(xh == 0, d_lo, jax.lax.clz(xh).astype(jnp.int32))
         return jnp.where(valid, d, jnp.int32(-1))
 
     return delta
 
 
-def karras_topology(leaf_codes: jnp.ndarray
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Internal-node topology from sorted leaf codes.
+def karras_topology(leaf_codes) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Internal-node topology from sorted leaf keys (tuple of hi/lo words).
 
     Returns (child i32[Ni, 2], first i32[Ni], last i32[Ni]) with leaves
-    encoded as -(leaf_id + 1). Fully vectorized: every loop is a fixed 31/32
-    step masked sweep (SURVEY.md §3.3).
+    encoded as -(leaf_id + 1). Fully vectorized: every loop is a
+    log2(n)-bounded masked sweep (SURVEY.md §3.3).
     """
-    n = int(leaf_codes.shape[0])
+    if not isinstance(leaf_codes, tuple):
+        leaf_codes = (leaf_codes, jnp.zeros_like(leaf_codes))
+    n = int(leaf_codes[0].shape[0])
     assert n >= 2, "need at least two leaves"
     ni = n - 1
     # Sweep counts scale with the actual leaf count: ranges can never exceed
@@ -268,9 +274,16 @@ def _leaf_boxes(v0, e1, e2, leaf_size: int):
 
 
 def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
-               leaf_size: int = 4) -> LBVH:
+               leaf_size: int = 4, morton_bits: int = 30) -> LBVH:
     """Full on-device build: sort + topology + boxes. jit-able; all shapes
-    depend only on (num_triangles, leaf_size)."""
+    depend only on (num_triangles, leaf_size).
+
+    morton_bits: 30 (single-word sort, fastest build, bench default) or 60
+    (two-word keys; restores spatial ordering where 30-bit codes collide —
+    ~68% duplicate codes on Sponza-class density — at ~+30% build time;
+    traversal quality on the benchmark scenes measured equal, so 30 is the
+    default, but 60 is the safer choice for very dense or thin-feature
+    meshes)."""
     num_tris = int(indices.shape[0])
     tpad = _round_up(max(num_tris, 2 * leaf_size), leaf_size)
     pad = tpad - num_tris
@@ -289,8 +302,14 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     scene_min = tmin.min(axis=0)
     scene_max = tmax.max(axis=0)
 
-    codes = morton_of_points(centroid, scene_min, scene_max)
-    order = jnp.argsort(codes)
+    if morton_bits == 60:
+        chi, clo = morton_of_points_60(centroid, scene_min, scene_max)
+    else:
+        chi = morton_of_points(centroid, scene_min, scene_max)
+        clo = jnp.zeros_like(chi)
+    _, _, order = jax.lax.sort(
+        (chi, clo, jnp.arange(tpad, dtype=jnp.int32)),
+        num_keys=2 if morton_bits == 60 else 1)
     # Padded rows are literal copies of triangle T-1, so clamping their ids
     # keeps shading lookups (albedo/normals by original id) in range while
     # refit gathers identical geometry.
@@ -306,7 +325,7 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     se2 = sorted16[:, 6:9]
     tri_sorted = tri[order]
     lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
-    leaf_codes = codes[order][::leaf_size]
+    leaf_codes = (chi[order][::leaf_size], clo[order][::leaf_size])
 
     child, first, last = karras_topology(leaf_codes)
     nodes_box, root_min, root_max = _assemble_node_boxes(

@@ -65,3 +65,21 @@ def quantize_points(p: jnp.ndarray, scene_min: jnp.ndarray,
 def morton_of_points(p: jnp.ndarray, scene_min, scene_max) -> jnp.ndarray:
     """Convenience: world-space points -> 30-bit Morton codes."""
     return morton_encode(quantize_points(p, scene_min, scene_max))
+
+
+def morton_of_points_60(p: jnp.ndarray, scene_min, scene_max):
+    """World-space points -> 60-bit Morton keys as two uint32 words
+    (hi = coarse 10 bits/axis, lo = next 10 bits/axis).
+
+    30-bit codes collide heavily on production meshes (68% duplicates on the
+    Sponza-class scene: ~3 tris/cell mean), and duplicate keys fall back to
+    index tie-breaks that split spatially-unrelated triangles together. The
+    extra 30 bits restore spatial ordering down to ~1/2^20 of the scene.
+    """
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    unit = (p - scene_min) / extent
+    grid = jnp.float32((1 << 20) - 1)
+    q = jnp.clip(unit * (grid + 1.0), 0.0, grid).astype(jnp.uint32)
+    hi = morton_encode(q >> jnp.uint32(10))
+    lo = morton_encode(q & jnp.uint32(0x3FF))
+    return hi, lo

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .lbvh import LBVH
 
-STACK_DEPTH = 64
+STACK_DEPTH = 128
 
 
 def ray_box_interval(o, inv_d, bmin, bmax, t_min, t_max):

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..bvh.lbvh import LBVH
 from .pack import NODES_PER_ROW, PackedBVH, pack_bvh
 
-STACK_DEPTH = 64
+STACK_DEPTH = 128  # 60-bit keys: delta <= ~93 -> depth bound ~94
 TILE = 32  # 32x32 pixel tile -> one 8x128 packet
 _BIG = 3.4e38  # plain float: a jnp scalar would be captured as a kernel const
 # Safety cap on traversal iterations per packet: every node is pushed at
@@ -317,7 +317,7 @@ def _closest_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref
 # child "any lane hit" booleans come from four fused two-field sum
 # reductions.
 
-WIDE_STACK_DEPTH = 256
+WIDE_STACK_DEPTH = 384
 
 
 def _wide_child(rec, c):
