@@ -126,6 +126,7 @@ class Renderer:
         if isinstance(lights, Light):
             lights = [lights]
         assert mode in ("static", "rebuild", "refit")
+        config = self._check_vmem_budget(config, mesh)
         self.config = config
         self.mode = mode
         self.rebuild_threshold = rebuild_threshold
@@ -166,6 +167,28 @@ class Renderer:
             self._build_jit(self.mesh.vertices, self.mesh.indices))
         save_bvh(cache_dir, key, jax.device_get(bvh))
         return bvh
+
+    @staticmethod
+    def _check_vmem_budget(config: RenderConfig, mesh: Mesh) -> RenderConfig:
+        """The Pallas kernels keep the BVH VMEM-resident (~16 MB/core): one
+        512-byte row per leaf plus ~half that for wide nodes. Scenes past the
+        budget fall back to the pure-JAX traversal with a warning instead of
+        failing deep inside the Mosaic compiler."""
+        if not config.use_pallas:
+            return config
+        import math
+        leaves = math.ceil(mesh.num_triangles / config.leaf_size)
+        est = leaves * 512 * 1.6  # tris rows + wide-node rows + slack
+        if est > 14.5e6:
+            import sys
+            print(f"tpurt: scene needs ~{est/1e6:.1f} MB VMEM for the Pallas "
+                  f"kernels (> ~14.5 MB budget at leaf_size="
+                  f"{config.leaf_size}); falling back to the pure-JAX "
+                  "traversal. Raise leaf_size (<= 14) or split the scene.",
+                  file=sys.stderr)
+            return dataclasses.replace(config, use_pallas=False,
+                                       leaf_size=min(config.leaf_size, 8))
+        return config
 
     def _make_accel(self):
         """Kernel-facing accel structure: 8-wide BVH for the Pallas path

@@ -12,9 +12,10 @@ classic *packet traversal* re-shaped for the VPU:
 - One *shared* traversal stack per packet, held in SMEM and driven by the
   scalar core while the VPU does 1024-wide box/triangle tests: a node is
   descended if ANY active lane hits its box.
-- Node fetch = one dynamic row load: 8 packed nodes per 128-lane VMEM row
-  (see kernels/pack.py); record scalars are extracted at compile-time lane
-  offsets after an 8-way static-slice switch.
+- Node fetch = one dynamic row load. Binary nodes pack 8 per 128-lane VMEM
+  row (kernels/pack.py) with a 3-level vector-select picking the record;
+  8-wide nodes occupy one full row each (bvh/wide.py). Record scalars are
+  extracted at compile-time lane offsets.
 - Leaf fetch = one aligned row load: all leaf triangles live in one 128-lane
   row; Möller–Trumbore runs for all lanes x leaf-tris with static offsets.
 - Any-hit mode keeps a per-lane ``occluded`` mask and exits as soon as every
