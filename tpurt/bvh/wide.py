@@ -213,6 +213,62 @@ def _leaf_boxes_from_tris(bvh: LBVH):
             tmax.reshape(n_leaves, k, 3).max(axis=1))
 
 
+def make_wide_plan(bvh: LBVH, nw_pad: int):
+    """Topology-only collapse plan: per wide node, the 8 frontier refs (as
+    binary/leaf ids, EMPTY-padded) plus their pre-remapped kernel refs.
+    Refits reuse the plan and only re-gather boxes (widen_from_plan)."""
+    child = bvh.nodes_child
+    ni = child.shape[0]
+    front, wide = _front_and_mask(child)
+    ids = jnp.cumsum(wide.astype(jnp.int32)) - 1
+    src = jnp.nonzero(wide, size=nw_pad, fill_value=ni - 1)[0]
+    rows_front = front[src]
+    is_pad = jnp.arange(nw_pad) >= jnp.sum(wide)
+    refs = jnp.where(is_pad[:, None], EMPTY, rows_front)        # [Nw, 8]
+    wref = jnp.where(refs >= 0, ids[jnp.clip(refs, 0, ni - 1)],
+                     jnp.where(refs == EMPTY, -1, refs))
+    return refs, wref.astype(jnp.float32)
+
+
+def widen_from_plan(plan, bvh: LBVH) -> WideBVH:
+    """Assemble the 8-wide node rows from a plan + (possibly refit) LBVH
+    boxes. This is the per-frame path for animated meshes: no reachability,
+    no count host-sync — just box gathers."""
+    refs, wref = plan
+    nw_pad = refs.shape[0]
+    child = bvh.nodes_child
+    ni = child.shape[0]
+    leaf_min, leaf_max = _leaf_boxes_from_tris(bvh)
+
+    lanes = []
+    for c in range(WIDE_FACTOR):
+        ref = refs[:, c]
+        is_int = ref >= 0
+        is_leaf = (ref < 0) & (ref != EMPTY)
+        bidx = jnp.clip(ref, 0, ni - 1)
+        box = bvh.nodes_box[bidx]
+        int_min = jnp.minimum(box[:, 0:3], box[:, 6:9])
+        int_max = jnp.maximum(box[:, 3:6], box[:, 9:12])
+        lidx = jnp.clip(-ref - 1, 0, leaf_min.shape[0] - 1)
+        bmin = jnp.where(is_int[:, None], int_min,
+                         jnp.where(is_leaf[:, None], leaf_min[lidx], 3.4e38))
+        bmax = jnp.where(is_int[:, None], int_max,
+                         jnp.where(is_leaf[:, None], leaf_max[lidx], -3.4e38))
+        lane = jnp.concatenate(
+            [bmin, bmax, wref[:, c:c + 1],
+             jnp.zeros((nw_pad, 9), jnp.float32)], axis=1)
+        lanes.append(lane)
+    nodes = jnp.concatenate(lanes, axis=1)
+
+    k = bvh.leaf_size
+    tri9 = jnp.stack([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
+    tri9 = tri9.reshape(bvh.num_leaves, k * 9)
+    tris = jnp.pad(tri9, ((0, 0), (0, 128 - k * 9)))
+    return WideBVH(nodes=nodes, tris=tris, tri_id=bvh.tri_id,
+                   root_min=bvh.root_min, root_max=bvh.root_max,
+                   num_wide=nw_pad, leaf_size=k)
+
+
 def widen_lbvh(bvh: LBVH, nw_pad: int) -> WideBVH:
     """Collapse to 8-wide. ``nw_pad`` must be >= count_wide(bvh) (static;
     round up to a bucket to avoid recompiles across frames)."""

@@ -58,6 +58,18 @@ def unpack_rgb(f: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r, g, b], axis=-1) / 255.0
 
 
+def smooth_normals_device(vertices: jnp.ndarray,
+                          indices: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted vertex normals fully on device (scatter-add of face
+    normals) — the animated-mesh path recomputes these per frame; the host
+    NumPy version in scenes.py is for load time."""
+    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
+    fn = jnp.cross(vertices[i1] - vertices[i0], vertices[i2] - vertices[i0])
+    n = jnp.zeros_like(vertices)
+    n = n.at[i0].add(fn).at[i1].add(fn).at[i2].add(fn)
+    return normalize(n)
+
+
 def make_shade_table(bvh: LBVH, mesh: Mesh) -> jnp.ndarray:
     """f32[Tpad, 16] shading rows in Morton-sorted triangle order.
 
