@@ -95,3 +95,20 @@ def test_renderer_checkpoint_resume(tmp_path):
     b.load_state(p)
     got = np.asarray(b.render_frame()["image"])   # frame 3 after resume
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_cli_flag_overrides_preset(tmp_path):
+    """Explicit --width/--height must win over a preset's resolution."""
+    out = os.path.join(tmp_path, "p.png")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "tpurt.cli", "--scene", "soup200",
+         "--preset", "config1", "--width", "40", "--height", "30",
+         "--no-pallas", "--out", out, "--stats-json"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert (stats["width"], stats["height"]) == (40, 30)
+    from tpurt.io.image import read_png
+    assert read_png(out).shape == (30, 40, 3)

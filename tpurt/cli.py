@@ -82,14 +82,14 @@ def main(argv=None) -> int:
                    help="teapot | sponza | soup<N> | path/to/model.obj")
     p.add_argument("--preset", choices=sorted(PRESETS), default=None,
                    help="BASELINE benchmark config preset")
-    p.add_argument("--width", type=int, default=512)
-    p.add_argument("--height", type=int, default=512)
-    p.add_argument("--spp", type=int, default=1)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--spp", type=int, default=None)
     p.add_argument("--frames", type=int, default=1)
     p.add_argument("--mode", choices=("static", "rebuild", "refit"),
-                   default="static")
+                   default=None)
     p.add_argument("--light", choices=("directional", "sun", "multi"),
-                   default="directional")
+                   default=None)
     p.add_argument("--light-dir", type=float, nargs=3,
                    default=(0.45, 0.8, 0.3))
     p.add_argument("--ambient", type=float, default=0.08)
@@ -120,12 +120,19 @@ def main(argv=None) -> int:
         import tpurt.kernels.traverse as _kt
         _kt._compiled_backend = lambda: False  # force interpreted kernels
 
-    opts = dict(width=args.width, height=args.height, spp=args.spp,
-                mode=args.mode, lights=args.light,
-                accumulate=args.accumulate, animate=args.animate,
-                sort_rays=args.sort_rays)
+    # Precedence: explicit flag > preset > default.
+    defaults = dict(width=512, height=512, spp=1, mode="static",
+                    lights="directional", accumulate=False, animate=False,
+                    sort_rays=False)
+    opts = dict(defaults)
     if args.preset:
         opts.update(PRESETS[args.preset])
+    explicit = dict(width=args.width, height=args.height, spp=args.spp,
+                    mode=args.mode, lights=args.light,
+                    accumulate=args.accumulate or None,
+                    animate=args.animate or None,
+                    sort_rays=args.sort_rays or None)
+    opts.update({k: v for k, v in explicit.items() if v is not None})
 
     mesh = build_scene(args.scene)
     from .scenes import default_camera_for, deform, sponza_interior_camera
