@@ -758,12 +758,13 @@ def _as_packed(bvh):
 
 def trace_any_pallas(bvh, origins, dirs, t_max, cfg=None, t_min: float = 0.0,
                      interpret: Optional[bool] = None,
-                     variant: str = "frustum") -> jnp.ndarray:
+                     variant: str = "lanes") -> jnp.ndarray:
     """Occlusion query: bool[H, W] (True = something between t_min and t_max).
 
     Rays with t_max <= t_min are inactive and return False (sky skip).
-    variant: "frustum" (scalar packet culling, fast path) or "lanes"
-    (per-lane vector culling, exact-union reference)."""
+    variant (binary-BVH path only): "lanes" (per-lane vector culling,
+    default — measured faster: occlusion masks shrink the traversal union)
+    or "frustum" (scalar interval culling, kept for reference)."""
     from ..bvh.wide import WideBVH
     packed = _as_packed(bvh)
     comps, tm, meta = _ray_packets(origins, dirs, t_max)
@@ -780,7 +781,7 @@ def trace_any_pallas(bvh, origins, dirs, t_max, cfg=None, t_min: float = 0.0,
 def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
                          t_min: float = 0.0,
                          interpret: Optional[bool] = None,
-                         variant: str = "frustum",
+                         variant: str = "lanes",
                          return_sorted: bool = False):
     """Closest hit: (t f32[H, W], tri_id i32[H, W]); miss = (inf, -1).
     With return_sorted=True also returns the Morton-sorted hit index
