@@ -12,7 +12,6 @@ cheap, useful pieces:
 
 from __future__ import annotations
 
-import dataclasses
 import hashlib
 import os
 from typing import Optional, Tuple

@@ -16,11 +16,10 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
-from .types import Camera, Light, RenderConfig
+from .types import Light, RenderConfig
 
 PRESETS = {
     # BASELINE.json configs 1-5.

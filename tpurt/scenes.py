@@ -16,7 +16,7 @@ arrays are uploaded once via device_put by the Renderer.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Optional
 
 import numpy as np
 
