@@ -106,24 +106,24 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     log(f"shadow trace: {shadow_s*1e3:.2f} ms -> {mrays:.1f} Mrays/s "
         f"(occluded {occ})")
 
-    # LBVH build alone (binary; the wide collapse is timed separately since
-    # its node count needs one host sync per rebuild).
+    # LBVH build alone (binary) — diagnostic.
     build_ms = timed(lambda: build(mesh.vertices, mesh.indices).nodes_box,
                      5) * 1e3
+    # Config-2 rebuild path: build + 8-wide collapse as ONE fused device
+    # program (the wide pad is chosen once per scene, so per-frame rebuilds
+    # have no host sync — tpurt/app.py _rebuild_fused).
+    rebuild_ms = build_ms
     widen_ms = 0.0
     if use_pallas and bvh_width == 8:
-        # build_wide host-syncs per call (the wide-node count picks a static
-        # pad size); tunnel latency on that scalar sync is highly variable,
-        # so report the best of 5 as the device-cost estimate.
-        samples = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            accel2 = build_wide(bvh)
-            _force(accel2.nodes)
-            samples.append((time.perf_counter() - t0) * 1e3)
-        widen_ms = min(samples)
-    log(f"lbvh build: {build_ms:.2f} ms; wide collapse (+host sync): "
-        f"{widen_ms:.2f} ms")
+        from tpurt.bvh.wide import count_wide, round_up_bucket, widen_lbvh
+        nw_pad = round_up_bucket(max(count_wide(bvh), 1))
+        rebuild = jax.jit(lambda v, i: widen_lbvh(
+            build_lbvh(v, i, leaf_size=leaf_size), nw_pad=nw_pad).nodes)
+        rebuild_ms = timed(lambda: rebuild(mesh.vertices, mesh.indices),
+                           5) * 1e3
+        widen_ms = max(rebuild_ms - build_ms, 0.0)
+    log(f"lbvh build: {build_ms:.2f} ms; fused rebuild (build+collapse): "
+        f"{rebuild_ms:.2f} ms")
 
     # Full frame: all passes on a static accel (config 1/2-style frame).
     st = st0
@@ -133,11 +133,11 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     frame_ms = timed(lambda: frame(accel, mesh, cam, (light,), key, st),
                      5) * 1e3
     log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
-        f"build+trace: {build_ms + widen_ms + shadow_s*1e3:.2f} ms")
+        f"build+trace: {rebuild_ms + shadow_s*1e3:.2f} ms")
     return dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,
                 widen_ms=widen_ms, gbuffer_ms=gb_ms,
                 shadow_ms=shadow_s * 1e3,
-                build_trace_ms=build_ms + widen_ms + shadow_s * 1e3)
+                build_trace_ms=rebuild_ms + shadow_s * 1e3)
 
 
 def main() -> int:

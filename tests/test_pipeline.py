@@ -186,3 +186,46 @@ def test_point_light_distance_limit():
     # The ceiling is beyond the light from the ground's perspective: every
     # valid ground pixel must be lit.
     assert shadow[valid].min() == 1.0
+
+
+def test_renderer_rebuild_mode_fused(scene):
+    """mode="rebuild" with the Pallas wide path runs the fused
+    build+collapse program with a CACHED pad (no per-frame count sync) and
+    must keep producing the same image as a static render."""
+    mesh, cam, light = scene
+    cfg = RenderConfig(width=32, height=24, use_pallas=True, leaf_size=4)
+    r_static = Renderer(mesh, cam, light, cfg, mode="static")
+    want = np.asarray(r_static.render_frame()["image"])
+    r = Renderer(mesh, cam, light, cfg, mode="rebuild")
+    assert r._nw_pad is not None, "wide path should be active"
+    img1 = np.asarray(r.render_frame()["image"])
+    img2 = np.asarray(r.render_frame()["image"])
+    np.testing.assert_allclose(img1, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(img2, want, rtol=1e-5, atol=1e-6)
+
+
+def test_renderer_rebuild_overflow_recovery(scene):
+    """If animation grows the wide-node count past the cached pad, the
+    rebuild path must detect the on-device overflow and re-plan — never
+    render from a truncated collapse."""
+    mesh, cam, light = scene
+    cfg = RenderConfig(width=32, height=24, use_pallas=True, leaf_size=4)
+    r = Renderer(mesh, cam, light, cfg, mode="rebuild")
+    assert r._nw_pad is not None
+    from tpurt.bvh.wide import count_wide
+    true_count = count_wide(r.bvh)
+    # Force an undersized pad (as if geometry grew), then animate: the
+    # rebuild must notice count > pad and recover via a full re-plan.
+    r._nw_pad = max(1, true_count - 1)
+    r.set_vertices(deform(mesh, 0.21))
+    out = r.render_frame()
+    assert r._nw_pad >= true_count - 1  # re-planned (bucketed) or unchanged
+    # Ground truth: a fresh static renderer on the deformed mesh.
+    mesh2 = dataclasses.replace(mesh)
+    r2 = Renderer(mesh, cam, light, cfg, mode="static")
+    r2.set_vertices(deform(mesh, 0.21))
+    r2.bvh = r2._build_jit(r2.mesh.vertices, r2.mesh.indices)
+    r2.accel = r2._make_accel()
+    want = np.asarray(r2.render_frame()["image"])
+    np.testing.assert_allclose(np.asarray(out["image"]), want,
+                               rtol=1e-5, atol=1e-6)

@@ -66,16 +66,39 @@ def test_sharded_height_not_divisible(scene):
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_sharded_pallas_matches_single_device(scene):
+    """The PRODUCTION Pallas traversal kernel under shard_map (interpret
+    mode on the fake CPU mesh) must agree with the unsharded Pallas render —
+    the multi-chip path may not silently require the pure-JAX fallback."""
+    mesh, cam, light, bvh = scene
+    cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=4)
+    key = jax.random.PRNGKey(0)
+    want = np.asarray(render_frame_fn(bvh, mesh, cam, (light,), key,
+                                      cfg)["image"])
+    img = render_frame_sharded(bvh, mesh, cam, (light,), key, cfg,
+                               mesh=make_tile_mesh())
+    got = np.asarray(img)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_soft_shadows_decorrelated(scene):
-    """Each shard folds its axis index into the RNG: the penumbra pattern
+    """Each shard folds its axis index into the RNG: the penumbra jitter
     must not repeat identically across shards."""
     mesh, cam, _, bvh = scene
-    sun = Light.sun((0.45, 0.8, 0.3), angular_radius_deg=10.0)
-    cfg = RenderConfig(width=32, height=32, spp=2, use_pallas=False)
+    sun = Light.sun((0.45, 0.8, 0.3), angular_radius_deg=20.0)
+    # 1 row of pixels per shard, looking at the same geometry: identical
+    # shard RNG would produce identical penumbra rows.
+    cfg = RenderConfig(width=64, height=8, spp=1, use_pallas=False)
     img = np.asarray(render_frame_sharded(bvh, mesh, cam, (sun,),
                                           jax.random.PRNGKey(3), cfg,
                                           mesh=make_tile_mesh()))
     assert np.isfinite(img).all()
+    # Compare each shard's row against every other: some penumbra pixels
+    # exist (cone angle 20 deg) and rows must not be bitwise-identical.
+    rows = img.reshape(8, -1)
+    distinct = {rows[i].tobytes() for i in range(8)}
+    assert len(distinct) > 1, "shards drew identical shadow jitter"
 
 
 def test_dryrun_multichip_entry():

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bvh.lbvh import LBVH, build_lbvh, refit_lbvh, sah_cost
-from .bvh.wide import build_wide
+from .bvh.wide import build_wide, widen_lbvh, wide_count_device
 from .bvh import traverse as jax_traverse
+from .passes.shading import make_shade_table
 from .passes.composite import accumulate, composite_pass
 from .passes.gbuffer import gbuffer_pass
 from .passes.shadow import shadow_pass
@@ -70,6 +71,18 @@ def make_tracers(cfg: RenderConfig):
             return sorted_tracer(o, d, t_max)
 
     return closest, any_
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "nw_pad"))
+def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int):
+    """Config-2 hot path: LBVH build + 8-wide collapse + shading table as ONE
+    device program — no host syncs. The wide-node count rides along as a
+    device scalar so callers can check pad overflow opportunistically (XLA
+    CSE merges it with the identical mask inside widen_lbvh)."""
+    bvh = build_lbvh(vertices, indices, leaf_size=leaf_size)
+    wide = widen_lbvh(bvh, nw_pad=nw_pad)
+    st = make_shade_table(bvh, mesh)
+    return bvh, wide, st, wide_count_device(bvh)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -137,6 +150,8 @@ class Renderer:
                                           leaf_size=config.leaf_size))
         self._refit_jit = jax.jit(refit_lbvh)
         self.frame_index = 0
+        self._geom_dirty = False
+        self._nw_pad: Optional[int] = None
         self.accum: Optional[jnp.ndarray] = None
         self.stats = FrameStats(width=config.width, height=config.height,
                                 spp=config.spp, num_lights=len(self.lights),
@@ -168,39 +183,74 @@ class Renderer:
         save_bvh(cache_dir, key, jax.device_get(bvh))
         return bvh
 
-    @staticmethod
-    def _check_vmem_budget(config: RenderConfig, mesh: Mesh) -> RenderConfig:
-        """The Pallas kernels keep the BVH VMEM-resident (~16 MB/core): one
-        512-byte row per leaf plus ~half that for wide nodes. Scenes past the
-        budget fall back to the pure-JAX traversal with a warning instead of
-        failing deep inside the Mosaic compiler."""
+    # VMEM the kernel needs beyond the BVH itself: ray blocks (7 in + 2 out
+    # f32[8,128] double-buffered) + Mosaic scratch slack.
+    _VMEM_OVERHEAD = 1_000_000
+    _VMEM_BUDGET = 15_800_000
+
+    @classmethod
+    def _check_vmem_budget(cls, config: RenderConfig,
+                           mesh: Mesh) -> RenderConfig:
+        """The Pallas kernels keep the BVH VMEM-resident. This pre-build
+        check uses the EXACT binary layout size (kernels/pack.py formulas)
+        plus a conservative wide-node bound; _make_accel re-checks with the
+        exact wide-node count once it is known. Scenes past the budget fall
+        back to the pure-JAX traversal with a warning instead of failing
+        deep inside the Mosaic compiler."""
         if not config.use_pallas:
             return config
-        import math
-        leaves = math.ceil(mesh.num_triangles / config.leaf_size)
-        # One 512 B row per leaf + wide nodes (~0.36 rows/leaf measured on
-        # the fixed depth-3 collapse) + ray blocks/scratch slack.
-        est = leaves * 512 * 1.36 + 1.0e6
-        if est > 15.8e6:
+        from .kernels.pack import (binary_vmem_bytes, packed_shapes,
+                                   wide_vmem_bytes)
+        if config.bvh_width == 8:
+            # Realistic pre-build estimate of wide nodes (~0.36 of the leaf
+            # count measured on Karras trees with the fixed depth-3 cut);
+            # _make_accel re-decides with the EXACT count after the build.
+            from .bvh.wide import round_up_bucket
+            _, n_leaves, _ = packed_shapes(mesh.num_triangles,
+                                           config.leaf_size)
+            nw_est = round_up_bucket(max(1, int(0.36 * n_leaves)))
+            est = wide_vmem_bytes(nw_est, mesh.num_triangles,
+                                  config.leaf_size) + cls._VMEM_OVERHEAD
+        else:
+            est = binary_vmem_bytes(mesh.num_triangles,
+                                    config.leaf_size) + cls._VMEM_OVERHEAD
+        if est > cls._VMEM_BUDGET:
             import sys
             print(f"tpurt: scene needs ~{est/1e6:.1f} MB VMEM for the Pallas "
-                  f"kernels (> ~14.5 MB budget at leaf_size="
-                  f"{config.leaf_size}); falling back to the pure-JAX "
-                  "traversal. Raise leaf_size (<= 14) or split the scene.",
-                  file=sys.stderr)
+                  f"kernels (> {cls._VMEM_BUDGET/1e6:.1f} MB budget at "
+                  f"leaf_size={config.leaf_size}); falling back to the "
+                  "pure-JAX traversal. Raise leaf_size (<= 14) or split the "
+                  "scene.", file=sys.stderr)
             return dataclasses.replace(config, use_pallas=False,
                                        leaf_size=min(config.leaf_size, 8))
         return config
 
     def _make_accel(self):
-        """Kernel-facing accel structure: 8-wide BVH for the Pallas path
-        (the host sync for the wide-node count happens here, once per
-        (re)build), else the LBVH itself."""
-        from .passes.shading import make_shade_table
+        """Kernel-facing accel structure: 8-wide BVH for the Pallas path,
+        else the LBVH itself. The ONLY host sync for the wide-node count
+        happens here — once per scene (or per overflow recovery) — and the
+        padded count is cached so per-frame rebuilds run as one fused device
+        program (_rebuild_fused). The exact VMEM decision also lives here:
+        with the real count known, scenes past the budget fall back to the
+        pure-JAX path before any Mosaic compile."""
         self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
+        self._nw_pad = None
         if self.config.use_pallas and self.config.bvh_width == 8:
             from .bvh.wide import count_wide, make_wide_plan, round_up_bucket
+            from .kernels.pack import wide_vmem_bytes
             nw_pad = round_up_bucket(max(count_wide(self.bvh), 1))
+            exact = wide_vmem_bytes(nw_pad, self.mesh.num_triangles,
+                                    self.config.leaf_size)
+            if exact + self._VMEM_OVERHEAD > self._VMEM_BUDGET:
+                import sys
+                print(f"tpurt: packed scene is {exact/1e6:.1f} MB "
+                      f"(> {self._VMEM_BUDGET/1e6:.1f} MB VMEM budget); "
+                      "falling back to the pure-JAX traversal.",
+                      file=sys.stderr)
+                self.config = dataclasses.replace(self.config,
+                                                  use_pallas=False)
+                return self.bvh
+            self._nw_pad = nw_pad
             self._wide_plan = jax.jit(
                 make_wide_plan, static_argnames=("nw_pad",))(
                     self.bvh, nw_pad=nw_pad)
@@ -213,9 +263,8 @@ class Renderer:
         """Refit fast path: topology (and therefore the wide plan) is
         frozen, so only boxes are re-gathered — no count host-sync. The
         shading table holds geometry (v0/e1/e2, normals) and must follow."""
-        from .passes.shading import make_shade_table
         self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
-        if self.config.use_pallas and self.config.bvh_width == 8:
+        if self._nw_pad is not None:
             from .bvh.wide import widen_from_plan
             return jax.jit(widen_from_plan)(self._wide_plan, self.bvh)
         return self.bvh
@@ -239,15 +288,44 @@ class Renderer:
         normals = jax.jit(smooth_normals_device)(v, self.mesh.indices)
         self.mesh = dataclasses.replace(self.mesh, vertices=v,
                                         normals=normals)
+        # New geometry can change the wide-node count: the next rebuild
+        # verifies the cached pad against the on-device count.
+        self._geom_dirty = True
 
     # -- frame loop ---------------------------------------------------------
 
     def _update_bvh(self, timer: Timer) -> None:
         if self.mode == "rebuild":
             with timer.section("build", None):
-                self.bvh = jax.block_until_ready(
-                    self._build_jit(self.mesh.vertices, self.mesh.indices))
-                self.accel = self._make_accel()
+                if self._nw_pad is not None:
+                    # Fused build+collapse+shading-table: one device program,
+                    # no host sync (VERDICT r1 item 2 — the old path paid a
+                    # ~150 ms count_wide round trip every frame).
+                    bvh, accel, st, cnt = _rebuild_fused(
+                        self.mesh.vertices, self.mesh.indices, self.mesh,
+                        self.config.leaf_size, self._nw_pad)
+                    overflow = False
+                    if self._geom_dirty:
+                        # Geometry changed since the pad was chosen: check
+                        # the on-device count once (the program has already
+                        # run; this is a scalar fetch, not extra compute).
+                        overflow = int(np.asarray(cnt)) > self._nw_pad
+                        self._geom_dirty = False
+                    if overflow:
+                        # Pad overflow: recount + re-plan (host sync) — the
+                        # recovery path; rendering never sees the truncated
+                        # collapse.
+                        self.bvh = jax.block_until_ready(bvh)
+                        self.accel = self._make_accel()
+                    else:
+                        self.bvh, self.accel, self.shade_table = \
+                            bvh, accel, st
+                        jax.block_until_ready(accel.nodes)
+                else:
+                    self.bvh = jax.block_until_ready(
+                        self._build_jit(self.mesh.vertices,
+                                        self.mesh.indices))
+                    self.accel = self._make_accel()
             self.stats.build_ms = timer.ms["build"]
         elif self.mode == "refit":
             with timer.section("refit", None):
@@ -303,8 +381,18 @@ class Renderer:
         valid = int(np.asarray(jnp.sum(out["valid"])))
         self.stats.rays_primary = cfg.num_pixels
         self.stats.rays_shadow = valid * cfg.spp * len(self.lights)
-        shadow_s = (self.stats.shadow_ms or self.stats.frame_ms) / 1e3
-        self.stats.mrays_per_s = mrays_per_s(self.stats.rays_shadow, shadow_s)
+        # Mrays/s is shadow rays / SHADOW-PASS seconds (the BASELINE metric);
+        # the shadow pass is only timed in profile mode, so without it the
+        # metric is reported as 0 ("not measured") rather than a mislabeled
+        # rays/frame-time number or a stale value from an earlier profile.
+        if profile:
+            self.stats.mrays_per_s = mrays_per_s(
+                self.stats.rays_shadow, self.stats.shadow_ms / 1e3)
+        else:
+            self.stats.shadow_ms = 0.0
+            self.stats.gbuffer_ms = 0.0
+            self.stats.composite_ms = 0.0
+            self.stats.mrays_per_s = 0.0
         self.frame_index += 1
         return out
 

@@ -111,9 +111,14 @@ def _traverse_one(bvh: LBVH, any_hit: bool, t_min, o, d, t_max):
             alive = alive & (best_id < 0)
         return alive
 
-    stack0 = jnp.zeros((STACK_DEPTH,), jnp.int32)
-    init = (stack0, jnp.int32(1), jnp.asarray(t_max, jnp.float32),
-            jnp.int32(-1))
+    # Derive while-carry inits from the ray so they inherit its sharding
+    # varying-ness: under shard_map(check_vma=True) a replicated-constant
+    # init would mismatch the varying carry the body produces.
+    zf = o[0] * 0.0
+    zi = zf.astype(jnp.int32)
+    stack0 = jnp.zeros((STACK_DEPTH,), jnp.int32) + zi
+    init = (stack0, jnp.int32(1) + zi,
+            jnp.asarray(t_max, jnp.float32) + zf, jnp.int32(-1) + zi)
     _, _, best_t, best_id = jax.lax.while_loop(cond, body, init)
     best_t = jnp.where(best_id >= 0, best_t, jnp.inf)
     return best_t, best_id

@@ -201,6 +201,15 @@ def count_wide(bvh: LBVH) -> int:
     return int(_wide_count_fn(bvh.nodes_child))
 
 
+def wide_count_device(bvh: LBVH) -> jnp.ndarray:
+    """Jittable wide-node count as a DEVICE scalar — lets a fused
+    rebuild+collapse program expose the count for opportunistic overflow
+    checking without a per-frame host sync (XLA CSE merges this with the
+    mask computed inside widen_lbvh in the same program)."""
+    _, mask = _front_and_mask(bvh.nodes_child)
+    return jnp.sum(mask)
+
+
 def _leaf_boxes_from_tris(bvh: LBVH):
     v0, e1, e2 = bvh.tri_v0, bvh.tri_e1, bvh.tri_e2
     v1 = v0 + e1

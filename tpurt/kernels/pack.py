@@ -84,3 +84,30 @@ def pack_bvh(bvh: LBVH) -> PackedBVH:
 def vmem_bytes(packed: PackedBVH) -> int:
     """Scene bytes the kernel keeps VMEM-resident (for fits-in-VMEM checks)."""
     return (packed.nodes.size + packed.tris.size) * 4
+
+
+def packed_shapes(num_tris: int, leaf_size: int):
+    """(num_internal, num_leaves, node_rows) the kernel layout will have for
+    a scene of ``num_tris`` — mirrors the padding in lbvh.build_lbvh and
+    pack_bvh exactly, so VMEM budgets can be computed without building."""
+    tpad = max(num_tris, 2 * leaf_size)
+    tpad = -(-tpad // leaf_size) * leaf_size
+    n_leaves = tpad // leaf_size
+    ni = n_leaves - 1
+    node_rows = -(-ni // NODES_PER_ROW)
+    return ni, n_leaves, node_rows
+
+
+ROW_BYTES = 128 * 4
+
+
+def binary_vmem_bytes(num_tris: int, leaf_size: int) -> int:
+    """Exact bytes of the binary packed layout (nodes + tris rows)."""
+    _, n_leaves, node_rows = packed_shapes(num_tris, leaf_size)
+    return (node_rows + n_leaves) * ROW_BYTES
+
+
+def wide_vmem_bytes(nw_pad: int, num_tris: int, leaf_size: int) -> int:
+    """Exact bytes of the 8-wide layout given the padded wide-node count."""
+    _, n_leaves, _ = packed_shapes(num_tris, leaf_size)
+    return (nw_pad + n_leaves) * ROW_BYTES

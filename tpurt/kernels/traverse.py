@@ -736,11 +736,18 @@ def _common_call(packed, kernel, out_shapes, comps, tm, t_min,
         out_specs=tuple(ray_spec for _ in out_shapes),
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
     )
+    # Under shard_map(check_vma=True) the outputs must declare how they vary
+    # across mesh axes: they vary exactly like the ray inputs (the BVH is
+    # replicated; rays are sharded). jax.typeof carries the vma of the traced
+    # value; outside shard_map it is frozenset() (not varying), which is
+    # equally valid.
+    vma = getattr(jax.typeof(comps[0]), "vma", None)
     fn = pl.pallas_call(
         functools.partial(kernel, packed.leaf_size, iter_cap),
         grid_spec=grid_spec,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((p, 8, 128), dt) for dt in out_shapes),
+            jax.ShapeDtypeStruct((p, 8, 128), dt, vma=vma)
+            for dt in out_shapes),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),

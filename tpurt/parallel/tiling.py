@@ -103,13 +103,21 @@ def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
     from ..app import make_tracers
     trace_closest, trace_any = make_tracers(cfg)
 
+    # vma checking stays ON except for the one known-broken combination:
+    # Pallas INTERPRET mode (CPU testing) trips an internal vma mismatch in
+    # JAX's HLO interpreter ("Primitive dynamic_slice requires varying manual
+    # axes to match ... as a temporary workaround pass check_vma=False").
+    # The pure-JAX fallback and the compiled TPU kernel are fully checked.
+    from ..kernels.traverse import _compiled_backend
+    pallas_interpret = cfg.use_pallas and not _compiled_backend()
+
     local = partial(_local_frame, trace_closest, trace_any)
     fn = jax.shard_map(
         lambda tm, c, ls, k, bv, o, d: local(tm, c, ls, k, cfg, bv, o, d),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P("tiles"), P("tiles")),
         out_specs=P("tiles"),
-        check_vma=False,
+        check_vma=not pallas_interpret,
     )
     img = fn(tri_mesh, cam, lights, key, bvh, origins, dirs)
     return img[:h]
