@@ -99,10 +99,14 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     shadow_rays = jax.jit(lambda gbuf, light: shadow_ray_batch(
         gbuf, light, cfg.shadow_bias, None))
     so, sd, stm = shadow_rays(gbuf, light)
+    # NB: light-direction child ordering was measured on-TPU (round 2) at
+    # NEUTRAL-to-HARMFUL for the any-hit trace (+dir 50 ms, -dir 25 ms vs
+    # unordered 26 ms), so the shadow accel stays unordered.
+    shadow_accel = accel
     shade = jax.jit(lambda a, o, d, tm: trace_any(a, o, d, tm))
-    shadow_s = timed(lambda: shade(accel, so, sd, stm), 10)
+    shadow_s = timed(lambda: shade(shadow_accel, so, sd, stm), 10)
     mrays = valid / shadow_s / 1e6
-    occ = int(np.asarray(shade(accel, so, sd, stm)).sum())
+    occ = int(np.asarray(shade(shadow_accel, so, sd, stm)).sum())
     log(f"shadow trace: {shadow_s*1e3:.2f} ms -> {mrays:.1f} Mrays/s "
         f"(occluded {occ})")
 

@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 
 extern "C" {
@@ -31,6 +32,9 @@ struct ObjMesh {
   std::vector<float> normals;     // 3 * num_normals (file order)
   std::vector<int32_t> tri_pos;   // 3 * num_tris position indices
   std::vector<int32_t> tri_nrm;   // 3 * num_tris normal indices (-1 if none)
+  std::vector<int32_t> tri_mtl;   // num_tris material index (-1 if none)
+  std::vector<std::string> mtl_names;  // usemtl names, first-use order
+  std::string mtllibs;            // '\n'-separated mtllib filenames
 };
 
 static const char* skip_ws(const char* p, const char* end) {
@@ -76,13 +80,38 @@ ObjMesh* obj_load(const char* path) {
   buf[(size_t)size] = '\n';
 
   ObjMesh* m = new ObjMesh();
+  int32_t cur_mtl = -1;
   const char* p = buf.data();
   const char* end = buf.data() + size;
   while (p < end) {
     const char* line_end = (const char*)memchr(p, '\n', (size_t)(end - p));
     if (!line_end) line_end = end;
     const char* c = skip_ws(p, line_end);
-    if (c + 1 < line_end && c[0] == 'v' &&
+    if (c + 6 < line_end && memcmp(c, "usemtl", 6) == 0 &&
+        (c[6] == ' ' || c[6] == '\t')) {
+      const char* n0 = skip_ws(c + 7, line_end);
+      const char* n1 = line_end;
+      while (n1 > n0 && (n1[-1] == ' ' || n1[-1] == '\t' || n1[-1] == '\r'))
+        --n1;
+      std::string name(n0, (size_t)(n1 - n0));
+      cur_mtl = -1;
+      for (size_t k = 0; k < m->mtl_names.size(); ++k)
+        if (m->mtl_names[k] == name) { cur_mtl = (int32_t)k; break; }
+      if (cur_mtl < 0) {
+        cur_mtl = (int32_t)m->mtl_names.size();
+        m->mtl_names.push_back(name);
+      }
+    } else if (c + 6 < line_end && memcmp(c, "mtllib", 6) == 0 &&
+               (c[6] == ' ' || c[6] == '\t')) {
+      const char* n0 = skip_ws(c + 7, line_end);
+      const char* n1 = line_end;
+      while (n1 > n0 && (n1[-1] == ' ' || n1[-1] == '\t' || n1[-1] == '\r'))
+        --n1;
+      if (n1 > n0) {
+        if (!m->mtllibs.empty()) m->mtllibs += '\n';
+        m->mtllibs.append(n0, (size_t)(n1 - n0));
+      }
+    } else if (c + 1 < line_end && c[0] == 'v' &&
         (c[1] == ' ' || c[1] == '\t')) {
       char* q;
       float x = strtof(c + 2, &q);
@@ -120,6 +149,7 @@ ObjMesh* obj_load(const char* path) {
         m->tri_nrm.push_back(nidx[0]);
         m->tri_nrm.push_back(nidx[k]);
         m->tri_nrm.push_back(nidx[k + 1]);
+        m->tri_mtl.push_back(cur_mtl);
       }
     }
     p = line_end + 1;
@@ -139,6 +169,29 @@ void obj_copy_normals(ObjMesh* m, float* out) {
 void obj_copy_tris(ObjMesh* m, int32_t* pos_out, int32_t* nrm_out) {
   memcpy(pos_out, m->tri_pos.data(), m->tri_pos.size() * sizeof(int32_t));
   memcpy(nrm_out, m->tri_nrm.data(), m->tri_nrm.size() * sizeof(int32_t));
+}
+void obj_copy_tri_mtl(ObjMesh* m, int32_t* out) {
+  memcpy(out, m->tri_mtl.data(), m->tri_mtl.size() * sizeof(int32_t));
+}
+// Material / mtllib names as one '\n'-separated buffer each.
+static std::string join_names(const std::vector<std::string>& v) {
+  std::string s;
+  for (size_t i = 0; i < v.size(); ++i) {
+    if (i) s += '\n';
+    s += v[i];
+  }
+  return s;
+}
+int64_t obj_mtl_names_len(ObjMesh* m) {
+  return (int64_t)join_names(m->mtl_names).size();
+}
+void obj_copy_mtl_names(ObjMesh* m, char* out) {
+  std::string s = join_names(m->mtl_names);
+  memcpy(out, s.data(), s.size());
+}
+int64_t obj_mtllibs_len(ObjMesh* m) { return (int64_t)m->mtllibs.size(); }
+void obj_copy_mtllibs(ObjMesh* m, char* out) {
+  memcpy(out, m->mtllibs.data(), m->mtllibs.size());
 }
 void obj_free(ObjMesh* m) { delete m; }
 

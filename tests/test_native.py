@@ -20,7 +20,7 @@ def test_native_obj_matches_python(tmp_path):
     mesh = make_torus(seg_u=12, seg_v=8)
     p = os.path.join(tmp_path, "t.obj")
     save_obj(p, mesh)
-    pos, nrm, tp, tn = native.load_obj_raw(p)
+    pos, nrm, tp, tn, tm, mtl_names, mtllibs = native.load_obj_raw(p)
     py = load_obj(p)
     assert tp.shape[0] == py.num_triangles
     assert pos.shape[0] == mesh.num_vertices
@@ -38,10 +38,65 @@ def test_native_obj_polygons_negative_indices(tmp_path):
     p = os.path.join(tmp_path, "quad.obj")
     with open(p, "w") as f:
         f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf -4 -3 -2 -1\n")
-    pos, nrm, tp, tn = native.load_obj_raw(p)
+    pos, nrm, tp, tn, tm, mtl_names, mtllibs = native.load_obj_raw(p)
     assert tp.shape == (2, 3)          # fan triangulated
     assert (tn == -1).all()            # no normals in file
+    assert (tm == -1).all()            # no materials in file
     np.testing.assert_array_equal(tp[0], [0, 1, 2])
+
+
+MTL_OBJ = """mtllib scene.mtl
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+usemtl red
+f 1 2 3
+usemtl blue
+f 1 3 4
+usemtl ghost
+f 1 2 4
+"""
+
+MTL_FILE = """# test materials
+newmtl red
+Kd 0.9 0.1 0.2
+newmtl blue
+Ka 0 0 0
+Kd 0.1 0.2 0.9
+"""
+
+
+def _write_mtl_scene(tmp_path):
+    p = os.path.join(tmp_path, "scene.obj")
+    with open(p, "w") as f:
+        f.write(MTL_OBJ)
+    with open(os.path.join(tmp_path, "scene.mtl"), "w") as f:
+        f.write(MTL_FILE)
+    return p
+
+
+def test_python_loader_reads_mtl_kd(tmp_path):
+    """mtllib/Kd parsing (VERDICT r1 'material parity'): real diffuse colors
+    for known materials, deterministic pseudo-color for unresolved names."""
+    p = _write_mtl_scene(tmp_path)
+    mesh = load_obj(p, use_native=False)
+    np.testing.assert_allclose(mesh.albedo[0], [0.9, 0.1, 0.2], atol=1e-6)
+    np.testing.assert_allclose(mesh.albedo[1], [0.1, 0.2, 0.9], atol=1e-6)
+    # "ghost" is not in the .mtl: falls back to the stable pseudo-color.
+    from tpurt.io.obj import _material_color
+    np.testing.assert_allclose(mesh.albedo[2], _material_color("ghost"),
+                               atol=1e-6)
+
+
+@needs_native
+def test_native_loader_matches_python_materials(tmp_path):
+    """The same OBJ must produce the same albedo regardless of parser."""
+    p = _write_mtl_scene(tmp_path)
+    m_native = load_obj(p, use_native=True)
+    m_python = load_obj(p, use_native=False)
+    np.testing.assert_allclose(np.asarray(m_native.albedo),
+                               np.asarray(m_python.albedo), atol=1e-6)
 
 
 @needs_native

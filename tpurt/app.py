@@ -113,9 +113,14 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
     shadows = []
     for li in range(num_lights):
         lkey = jax.random.fold_in(key, li)
-        shadows.append(shadow_pass(lambda o, d, tm: trace_any(bvh, o, d, tm),
-                                   gbuf, lights[li], cfg.spp, lkey,
-                                   cfg.shadow_bias))
+        # NB: ordering children along the light direction was measured
+        # on-TPU (round 2) at neutral-to-harmful for the any-hit trace
+        # (+dir doubled the time; -dir was within noise of unordered), so
+        # the shadow accel is used as-is. order_children_for_direction
+        # remains available for scenes where it pays.
+        shadows.append(shadow_pass(
+            lambda o, d, tm: trace_any(bvh, o, d, tm),
+            gbuf, lights[li], cfg.spp, lkey, cfg.shadow_bias))
     # Composite: sum of per-light direct terms + one ambient term.
     img = composite_pass(gbuf, shadows[0], lights[0], cfg.ambient,
                          cfg.background)

@@ -28,16 +28,72 @@ from ..types import Mesh
 
 
 def _material_color(name: str) -> np.ndarray:
-    """Deterministic pseudo-color per material name."""
+    """Deterministic pseudo-color per material name (fallback when no
+    .mtl file provides a real diffuse color)."""
     h = hashlib.sha256(name.encode()).digest()
     rgb = np.frombuffer(h[:3], dtype=np.uint8).astype(np.float32) / 255.0
     return 0.25 + 0.65 * rgb
 
 
+def parse_mtl(path: str) -> Dict[str, np.ndarray]:
+    """Parse a Wavefront .mtl file -> {material name: Kd diffuse f32[3]}.
+    The reference reads the same diffuse colors through tiny_obj_loader
+    [RECALL]; unsupported statements are skipped."""
+    out: Dict[str, np.ndarray] = {}
+    current: Optional[str] = None
+    try:
+        f = open(path, "r", errors="replace")
+    except OSError:
+        return out
+    with f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if parts[0] == "newmtl" and len(parts) > 1:
+                current = parts[1]
+                out.setdefault(current, np.full(3, 0.8, np.float32))
+            elif parts[0] == "Kd" and current is not None and len(parts) >= 4:
+                out[current] = np.asarray(
+                    [float(parts[1]), float(parts[2]), float(parts[3])],
+                    np.float32)
+    return out
+
+
+def _material_table(obj_dir: str, mtllibs: List[str]) -> Dict[str, np.ndarray]:
+    table: Dict[str, np.ndarray] = {}
+    import os
+    for lib in mtllibs:
+        table.update(parse_mtl(os.path.join(obj_dir, lib)))
+    return table
+
+
+def _resolve_albedo(names: List[Optional[str]], obj_dir: str,
+                    mtllibs: List[str]) -> np.ndarray:
+    """Per-triangle albedo: real Kd from the mtllib when available, the
+    deterministic pseudo-color for unresolved names, flat 0.8 for faces
+    with no material at all. Shared by both loaders so the same OBJ renders
+    identically regardless of which parser ran."""
+    table = _material_table(obj_dir, mtllibs)
+    cache: Dict[Optional[str], np.ndarray] = {None: np.full(3, 0.8, np.float32)}
+    out = np.empty((len(names), 3), np.float32)
+    for i, n in enumerate(names):
+        c = cache.get(n)
+        if c is None:
+            c = table.get(n)
+            if c is None:
+                c = _material_color(n)
+            cache[n] = c
+        out[i] = c
+    return out
+
+
 def _mesh_from_raw(pos: np.ndarray, nrm: np.ndarray, tri_pos: np.ndarray,
-                   tri_nrm: np.ndarray) -> Mesh:
-    """Vectorized corner dedup + normal resolution for the native parser's
-    raw output (no material parsing on this path: flat default albedo)."""
+                   tri_nrm: np.ndarray, tri_mtl: np.ndarray,
+                   mtl_names: List[str], mtllibs: List[str],
+                   obj_dir: str) -> Mesh:
+    """Vectorized corner dedup + normal resolution + material resolution for
+    the native parser's raw output."""
     corners = np.stack([tri_pos.reshape(-1),
                         tri_nrm.reshape(-1)], axis=1)
     uniq, inverse = np.unique(corners, axis=0, return_inverse=True)
@@ -51,7 +107,9 @@ def _mesh_from_raw(pos: np.ndarray, nrm: np.ndarray, tri_pos: np.ndarray,
                             np.array([0, 1, 0], np.float32))
     else:
         vnormals = compute_smooth_normals(vertices, indices)
-    albedo = np.full((len(indices), 3), 0.8, np.float32)
+    names = [mtl_names[k] if 0 <= k < len(mtl_names) else None
+             for k in tri_mtl.tolist()]
+    albedo = _resolve_albedo(names, obj_dir, mtllibs)
     return Mesh(vertices=vertices, normals=vnormals.astype(np.float32),
                 indices=indices, albedo=albedo)
 
@@ -62,6 +120,7 @@ def load_obj(path: str, use_native: bool | None = None) -> Mesh:
     back to the pure-Python parser (which also assigns per-material
     pseudo-colors)."""
     if use_native is not False:
+        import os
         from .. import native
         if native.available():
             try:
@@ -69,7 +128,9 @@ def load_obj(path: str, use_native: bool | None = None) -> Mesh:
             except FileNotFoundError:
                 raise
             if raw is not None:
-                return _mesh_from_raw(*raw)
+                return _mesh_from_raw(*raw,
+                                      obj_dir=os.path.dirname(
+                                          os.path.abspath(path)))
         if use_native:
             raise RuntimeError("native OBJ parser requested but unavailable")
     return _load_obj_python(path)
@@ -79,8 +140,9 @@ def _load_obj_python(path: str) -> Mesh:
     positions: List[Tuple[float, float, float]] = []
     normals: List[Tuple[float, float, float]] = []
     faces: List[Tuple[int, int, int, int, int, int]] = []  # (p0,n0,p1,n1,p2,n2)
-    face_mtl: List[str] = []
-    current_mtl = "default"
+    face_mtl: List[Optional[str]] = []
+    mtllibs: List[str] = []
+    current_mtl: Optional[str] = None
 
     with open(path, "r", errors="replace") as f:
         for line in f:
@@ -95,7 +157,9 @@ def _load_obj_python(path: str) -> Mesh:
             elif tag == "vn":
                 normals.append((float(parts[1]), float(parts[2]), float(parts[3])))
             elif tag == "usemtl":
-                current_mtl = parts[1] if len(parts) > 1 else "default"
+                current_mtl = parts[1] if len(parts) > 1 else None
+            elif tag == "mtllib" and len(parts) > 1:
+                mtllibs.append(" ".join(parts[1:]))
             elif tag == "f":
                 corners = []
                 for tok in parts[1:]:
@@ -146,7 +210,9 @@ def _load_obj_python(path: str) -> Mesh:
     else:
         vnormals = compute_smooth_normals(vertices, tri_indices)
 
-    albedo = np.stack([_material_color(m) for m in face_mtl]).astype(np.float32)
+    import os
+    albedo = _resolve_albedo(face_mtl,
+                             os.path.dirname(os.path.abspath(path)), mtllibs)
     return Mesh(vertices=vertices, normals=vnormals, indices=tri_indices,
                 albedo=albedo)
 

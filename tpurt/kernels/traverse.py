@@ -320,6 +320,59 @@ def _closest_hit_kernel(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref, ox_ref
 
 WIDE_STACK_DEPTH = 384
 
+# Vector->scalar reduction strategy for the per-node 8-child "any lane hit"
+# decisions:
+#   "sum4": two 11-bit count fields per jnp.sum word (4 syncs/node).
+#   "sum2": 2 syncs — per-child sublane any, 4x 8-bit lane-count fields per
+#           int32 word, one jnp.sum per word (fields < 2^32 under modular
+#           arithmetic; extracted with logical shifts).
+#   "roll1": 1 sync — bit-pack the 8 child masks per lane, OR-fold across
+#           sublanes+lanes with pltpu.roll, read one scalar.
+# Measured on a v5e (round 2, Sponza 1080p, within-process): sum4 is the
+# FASTEST (sum2 ~ +15%, roll1 ~ +10-20%) — contrary to the round-1 cost
+# model, the vector->scalar syncs do NOT dominate per-node cost; the slab
+# vector work and leaf Möller–Trumbore do. Kept for reproducibility.
+W8_REDUCE = "sum4"
+
+
+def _child_anyhit8(hits, valids, variant=None):
+    """8 scalar bools: does any lane hit child c's box (and is the slot
+    non-empty)? See W8_REDUCE for the sync-count tradeoff."""
+    variant = variant or W8_REDUCE
+    out = []
+    if variant == "roll1":
+        m = hits[0].astype(jnp.int32)
+        for c in range(1, 8):
+            m = m | (hits[c].astype(jnp.int32) << c)
+        for s in (4, 2, 1):
+            m = m | pltpu.roll(m, s, 0)
+        for s in (64, 32, 16, 8, 4, 2, 1):
+            m = m | pltpu.roll(m, s, 1)
+        bits = m[0, 0]
+        return [((bits >> c) & 1 > 0) & valids[c] for c in range(8)]
+    if variant == "sum2":
+        for w in range(2):
+            packed = None
+            for f in range(4):
+                c = 4 * w + f
+                colany = (jnp.sum(hits[c].astype(jnp.int32), axis=0,
+                                  keepdims=True) > 0).astype(jnp.int32)
+                colany = colany << (8 * f)
+                packed = colany if packed is None else packed + colany
+            bits = jnp.sum(packed)
+            for f in range(4):
+                fld = jax.lax.shift_right_logical(bits, 8 * f) & 255
+                out.append((fld > 0) & valids[4 * w + f])
+        return out
+    # "sum4" baseline: two 11-bit count fields per reduction.
+    for p in range(4):
+        fused = (hits[2 * p].astype(jnp.int32)
+                 + (hits[2 * p + 1].astype(jnp.int32) << 11))
+        bits = jnp.sum(fused)
+        out.append(((bits & 2047) > 0) & valids[2 * p])
+        out.append(((bits >> 11) > 0) & valids[2 * p + 1])
+    return out
+
 
 def _wide_child(rec, c):
     """(bmin scalars, bmax scalars, ref i32) for child c of a (1,128) row."""
@@ -365,14 +418,7 @@ def _any_hit_kernel_w8(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
                         & lanes)
             refs.append(ref)
             valids.append(rec[0, b] <= rec[0, b + 3])  # empty-slot guard
-        # Four fused reductions: two 11-bit count fields each.
-        anyhit = []
-        for p in range(4):
-            fused = (hits[2 * p].astype(jnp.int32)
-                     + (hits[2 * p + 1].astype(jnp.int32) << 11))
-            bits = jnp.sum(fused)
-            anyhit.append(((bits & 2047) > 0) & valids[2 * p])
-            anyhit.append(((bits >> 11) > 0) & valids[2 * p + 1])
+        anyhit = _child_anyhit8(hits, valids)
         for c in range(8):
             ref = refs[c]
             is_leaf = ref < 0
@@ -435,13 +481,7 @@ def _closest_hit_kernel_w8(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
             hits.append(_slab(rec, b, ox, oy, oz, ix, iy, iz, t_min, cap))
             refs.append(ref)
             valids.append(rec[0, b] <= rec[0, b + 3])  # empty-slot guard
-        anyhit = []
-        for p in range(4):
-            fused = (hits[2 * p].astype(jnp.int32)
-                     + (hits[2 * p + 1].astype(jnp.int32) << 11))
-            bits = jnp.sum(fused)
-            anyhit.append(((bits & 2047) > 0) & valids[2 * p])
-            anyhit.append(((bits >> 11) > 0) & valids[2 * p + 1])
+        anyhit = _child_anyhit8(hits, valids)
         for c in range(8):
             ref = refs[c]
             is_leaf = ref < 0

@@ -57,6 +57,12 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.obj_copy_positions.argtypes = [ctypes.c_void_p, c_float_p]
     lib.obj_copy_normals.argtypes = [ctypes.c_void_p, c_float_p]
     lib.obj_copy_tris.argtypes = [ctypes.c_void_p, c_int_p, c_int_p]
+    lib.obj_copy_tri_mtl.argtypes = [ctypes.c_void_p, c_int_p]
+    for name in ("obj_mtl_names_len", "obj_mtllibs_len"):
+        getattr(lib, name).restype = ctypes.c_int64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.obj_copy_mtl_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.obj_copy_mtllibs.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.obj_free.argtypes = [ctypes.c_void_p]
     lib.bvh_build.restype = ctypes.c_void_p
     lib.bvh_build.argtypes = [c_float_p, ctypes.c_int64, c_int_p,
@@ -83,9 +89,11 @@ def _ip(a: np.ndarray):
 
 
 def load_obj_raw(path: str) -> Optional[Tuple[np.ndarray, np.ndarray,
-                                              np.ndarray, np.ndarray]]:
+                                              np.ndarray, np.ndarray,
+                                              np.ndarray, list, list]]:
     """Fast OBJ parse -> (positions f32[P,3], normals f32[N,3],
-    tri_pos i32[T,3], tri_nrm i32[T,3] with -1 for 'no normal').
+    tri_pos i32[T,3], tri_nrm i32[T,3] with -1 for 'no normal',
+    tri_mtl i32[T] material index (-1 = none), mtl_names, mtllib_names).
     None if the native library is unavailable or the file has no faces."""
     lib = load_library()
     if lib is None:
@@ -102,12 +110,25 @@ def load_obj_raw(path: str) -> Optional[Tuple[np.ndarray, np.ndarray,
         nrm = np.empty((max(nn, 1), 3), np.float32)
         tp = np.empty((nt, 3), np.int32)
         tn = np.empty((nt, 3), np.int32)
+        tm = np.empty(nt, np.int32)
         if np_:
             lib.obj_copy_positions(h, _fp(pos))
         if nn:
             lib.obj_copy_normals(h, _fp(nrm))
         lib.obj_copy_tris(h, _ip(tp), _ip(tn))
-        return pos, nrm[:nn], tp, tn
+        lib.obj_copy_tri_mtl(h, _ip(tm))
+
+        def _names(len_fn, copy_fn):
+            n = len_fn(h)
+            if n == 0:
+                return []
+            buf = ctypes.create_string_buffer(int(n))
+            copy_fn(h, buf)
+            return buf.raw[:n].decode(errors="replace").split("\n")
+
+        mtl_names = _names(lib.obj_mtl_names_len, lib.obj_copy_mtl_names)
+        mtllibs = _names(lib.obj_mtllibs_len, lib.obj_copy_mtllibs)
+        return pos, nrm[:nn], tp, tn, tm, mtl_names, mtllibs
     finally:
         lib.obj_free(h)
 
