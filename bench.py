@@ -138,10 +138,118 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                      5) * 1e3
     log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
         f"build+trace: {rebuild_ms + shadow_s*1e3:.2f} ms")
-    return dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,
-                widen_ms=widen_ms, gbuffer_ms=gb_ms,
-                shadow_ms=shadow_s * 1e3,
-                build_trace_ms=rebuild_ms + shadow_s * 1e3)
+    result = dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,
+                  widen_ms=widen_ms, gbuffer_ms=gb_ms,
+                  shadow_ms=shadow_s * 1e3,
+                  build_trace_ms=rebuild_ms + shadow_s * 1e3)
+
+    # ---- BASELINE configs 3/4/5 (fault-tolerant: the headline metric above
+    # must survive an extras failure) -------------------------------------
+    try:
+        result.update(bench_extras(mesh, cam, bvh, accel, gbuf, trace_any,
+                                   leaf_size, st0, trace_closest))
+    except Exception as e:  # noqa: BLE001
+        log(f"extras failed: {type(e).__name__}: {str(e)[:300]}")
+    return result
+
+
+def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
+                 trace_closest):
+    """Configs 3 (soft shadows spp=8), 4 (refit steady state), 5 (4K
+    multi-light with ray sorting on vs off)."""
+    import jax
+    import jax.numpy as jnp
+    from tpurt.bvh.lbvh import refit_lbvh
+    from tpurt.bvh.wide import (WideBVH, make_wide_plan, widen_from_plan,
+                                order_children_for_point)
+    from tpurt.passes.gbuffer import gbuffer_pass
+    from tpurt.passes.shadow import shadow_pass, shadow_ray_batch
+    from tpurt.passes.sort import compaction_stats, make_sorted_tracer
+    from tpurt.types import Light
+
+    out = {}
+    valid = int(np.asarray(gbuf["valid"]).sum())
+
+    # Config 3: area-light soft shadows, 8 jittered rays/pixel.
+    sun = Light.sun((0.25, 0.9, 0.2), angular_radius_deg=2.5)
+    sp8 = jax.jit(lambda a, g, k: shadow_pass(
+        lambda o, d, tm: trace_any(a, o, d, tm), g, sun, 8, k, 1e-3))
+    t = timed(lambda: sp8(accel, gbuf, jax.random.PRNGKey(1)), 3)
+    out["soft_spp8_ms"] = round(t * 1e3, 2)
+    out["soft_spp8_mrays"] = round(valid * 8 / t / 1e6, 2)
+    log(f"config 3 soft spp=8: {out['soft_spp8_ms']} ms "
+        f"-> {out['soft_spp8_mrays']} Mrays/s")
+
+    # Config 4: per-frame AABB refit (topology + wide plan frozen).
+    if isinstance(accel, WideBVH):
+        plan = jax.jit(make_wide_plan, static_argnames=("nw_pad",))(
+            bvh, nw_pad=accel.num_wide)
+        refit = jax.jit(lambda b, v, i: widen_from_plan(
+            plan, refit_lbvh(b, v, i)).nodes)
+    else:
+        refit = jax.jit(lambda b, v, i: refit_lbvh(b, v, i).nodes_box)
+    out["refit_ms"] = round(
+        timed(lambda: refit(bvh, mesh.vertices, mesh.indices), 5) * 1e3, 2)
+    log(f"config 4 refit (incl. wide re-gather): {out['refit_ms']} ms")
+
+    # Config 5: 4K G-buffer + 2-light shadow batches, sorted vs unsorted.
+    W4, H4 = 3840, 2160
+    gb_accel4 = accel
+    if isinstance(accel, WideBVH):
+        gb_accel4 = jax.jit(order_children_for_point)(accel, cam.position)
+    if st0 is not None:
+        from tpurt.kernels.traverse import trace_closest_pallas
+        gb4 = jax.jit(lambda a: gbuffer_pass(
+            lambda o, d: trace_closest_pallas(a, o, d, return_sorted=True),
+            mesh, cam, W4, H4, shade_table=st0))
+    else:
+        gb4 = jax.jit(lambda a: gbuffer_pass(
+            lambda o, d: trace_closest(a, o, d), mesh, cam, W4, H4))
+    gbuf4 = gb4(gb_accel4)
+    valid4 = int(np.asarray(gbuf4["valid"]).sum())
+    out["gbuffer_4k_ms"] = round(timed(lambda: gb4(gb_accel4)["t"], 3) * 1e3,
+                                 2)
+    lights5 = [Light.sun((0.25, 0.9, 0.2), angular_radius_deg=1.5),
+               Light.directional((-0.4, 0.8, -0.3))]
+    raw = lambda a, o, d, tm: trace_any(a, o, d, tm)
+    sortd = lambda a, o, d, tm: make_sorted_tracer(
+        lambda so, sd, stm: trace_any(a, so, sd, stm),
+        bvh.root_min, bvh.root_max)(o, d, tm)
+
+    def multi_light(tracer):
+        # gbuf4/accel enter as ARGUMENTS (closure-captured device arrays
+        # would be baked into the program as giant constants).
+        def run(a, g):
+            r = None
+            for li, lt in enumerate(lights5):
+                u = jax.random.uniform(jax.random.PRNGKey(li), (H4, W4, 2)) \
+                    if lt.kind != 0 else None
+                o, d, tm = shadow_ray_batch(g, lt, 1e-3, u)
+                occ = tracer(a, o, d, tm)
+                r = occ if r is None else r ^ occ
+            return r
+        fn = jax.jit(run)
+        return lambda: fn(accel, gbuf4)
+
+    run_raw = multi_light(raw)
+    run_sorted = multi_light(sortd)
+    t_raw = timed(run_raw, 3)
+    t_sorted = timed(run_sorted, 3)
+    nrays = 2 * valid4
+    out["multilight_4k_unsorted_ms"] = round(t_raw * 1e3, 2)
+    out["multilight_4k_sorted_ms"] = round(t_sorted * 1e3, 2)
+    out["multilight_4k_mrays"] = round(
+        nrays / min(t_raw, t_sorted) / 1e6, 2)
+    o, d, tm = shadow_ray_batch(gbuf4, lights5[0], 1e-3, None)
+    stats = jax.jit(lambda tm: compaction_stats(tm))(tm)
+    out["compaction_mean_occupancy"] = round(
+        float(np.asarray(stats["mean_occupancy"])), 4)
+    out["compaction_empty_packets"] = int(np.asarray(
+        stats["empty_packets"]))
+    log(f"config 5 4K 2-light: unsorted {out['multilight_4k_unsorted_ms']} "
+        f"ms, sorted {out['multilight_4k_sorted_ms']} ms "
+        f"({nrays/1e6:.1f} Mrays); gbuffer4k {out['gbuffer_4k_ms']} ms")
+    return out
 
 
 def main() -> int:
@@ -167,11 +275,16 @@ def main() -> int:
         print(json.dumps({"metric": "shadow_mrays_per_s", "value": 0.0,
                           "unit": "Mrays/s", "vs_baseline": 0.0}))
         return 1
+    extras = {k: v for k, v in result.items()
+              if k not in ("mrays", "frame_ms", "build_ms", "widen_ms",
+                           "gbuffer_ms", "shadow_ms", "build_trace_ms",
+                           "kw")}
     print(json.dumps({
         "metric": "shadow_mrays_per_s",
         "value": round(result["mrays"], 2),
         "unit": "Mrays/s",
         "vs_baseline": round(result["mrays"] / 100.0, 3),
+        **extras,
         "sponza1080p_build_plus_trace_ms": round(result["build_trace_ms"], 2),
         "frame_ms": round(result["frame_ms"], 2),
         "lbvh_build_ms": round(result["build_ms"], 2),

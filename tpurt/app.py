@@ -27,7 +27,7 @@ import numpy as np
 from .bvh.lbvh import LBVH, build_lbvh, refit_lbvh, sah_cost
 from .bvh.wide import build_wide, widen_lbvh, wide_count_device
 from .bvh import traverse as jax_traverse
-from .passes.shading import make_shade_table
+from .passes.shading import make_shade_table, make_shade_table_orig
 from .passes.composite import accumulate, composite_pass
 from .passes.gbuffer import gbuffer_pass
 from .passes.shadow import shadow_pass
@@ -82,34 +82,54 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int):
     bvh = build_lbvh(vertices, indices, leaf_size=leaf_size)
     wide = widen_lbvh(bvh, nw_pad=nw_pad)
     st = make_shade_table(bvh, mesh)
-    return bvh, wide, st, wide_count_device(bvh)
+    st_orig = make_shade_table_orig(mesh)
+    return bvh, wide, st, st_orig, wide_count_device(bvh)
+
+
+def use_raster_gbuffer(cfg: RenderConfig) -> bool:
+    """Primary-visibility strategy resolution (see RenderConfig.gbuffer)."""
+    if cfg.gbuffer == "raster":
+        return True
+    if cfg.gbuffer == "ray":
+        return False
+    from .kernels.traverse import _compiled_backend
+    return cfg.use_pallas and _compiled_backend()
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
                     lights: Sequence[Light], key: jax.Array,
                     cfg: RenderConfig,
-                    shade_table=None) -> Dict[str, jnp.ndarray]:
+                    shade_table=None,
+                    shade_table_orig=None) -> Dict[str, jnp.ndarray]:
     """One fused frame: G-buffer -> per-light shadow batches -> composite."""
     num_lights = len(lights)
     trace_closest, trace_any = make_tracers(cfg)
     from .bvh.wide import WideBVH, order_children_for_point
-    gb_accel = bvh
-    if isinstance(bvh, WideBVH):
-        # Near-first child ordering w.r.t. the camera: primary-ray packets
-        # pop near children first so per-lane best_t culls the far ones.
-        gb_accel = order_children_for_point(bvh, cam.position)
-    if shade_table is not None and cfg.use_pallas:
-        from .kernels.traverse import trace_closest_pallas
-
-        def tracer(o, d):
-            return trace_closest_pallas(gb_accel, o, d, cfg=cfg,
-                                        return_sorted=True)
+    if use_raster_gbuffer(cfg) and shade_table_orig is not None:
+        from .passes.gbuffer import gbuffer_raster_pass
+        gbuf = gbuffer_raster_pass(
+            mesh, cam, cfg.width, cfg.height, shade_table_orig,
+            cap_pairs=cfg.raster_cap_pairs or None)
     else:
-        def tracer(o, d):
-            return trace_closest(gb_accel, o, d)
-    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, cfg.height,
-                        shade_table=shade_table if cfg.use_pallas else None)
+        gb_accel = bvh
+        if isinstance(bvh, WideBVH):
+            # Near-first child ordering w.r.t. the camera: primary-ray
+            # packets pop near children first so per-lane best_t culls the
+            # far ones.
+            gb_accel = order_children_for_point(bvh, cam.position)
+        if shade_table is not None and cfg.use_pallas:
+            from .kernels.traverse import trace_closest_pallas
+
+            def tracer(o, d):
+                return trace_closest_pallas(gb_accel, o, d, cfg=cfg,
+                                            return_sorted=True)
+        else:
+            def tracer(o, d):
+                return trace_closest(gb_accel, o, d)
+        gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, cfg.height,
+                            shade_table=shade_table if cfg.use_pallas
+                            else None)
     shadows = []
     for li in range(num_lights):
         lkey = jax.random.fold_in(key, li)
@@ -239,6 +259,7 @@ class Renderer:
         with the real count known, scenes past the budget fall back to the
         pure-JAX path before any Mosaic compile."""
         self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
+        self.shade_table_orig = jax.jit(make_shade_table_orig)(self.mesh)
         self._nw_pad = None
         if self.config.use_pallas and self.config.bvh_width == 8:
             from .bvh.wide import count_wide, make_wide_plan, round_up_bucket
@@ -269,6 +290,7 @@ class Renderer:
         frozen, so only boxes are re-gathered — no count host-sync. The
         shading table holds geometry (v0/e1/e2, normals) and must follow."""
         self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
+        self.shade_table_orig = jax.jit(make_shade_table_orig)(self.mesh)
         if self._nw_pad is not None:
             from .bvh.wide import widen_from_plan
             return jax.jit(widen_from_plan)(self._wide_plan, self.bvh)
@@ -306,7 +328,7 @@ class Renderer:
                     # Fused build+collapse+shading-table: one device program,
                     # no host sync (VERDICT r1 item 2 — the old path paid a
                     # ~150 ms count_wide round trip every frame).
-                    bvh, accel, st, cnt = _rebuild_fused(
+                    bvh, accel, st, st_orig, cnt = _rebuild_fused(
                         self.mesh.vertices, self.mesh.indices, self.mesh,
                         self.config.leaf_size, self._nw_pad)
                     overflow = False
@@ -323,8 +345,9 @@ class Renderer:
                         self.bvh = jax.block_until_ready(bvh)
                         self.accel = self._make_accel()
                     else:
-                        self.bvh, self.accel, self.shade_table = \
-                            bvh, accel, st
+                        self.bvh, self.accel = bvh, accel
+                        self.shade_table = st
+                        self.shade_table_orig = st_orig
                         jax.block_until_ready(accel.nodes)
                 else:
                     self.bvh = jax.block_until_ready(
@@ -366,9 +389,25 @@ class Renderer:
             out = render_frame_fn(self.accel, self.mesh, self.camera,
                                   tuple(self.lights), key, cfg,
                                   shade_table=self.shade_table
-                                  if cfg.use_pallas else None)
+                                  if cfg.use_pallas else None,
+                                  shade_table_orig=self.shade_table_orig)
             jax.block_until_ready(out["image"])
         self.stats.frame_ms = timer.ms["frame"]
+
+        if "raster_overflow" in out and bool(np.asarray(
+                out["raster_overflow"])):
+            # Rasterizer pair capacity overflowed for this viewpoint: double
+            # it (static -> recompile) and re-render; never return a frame
+            # with dropped coverage.
+            from .raster.setup import default_cap_pairs
+            cap = cfg.raster_cap_pairs or default_cap_pairs(
+                self.mesh.num_triangles)
+            self.config = dataclasses.replace(cfg,
+                                              raster_cap_pairs=2 * cap)
+            import sys
+            print(f"tpurt: raster pair capacity {cap} overflowed; "
+                  f"retrying with {2 * cap}.", file=sys.stderr)
+            return self.render_frame(profile=profile)
 
         if profile:
             self._profile_passes(key, timer)
@@ -404,11 +443,18 @@ class Renderer:
     def _profile_passes(self, key, timer: Timer) -> None:
         cfg = self.config
         trace_closest, trace_any = make_tracers(cfg)
-        gb = jax.jit(lambda bvh, mesh, cam: gbuffer_pass(
-            lambda o, d: trace_closest(bvh, o, d), mesh, cam, cfg.width,
-            cfg.height))
+        if use_raster_gbuffer(cfg):
+            from .passes.gbuffer import gbuffer_raster_pass
+            gb = jax.jit(lambda _bvh, mesh, cam, st: gbuffer_raster_pass(
+                mesh, cam, cfg.width, cfg.height, st,
+                cap_pairs=cfg.raster_cap_pairs or None))
+        else:
+            gb = jax.jit(lambda bvh, mesh, cam, _st: gbuffer_pass(
+                lambda o, d: trace_closest(bvh, o, d), mesh, cam, cfg.width,
+                cfg.height))
         with timer.section("gbuffer"):
-            gbuf = gb(self.accel, self.mesh, self.camera)
+            gbuf = gb(self.accel, self.mesh, self.camera,
+                      self.shade_table_orig)
             jax.block_until_ready(gbuf["t"])
         sp = jax.jit(lambda bvh, gbuf, light, k: shadow_pass(
             lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf, light, cfg.spp,

@@ -109,7 +109,15 @@ def main(argv=None) -> int:
                    help="content-addressed LBVH cache directory")
     p.add_argument("--debug", action="store_true",
                    help="enable jax checks + NaN debugging + interpreted "
-                        "kernels (the sanitizer mode; SURVEY.md §5)")
+                        "kernels + a checkified traversal probe (the "
+                        "sanitizer mode; SURVEY.md §5)")
+    p.add_argument("--xprof", default=None, metavar="DIR",
+                   help="write a kernel-level jax.profiler trace "
+                        "(xprof/TensorBoard format) around the frame loop")
+    p.add_argument("--gbuffer", choices=("auto", "ray", "raster"),
+                   default="auto",
+                   help="primary visibility: tile rasterizer (the "
+                        "reference's strategy; ~10x faster) or ray cast")
     args = p.parse_args(argv)
 
     if args.debug:
@@ -148,7 +156,8 @@ def main(argv=None) -> int:
                        use_pallas=not args.no_pallas,
                        sort_rays=opts.get("sort_rays", False),
                        accumulate=opts.get("accumulate", False),
-                       leaf_size=leaf_size, seed=args.seed)
+                       leaf_size=leaf_size, seed=args.seed,
+                       gbuffer=args.gbuffer)
 
     from .app import Renderer
     r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"],
@@ -157,15 +166,35 @@ def main(argv=None) -> int:
           f"{cfg.width}x{cfg.height} spp={cfg.spp} lights={len(lights)} "
           f"mode={opts['mode']} pallas={cfg.use_pallas}", file=sys.stderr)
 
+    if args.debug:
+        # Checkified traversal probe: in-kernel assertions (NaNs, index
+        # range, t-range) discharged on a small sample before rendering.
+        from .camera import generate_rays
+        from .utils.debug import checked_traverse
+        o, d = generate_rays(cam, 32, 32)
+        err, _ = checked_traverse(r.bvh, o, d)
+        err.throw()
+        print("debug: checkified traversal probe passed", file=sys.stderr)
+
+    import contextlib
+    if args.xprof:
+        from .utils.debug import profile_trace
+        trace_ctx = profile_trace(args.xprof)
+    else:
+        trace_ctx = contextlib.nullcontext()
+
     out = None
-    for f in range(args.frames):
-        if opts.get("animate"):
-            r.set_vertices(deform(mesh, time=f * 0.08))
-        out = r.render_frame(profile=args.profile)
-        if args.stats_json:
-            print(json.dumps(r.stats.as_dict()))
-        else:
-            print(r.stats.hud(), file=sys.stderr)
+    with trace_ctx:
+        for f in range(args.frames):
+            if opts.get("animate"):
+                r.set_vertices(deform(mesh, time=f * 0.08))
+            out = r.render_frame(profile=args.profile)
+            if args.stats_json:
+                print(json.dumps(r.stats.as_dict()))
+            else:
+                print(r.stats.hud(), file=sys.stderr)
+    if args.xprof:
+        print(f"xprof trace written to {args.xprof}", file=sys.stderr)
 
     if args.out and out is not None:
         from .io.image import write_png

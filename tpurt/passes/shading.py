@@ -85,6 +85,42 @@ def make_shade_table(bvh: LBVH, mesh: Mesh) -> jnp.ndarray:
         axis=1).astype(jnp.float32)
 
 
+def make_shade_table_orig(mesh: Mesh) -> jnp.ndarray:
+    """f32[T, 16] shading rows in ORIGINAL triangle order (no BVH) — the
+    rasterized G-buffer path keys by raw triangle id."""
+    tri = mesh.indices
+    v0 = mesh.vertices[tri[:, 0]]
+    v1 = mesh.vertices[tri[:, 1]]
+    v2 = mesh.vertices[tri[:, 2]]
+    n0 = oct_encode(mesh.normals[tri[:, 0]])
+    n1 = oct_encode(mesh.normals[tri[:, 1]])
+    n2 = oct_encode(mesh.normals[tri[:, 2]])
+    alb = pack_rgb(mesh.albedo)[:, None]
+    return jnp.concatenate(
+        [v0, v1 - v0, v2 - v0, n0, n1, n2, alb],
+        axis=1).astype(jnp.float32)
+
+
+def shade_from_table_uv(rows: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                        valid: jnp.ndarray):
+    """Like shade_from_table but with KNOWN barycentrics (the rasterizer
+    outputs exact perspective-correct u, v — no re-derivation needed)."""
+    n0 = oct_decode(rows[..., 9:11])
+    n1 = oct_decode(rows[..., 11:13])
+    n2 = oct_decode(rows[..., 13:15])
+    smooth = normalize(n0 + u[..., None] * (n1 - n0)
+                       + v[..., None] * (n2 - n0))
+    gnormal = normalize(jnp.cross(rows[..., 3:6], rows[..., 6:9]))
+    albedo = unpack_rgb(rows[..., 15])
+    zeros = jnp.zeros_like(smooth)
+    vmask = valid[..., None]
+    return {
+        "normal": jnp.where(vmask, smooth, zeros),
+        "gnormal": jnp.where(vmask, gnormal, zeros),
+        "albedo": jnp.where(vmask, albedo, zeros),
+    }
+
+
 def shade_from_table(rows: jnp.ndarray, position: jnp.ndarray,
                      valid: jnp.ndarray):
     """Gathered table rows [..., 16] + hit positions -> attribute dict

@@ -1,0 +1,197 @@
+"""Rasterizer front end: vertex transform, triangle setup, tile binning.
+
+The reference renders its G-buffer by RASTERIZING the mesh (Model.vert /
+Model.frag [RECALL]); round 1 replaced that with a closest-hit ray cast,
+which measured ~150 ms at 1080p on a v5e — the single largest frame cost.
+This module + kernels/raster.py bring back the rasterizer, designed for the
+TPU rather than translated from the GPU pipeline:
+
+- **2D-homogeneous (Olano–Greer style) rasterization**: edge functions are
+  cross products of CLIP-space (x, y, w) vertex coordinates, so no near-plane
+  clipping pass is ever needed; triangles crossing or behind the eye plane
+  resolve through the same sign tests plus an interpolated 1/w > 0 guard.
+  The three edge values d_i at a pixel ARE the perspective-correct
+  barycentric weights (lambda_i = d_i / sum d), so attribute interpolation
+  needs no extra per-vertex data.
+- **Sort-based binning under static shapes**: each triangle's pixel bbox maps
+  to a span of 32x32 tiles; (triangle, tile) pairs are emitted into a static
+  capacity by masked index arithmetic (no dynamic shapes), sorted by tile,
+  and the per-pair setup rows gathered into pair order so every tile's work
+  is one CONTIGUOUS run of HBM rows — the layout the kernel's double-buffered
+  DMA wants. Triangles spanning more than BIG_SPAN tiles (huge or
+  eye-plane-crossing) go to a small "big list" that every tile also tests.
+- All passes here are pure XLA (sorts, cumsums, gathers) — the per-pixel
+  z-fight happens in the Pallas kernel (kernels/raster.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import camera_basis
+from ..types import Camera, Mesh
+
+TILE = 32          # pixels per tile side (matches kernels/traverse.py TILE)
+REC = 16           # floats per setup record
+RECS_PER_ROW = 8   # setup records per 128-lane row
+BIG_SPAN = 64      # tiles; triangles covering more go to the big list
+W_EPS = 1e-6       # clip-w threshold for "crosses the eye plane"
+
+
+def clip_transform(cam: Camera, width: int, height: int,
+                   vertices: jnp.ndarray) -> jnp.ndarray:
+    """World vertices -> 2DH clip coords (x, y, w), where (x/w, y/w) are
+    SCREEN coordinates in pixels such that integer coordinates hit pixel
+    centers (exactly the pixel grid camera.generate_rays shoots through),
+    and w is camera-space depth along the forward axis."""
+    right, up, forward = camera_basis(cam)
+    q = vertices - cam.position
+    xc = q @ right
+    yc = q @ up
+    z = q @ forward
+    thx = jnp.tan(cam.fov_y * 0.5) * (width / height)
+    thy = jnp.tan(cam.fov_y * 0.5)
+    cx = (width / (2.0 * thx)) * xc + ((width - 1) / 2.0) * z
+    cy = -(height / (2.0 * thy)) * yc + ((height - 1) / 2.0) * z
+    return jnp.stack([cx, cy, z], axis=-1)
+
+
+class RasterBins(NamedTuple):
+    """Kernel-ready binning output (all shapes static).
+
+    pair_rows  : f32[CAP/8, 128] setup records in SORTED pair order
+    starts     : i32[ntiles] first pair index of each tile
+    counts     : i32[ntiles] pairs per tile
+    big_rows   : f32[BIGCAP/8, 128] big-list setup records
+    big_count  : i32[] number of valid big records
+    overflow   : bool[] True if pair capacity was exceeded (pairs dropped)
+    """
+
+    pair_rows: jnp.ndarray
+    starts: jnp.ndarray
+    counts: jnp.ndarray
+    big_rows: jnp.ndarray
+    big_count: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def _setup_records(clip: jnp.ndarray, tri: jnp.ndarray,
+                   tri_ids: jnp.ndarray) -> jnp.ndarray:
+    """Per-triangle setup record f32[T, 16]:
+    [E0(3), E1(3), E2(3), Dinv, tri_id, 0...].
+
+    E_i = cross(c_j, c_k) over clip (x, y, w); d_i(p) = E_i . (sx, sy, 1).
+    D = det(c0, c1, c2); 1/w(p) = (d0+d1+d2) * Dinv. Records are built so
+    d-signs match D's sign inside the triangle (two-sided)."""
+    c0 = clip[tri[:, 0]]
+    c1 = clip[tri[:, 1]]
+    c2 = clip[tri[:, 2]]
+    e0 = jnp.cross(c1, c2)
+    e1 = jnp.cross(c2, c0)
+    e2 = jnp.cross(c0, c1)
+    d = jnp.sum(e0 * c0, axis=-1)                     # det(c0, c1, c2)
+    dinv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 0.0)
+    rec = jnp.concatenate([
+        e0, e1, e2, dinv[:, None],
+        tri_ids.astype(jnp.float32)[:, None],
+        jnp.zeros((tri.shape[0], 5), jnp.float32),
+    ], axis=1)
+    return rec
+
+
+def _pack_rows(rec: jnp.ndarray) -> jnp.ndarray:
+    """f32[N, 16] -> f32[ceil(N/8), 128] (8 records per 128-lane row)."""
+    n = rec.shape[0]
+    npad = -(-n // RECS_PER_ROW) * RECS_PER_ROW
+    rec = jnp.pad(rec, ((0, npad - n), (0, 0)))
+    return rec.reshape(npad // RECS_PER_ROW, 128)
+
+
+def bin_triangles(cam: Camera, mesh: Mesh, width: int, height: int,
+                  cap_pairs: int, cap_big: int = 4096) -> RasterBins:
+    """Bin all triangles into 32x32-pixel tiles (static shapes; jit-safe).
+
+    cap_pairs: static (tri, tile)-pair capacity. Exceeding it sets
+    ``overflow`` and drops trailing pairs — callers treat that like the
+    wide-BVH pad overflow (re-plan with a bigger cap)."""
+    wt = -(-width // TILE)
+    ht = -(-height // TILE)
+    ntiles = wt * ht
+    tri = mesh.indices.astype(jnp.int32)
+    t_count = tri.shape[0]
+    clip = clip_transform(cam, width, height, mesh.vertices)
+    rec = _setup_records(clip, tri, jnp.arange(t_count, dtype=jnp.int32))
+
+    # Screen bbox per triangle (valid only when all w > eps; otherwise the
+    # projected bbox is unbounded -> big list).
+    c = clip[tri]                                    # [T, 3, 3]
+    w_ok = jnp.all(c[:, :, 2] > W_EPS, axis=1)
+    w_safe = jnp.maximum(c[:, :, 2:3], W_EPS)
+    sxy = c[:, :, 0:2] / w_safe                      # [T, 3, 2] pixels
+    mn = jnp.min(sxy, axis=1) - 0.5
+    mx = jnp.max(sxy, axis=1) + 0.5
+    tx0 = jnp.clip(jnp.floor(mn[:, 0] / TILE), 0, wt - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(mn[:, 1] / TILE), 0, ht - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(mx[:, 0] / TILE), 0, wt - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(mx[:, 1] / TILE), 0, ht - 1).astype(jnp.int32)
+    onscreen = (mx[:, 0] >= 0) & (mx[:, 1] >= 0) & \
+               (mn[:, 0] <= width - 1) & (mn[:, 1] <= height - 1)
+    degenerate = jnp.abs(rec[:, 9]) == 0.0           # Dinv == 0
+    all_behind = jnp.all(c[:, :, 2] < W_EPS, axis=1)  # fully behind the eye
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    span = span_x * span_y
+    small = w_ok & onscreen & (span <= BIG_SPAN) & ~degenerate
+    big = (~w_ok | (w_ok & onscreen & (span > BIG_SPAN))) \
+        & ~degenerate & ~all_behind
+
+    # ---- small-triangle pair expansion (static capacity) -----------------
+    counts = jnp.where(small, span, 0)
+    starts = jnp.cumsum(counts) - counts             # exclusive prefix sum
+    total = starts[-1] + counts[-1]
+    # pair p belongs to triangle upper_bound(starts, p) - 1
+    p = jnp.arange(cap_pairs, dtype=jnp.int32)
+    pair_tri = jnp.searchsorted(starts + counts, p, side="right"
+                                ).astype(jnp.int32)
+    pair_tri = jnp.clip(pair_tri, 0, t_count - 1)
+    k = p - starts[pair_tri]
+    alive = (p < total) & (k >= 0) & (k < counts[pair_tri])
+    tx = tx0[pair_tri] + k % jnp.maximum(span_x[pair_tri], 1)
+    ty = ty0[pair_tri] + k // jnp.maximum(span_x[pair_tri], 1)
+    tile_id = jnp.where(alive, ty * wt + tx, jnp.int32(ntiles))
+
+    order = jnp.argsort(tile_id)
+    tile_sorted = tile_id[order]
+    tri_sorted = pair_tri[order]
+    pair_rows = _pack_rows(rec[tri_sorted])
+
+    tile_range = jnp.arange(ntiles, dtype=jnp.int32)
+    t_starts = jnp.searchsorted(tile_sorted, tile_range, side="left"
+                                ).astype(jnp.int32)
+    t_ends = jnp.searchsorted(tile_sorted, tile_range, side="right"
+                              ).astype(jnp.int32)
+
+    # ---- big list --------------------------------------------------------
+    big_idx = jnp.nonzero(big, size=cap_big, fill_value=0)[0]
+    n_big = jnp.sum(big.astype(jnp.int32))
+    big_rec = rec[big_idx]
+    # Dead rows (beyond n_big) get tri_id -1 so the kernel masks them.
+    dead = jnp.arange(cap_big) >= n_big
+    big_rec = big_rec.at[:, 10].set(jnp.where(dead, -1.0, big_rec[:, 10]))
+    big_rows = _pack_rows(big_rec)
+
+    overflow = (total > cap_pairs) | (n_big > cap_big)
+    return RasterBins(pair_rows=pair_rows, starts=t_starts,
+                      counts=t_ends - t_starts, big_rows=big_rows,
+                      big_count=jnp.minimum(n_big, cap_big),
+                      overflow=overflow)
+
+
+def default_cap_pairs(num_tris: int) -> int:
+    """Static pair capacity: ~6 tiles per small triangle covers typical
+    scenes with large headroom (most tris span 1-4 tiles); bucketed to
+    limit recompiles if callers grow it."""
+    return max(1 << 17, -(-6 * num_tris // (1 << 16)) * (1 << 16))

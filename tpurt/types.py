@@ -201,6 +201,12 @@ class RenderConfig:
     sort_rays: bool = False          # ray sorting for coherence (config 5)
     accumulate: bool = False         # temporal accumulation (config 3)
     seed: int = 0
+    # Primary-visibility strategy: "raster" = tile rasterizer (the
+    # reference's own G-buffer strategy, ~10x faster on TPU), "ray" =
+    # closest-hit ray cast, "auto" = raster on compiled TPU backends
+    # (interpret-mode CPU runs keep the cheaper-to-trace ray cast).
+    gbuffer: str = "auto"
+    raster_cap_pairs: int = 0        # 0 = auto from triangle count
 
     @property
     def num_pixels(self) -> int:
