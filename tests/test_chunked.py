@@ -1,0 +1,96 @@
+"""Chunked-accel tests: scenes past the single-accel VMEM budget split into
+Morton-compact sub-BVHs traced sequentially with t/occlusion carry
+(tpurt/bvh/chunked.py). Parity against the single wide accel is exact for
+occlusion and exact-up-to-duplicate-hits for closest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.bvh.chunked import (build_chunked, chunks_needed,
+                               trace_any_chunked, trace_closest_chunked)
+from tpurt.bvh.lbvh import build_lbvh
+from tpurt.bvh.wide import build_wide
+from tpurt.camera import generate_rays
+from tpurt.kernels.traverse import trace_any_pallas, trace_closest_pallas
+from tpurt.scenes import default_camera_for, teapot_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    mesh = teapot_scene(1500)
+    cam = default_camera_for(mesh)
+    v = jnp.asarray(mesh.vertices)
+    i = jnp.asarray(mesh.indices)
+    wide = build_wide(build_lbvh(v, i, leaf_size=4))
+    chunked = build_chunked(v, i, num_chunks=3, leaf_size=4)
+    o, d = generate_rays(cam, 64, 48)
+    return mesh, wide, chunked, o, d
+
+
+def test_chunked_closest_matches_single(scene):
+    mesh, wide, chunked, o, d = scene
+    t1, id1 = trace_closest_pallas(wide, o, d)
+    t2, id2 = trace_closest_chunked(chunked, o, d)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-5, atol=1e-6)
+    # Triangle ids may differ only where duplicated/coplanar tris tie in t.
+    same = np.asarray(id1) == np.asarray(id2)
+    assert same.mean() > 0.999
+
+
+def test_chunked_any_matches_single(scene):
+    mesh, wide, chunked, o, d = scene
+    # Shadow-style rays from hit points toward a light.
+    t1, id1 = trace_closest_pallas(wide, o, d)
+    valid = np.asarray(id1) >= 0
+    L = jnp.asarray([0.45, 0.8, 0.3]) / jnp.linalg.norm(
+        jnp.asarray([0.45, 0.8, 0.3]))
+    pos = o + d * jnp.where(jnp.asarray(valid), t1, 0.0)[..., None]
+    so = pos + 1e-3 * jnp.broadcast_to(L, pos.shape)
+    tm = jnp.where(jnp.asarray(valid), 3.4e38, 0.0)
+    occ1 = trace_any_pallas(wide, so, jnp.broadcast_to(L, so.shape), tm)
+    occ2 = trace_any_chunked(chunked, so, jnp.broadcast_to(L, so.shape), tm)
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
+
+
+def test_chunked_tri_ids_are_global(scene):
+    mesh, wide, chunked, o, d = scene
+    _, id2 = trace_closest_chunked(chunked, o, d)
+    ids = np.asarray(id2)
+    assert ids.max() < mesh.num_triangles
+    assert (ids >= -1).all()
+
+
+def test_chunks_needed_monotone():
+    assert chunks_needed(100_000, 14, 15_800_000, 1_000_000) == 1
+    big = chunks_needed(1_000_000, 14, 15_800_000, 1_000_000)
+    assert big >= 3
+    assert chunks_needed(2_000_000, 14, 15_800_000, 1_000_000) >= big
+
+
+def test_renderer_chunked_image_matches(scene):
+    """Force the Renderer down the chunked path (tiny budget) and compare
+    the full frame against the unchunked render."""
+    from tpurt.app import Renderer
+    from tpurt.types import Light, RenderConfig
+    mesh, *_ = scene
+    cam = default_camera_for(mesh)
+    light = Light.directional((0.45, 0.8, 0.3))
+    cfg = RenderConfig(width=48, height=32, use_pallas=True, leaf_size=4,
+                       gbuffer="ray")
+    want = np.asarray(Renderer(mesh, cam, light, cfg)
+                      .render_frame()["image"])
+
+    class TinyBudget(Renderer):
+        _VMEM_BUDGET = 150_000
+        _VMEM_OVERHEAD = 0
+
+    r = TinyBudget(mesh, cam, light, cfg)
+    from tpurt.bvh.chunked import ChunkedAccel
+    assert isinstance(r.accel, ChunkedAccel)
+    assert r.accel.num_chunks >= 2
+    got = np.asarray(r.render_frame()["image"])
+    diff = np.abs(got - want).max(axis=-1)
+    assert (diff > 2e-2).mean() < 0.005

@@ -43,12 +43,18 @@ def make_tracers(cfg: RenderConfig):
     fallback next to the NV-RT pipeline, SURVEY.md §3.5).
     """
     if cfg.use_pallas:
+        from .bvh.chunked import (ChunkedAccel, trace_any_chunked,
+                                  trace_closest_chunked)
         from .kernels.traverse import trace_any_pallas, trace_closest_pallas
 
         def closest(bvh, o, d):
+            if isinstance(bvh, ChunkedAccel):
+                return trace_closest_chunked(bvh, o, d)
             return trace_closest_pallas(bvh, o, d, cfg=cfg)
 
         def any_(bvh, o, d, t_max):
+            if isinstance(bvh, ChunkedAccel):
+                return trace_any_chunked(bvh, o, d, t_max)
             return trace_any_pallas(bvh, o, d, t_max, cfg=cfg)
     else:
         def closest(bvh, o, d):
@@ -112,13 +118,19 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
             mesh, cam, cfg.width, cfg.height, shade_table_orig,
             cap_pairs=cfg.raster_cap_pairs or None)
     else:
+        from .bvh.chunked import ChunkedAccel
         gb_accel = bvh
         if isinstance(bvh, WideBVH):
             # Near-first child ordering w.r.t. the camera: primary-ray
             # packets pop near children first so per-lane best_t culls the
             # far ones.
             gb_accel = order_children_for_point(bvh, cam.position)
-        if shade_table is not None and cfg.use_pallas:
+        elif isinstance(bvh, ChunkedAccel):
+            gb_accel = dataclasses.replace(bvh, chunks=tuple(
+                order_children_for_point(c, cam.position)
+                for c in bvh.chunks))
+        if shade_table is not None and cfg.use_pallas and \
+                not isinstance(bvh, ChunkedAccel):
             from .kernels.traverse import trace_closest_pallas
 
             def tracer(o, d):
@@ -224,28 +236,20 @@ class Renderer:
         deep inside the Mosaic compiler."""
         if not config.use_pallas:
             return config
-        from .kernels.pack import (binary_vmem_bytes, packed_shapes,
-                                   wide_vmem_bytes)
         if config.bvh_width == 8:
-            # Realistic pre-build estimate of wide nodes (~0.36 of the leaf
-            # count measured on Karras trees with the fixed depth-3 cut);
-            # _make_accel re-decides with the EXACT count after the build.
-            from .bvh.wide import round_up_bucket
-            _, n_leaves, _ = packed_shapes(mesh.num_triangles,
-                                           config.leaf_size)
-            nw_est = round_up_bucket(max(1, int(0.36 * n_leaves)))
-            est = wide_vmem_bytes(nw_est, mesh.num_triangles,
-                                  config.leaf_size) + cls._VMEM_OVERHEAD
-        else:
-            est = binary_vmem_bytes(mesh.num_triangles,
-                                    config.leaf_size) + cls._VMEM_OVERHEAD
+            # Over-budget wide scenes are CHUNKED (bvh/chunked.py), decided
+            # with the exact count in _make_accel — no fallback needed.
+            return config
+        from .kernels.pack import binary_vmem_bytes
+        est = binary_vmem_bytes(mesh.num_triangles,
+                                config.leaf_size) + cls._VMEM_OVERHEAD
         if est > cls._VMEM_BUDGET:
             import sys
-            print(f"tpurt: scene needs ~{est/1e6:.1f} MB VMEM for the Pallas "
-                  f"kernels (> {cls._VMEM_BUDGET/1e6:.1f} MB budget at "
-                  f"leaf_size={config.leaf_size}); falling back to the "
-                  "pure-JAX traversal. Raise leaf_size (<= 14) or split the "
-                  "scene.", file=sys.stderr)
+            print(f"tpurt: scene needs ~{est/1e6:.1f} MB VMEM for the "
+                  f"binary Pallas kernel (> {cls._VMEM_BUDGET/1e6:.1f} MB "
+                  f"budget at leaf_size={config.leaf_size}); falling back "
+                  "to the pure-JAX traversal (bvh_width=8 scenes chunk "
+                  "instead).", file=sys.stderr)
             return dataclasses.replace(config, use_pallas=False,
                                        leaf_size=min(config.leaf_size, 8))
         return config
@@ -268,14 +272,20 @@ class Renderer:
             exact = wide_vmem_bytes(nw_pad, self.mesh.num_triangles,
                                     self.config.leaf_size)
             if exact + self._VMEM_OVERHEAD > self._VMEM_BUDGET:
+                # Scene past the single-accel VMEM budget: Morton-split it
+                # into per-chunk wide BVHs traced sequentially with t/occ
+                # carry (bvh/chunked.py) — the reference has no such
+                # ceiling, and neither should we.
                 import sys
+                from .bvh.chunked import build_chunked, chunks_needed
+                c = chunks_needed(self.mesh.num_triangles,
+                                  self.config.leaf_size,
+                                  self._VMEM_BUDGET, self._VMEM_OVERHEAD)
                 print(f"tpurt: packed scene is {exact/1e6:.1f} MB "
                       f"(> {self._VMEM_BUDGET/1e6:.1f} MB VMEM budget); "
-                      "falling back to the pure-JAX traversal.",
-                      file=sys.stderr)
-                self.config = dataclasses.replace(self.config,
-                                                  use_pallas=False)
-                return self.bvh
+                      f"splitting into {c} chunked accels.", file=sys.stderr)
+                return build_chunked(self.mesh.vertices, self.mesh.indices,
+                                     c, leaf_size=self.config.leaf_size)
             self._nw_pad = nw_pad
             self._wide_plan = jax.jit(
                 make_wide_plan, static_argnames=("nw_pad",))(
@@ -289,11 +299,16 @@ class Renderer:
         """Refit fast path: topology (and therefore the wide plan) is
         frozen, so only boxes are re-gathered — no count host-sync. The
         shading table holds geometry (v0/e1/e2, normals) and must follow."""
+        from .bvh.chunked import ChunkedAccel
         self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
         self.shade_table_orig = jax.jit(make_shade_table_orig)(self.mesh)
         if self._nw_pad is not None:
             from .bvh.wide import widen_from_plan
             return jax.jit(widen_from_plan)(self._wide_plan, self.bvh)
+        if isinstance(self.accel, ChunkedAccel):
+            # Chunked scenes rebuild their chunks on refit (the chunk split
+            # is positional; a per-chunk refit plan is future work).
+            return self._make_accel()
         return self.bvh
 
     # -- scene updates ------------------------------------------------------

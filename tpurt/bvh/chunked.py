@@ -1,0 +1,156 @@
+"""Chunked acceleration structures: scenes past the VMEM budget.
+
+The Pallas traversal kernels keep the whole BVH VMEM-resident, which caps a
+single accel at ~350k triangles (leaf 14). The reference streams BVH nodes
+from GPU buffer memory with no such ceiling [RECALL; SURVEY.md §3.4]. The
+TPU-native unlock chosen here is a *two-level scene split* rather than
+per-node HBM streaming:
+
+- Triangles are globally Morton-sorted once, then cut into C equal
+  contiguous chunks — each chunk is spatially compact, so chunk AABBs
+  overlap little and per-chunk traversals stay cheap.
+- Each chunk gets its own LBVH + 8-wide collapse (the existing, measured
+  kernels — identical shapes across chunks, so XLA compiles ONE kernel and
+  reuses it C times).
+- Tracing is a short sequential loop over chunks with cross-chunk carry:
+  any-hit masks resolved rays out of later chunks' t_max (their packets
+  whole-packet-skip), closest-hit seeds each chunk's per-ray t_max with the
+  best-so-far so later chunks cull against it.
+
+This keeps every hot loop inside the proven kernels and scales the scene
+axis by C with graceful (sub-linear, because of the carries) cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .lbvh import build_lbvh
+from .morton import morton_of_points
+from .wide import WideBVH, count_wide, round_up_bucket, widen_lbvh
+
+
+@dataclasses.dataclass
+class ChunkedAccel:
+    """A sequence of per-chunk wide BVHs plus chunk-local -> global triangle
+    id maps. ``chunks[i].tri_id`` indexes into chunk-local order; composing
+    with ``orig_ids[i]`` yields original mesh triangle ids."""
+
+    chunks: Tuple[WideBVH, ...]
+    orig_ids: Tuple[Any, ...]          # i32[Tc] per chunk
+    leaf_size: int
+
+    @property
+    def num_chunks(self) -> int:
+        return len(self.chunks)
+
+
+jax.tree_util.register_pytree_node(
+    ChunkedAccel,
+    lambda a: ((a.chunks, a.orig_ids), (a.leaf_size,)),
+    lambda aux, c: ChunkedAccel(chunks=tuple(c[0]), orig_ids=tuple(c[1]),
+                                leaf_size=aux[0]),
+)
+
+
+def split_morton(vertices: jnp.ndarray, indices: jnp.ndarray,
+                 num_chunks: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global Morton order -> (chunk_indices i32[C, Tc, 3],
+    chunk_orig i32[C, Tc]) with the last chunk padded by repeating its last
+    triangle (duplicates are harmless for both query kinds)."""
+    tri = indices.astype(jnp.int32)
+    t = tri.shape[0]
+    v0 = vertices[tri[:, 0]]
+    v1 = vertices[tri[:, 1]]
+    v2 = vertices[tri[:, 2]]
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    centroid = (lo + hi) * 0.5
+    code = morton_of_points(centroid, lo.min(axis=0), hi.max(axis=0))
+    order = jnp.argsort(code).astype(jnp.int32)
+    tc = -(-t // num_chunks)
+    pad = num_chunks * tc - t
+    order_pad = jnp.concatenate(
+        [order, jnp.broadcast_to(order[-1:], (pad,))]) if pad else order
+    chunk_orig = order_pad.reshape(num_chunks, tc)
+    return tri[chunk_orig], chunk_orig
+
+
+def build_chunked(vertices: jnp.ndarray, indices: jnp.ndarray,
+                  num_chunks: int, leaf_size: int = 14,
+                  bucket: int = 1024) -> ChunkedAccel:
+    """Build the chunked accel (host-level loop; one compile per stage since
+    all chunks share shapes). One wide-count host sync total (the max count
+    sizes every chunk's pad so the widen program is shared)."""
+    chunk_tris, chunk_orig = jax.jit(
+        split_morton, static_argnames=("num_chunks",))(
+            vertices, indices, num_chunks)
+    build = jax.jit(lambda v, i: build_lbvh(v, i, leaf_size=leaf_size))
+    bvhs = [build(vertices, chunk_tris[c]) for c in range(num_chunks)]
+    nw_pad = round_up_bucket(max(max(count_wide(b) for b in bvhs), 1),
+                             bucket)
+    widen = jax.jit(widen_lbvh, static_argnames=("nw_pad",))
+    chunks = []
+    orig_ids = []
+    for c in range(num_chunks):
+        wide = widen(bvhs[c], nw_pad=nw_pad)
+        # Compose chunk-local sorted->local-original with local->global.
+        chunks.append(dataclasses.replace(
+            wide, tri_id=chunk_orig[c][wide.tri_id]))
+        orig_ids.append(chunk_orig[c])
+    return ChunkedAccel(chunks=tuple(chunks), orig_ids=tuple(orig_ids),
+                        leaf_size=leaf_size)
+
+
+def trace_any_chunked(accel: ChunkedAccel, origins, dirs, t_max,
+                      interpret=None) -> jnp.ndarray:
+    """Occlusion over all chunks; rays resolved by earlier chunks are
+    deactivated (t_max 0) so later chunks' packets whole-packet-skip."""
+    from ..kernels.traverse import trace_any_pallas
+    occ = None
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                          origins.shape[:-1])
+    for ch in accel.chunks:
+        h = trace_any_pallas(ch, origins, dirs, tm, interpret=interpret)
+        occ = h if occ is None else (occ | h)
+        tm = jnp.where(occ, 0.0, tm)
+    return occ
+
+
+def trace_closest_chunked(accel: ChunkedAccel, origins, dirs,
+                          t_max=3.4e38, interpret=None):
+    """Closest hit over all chunks: each chunk is seeded with the running
+    per-ray best t, so its traversal culls everything farther. Returns
+    (t, tri_id) with GLOBAL triangle ids; miss = (inf, -1)."""
+    from ..kernels.traverse import trace_closest_pallas
+    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                              origins.shape[:-1])
+    best_id = jnp.full(origins.shape[:-1], -1, jnp.int32)
+    for ch in accel.chunks:
+        t, tid = trace_closest_pallas(ch, origins, dirs, t_max=best_t,
+                                      interpret=interpret)
+        better = tid >= 0          # kernel only reports hits below t_max
+        best_t = jnp.where(better, t, best_t)
+        best_id = jnp.where(better, tid, best_id)
+    t_out = jnp.where(best_id >= 0, best_t, jnp.inf)
+    return t_out, best_id
+
+
+def chunks_needed(num_tris: int, leaf_size: int, budget_bytes: int,
+                  overhead: int) -> int:
+    """How many chunks a scene needs to fit each chunk in the VMEM budget.
+    Wide nodes are estimated at 0.5/leaf (conservative vs the measured
+    0.36, unbucketed — the build's pad bucketing adds at most one bucket of
+    slack on top of the real count)."""
+    from ..kernels.pack import packed_shapes, ROW_BYTES
+    for c in range(1, 4096):
+        tc = -(-num_tris // c)
+        _, n_leaves, _ = packed_shapes(tc, leaf_size)
+        nw = max(1, int(0.5 * n_leaves))
+        if (nw + n_leaves) * ROW_BYTES + overhead <= budget_bytes:
+            return c
+    raise ValueError("scene too large even for 4096 chunks")

@@ -43,17 +43,24 @@ def _compiled_backend() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _eval_records(row, nrec_mask_fn, sx, sy, state):
-    """Test the RECS_PER_ROW setup records of one (1, 128) row against the
-    tile's pixels. nrec_mask_fn(slot) -> scalar bool (record validity)."""
+def _eval_records(read, nrec_mask_fn, sx, sy, state):
+    """Test RECS_PER_ROW setup records against the tile's pixels.
+
+    read(k) -> scalar: lane k of the current 128-float row. The rows live
+    in SMEM, so every coefficient is a genuine scalar load feeding a cheap
+    scalar->vector broadcast — the first (VMEM) version extracted each of
+    the ~11 coefficients from a vector register, and those vreg->sreg
+    transfers dominated the whole kernel (measured 3x slower than the ray
+    caster; with SMEM rows the rasterizer is pure streaming VPU work).
+    nrec_mask_fn(slot) -> scalar bool (record validity)."""
     best, bd1, bd2, bsum, btri = state
     for r in range(RECS_PER_ROW):
         b = 16 * r
-        d0 = row[0, b + 0] * sx + row[0, b + 1] * sy + row[0, b + 2]
-        d1 = row[0, b + 3] * sx + row[0, b + 4] * sy + row[0, b + 5]
-        d2 = row[0, b + 6] * sx + row[0, b + 7] * sy + row[0, b + 8]
-        dinv = row[0, b + 9]
-        tid = row[0, b + 10].astype(jnp.int32)
+        d0 = read(b + 0) * sx + read(b + 1) * sy + read(b + 2)
+        d1 = read(b + 3) * sx + read(b + 4) * sy + read(b + 5)
+        d2 = read(b + 6) * sx + read(b + 7) * sy + read(b + 8)
+        dinv = read(b + 9)
+        tid = read(b + 10).astype(jnp.int32)
         dsum = d0 + d1 + d2
         cov = ((d0 >= 0.0) & (d1 >= 0.0) & (d2 >= 0.0)) | \
               ((d0 <= 0.0) & (d1 <= 0.0) & (d2 <= 0.0))
@@ -68,7 +75,7 @@ def _eval_records(row, nrec_mask_fn, sx, sy, state):
 
 
 def _raster_kernel(wt: int, starts_ref, counts_ref, bigcnt_ref,
-                   pair_hbm_ref, big_ref,
+                   pair_hbm_ref, big_hbm_ref,
                    tri_ref, u_ref, v_ref, invw_ref,
                    scratch_ref, sem_ref):
     i = pl.program_id(0)
@@ -88,53 +95,51 @@ def _raster_kernel(wt: int, starts_ref, counts_ref, bigcnt_ref,
     btri0 = jnp.full((8, 128), -1, jnp.int32)
     state = (best0, bd10, bd20, bsum0, btri0)
 
-    # ---- big list (VMEM-resident, bounded by the live count) -------------
-    nbig_rows = (bigcnt_ref[0] + RECS_PER_ROW - 1) // RECS_PER_ROW
+    def stream(src_hbm, row_lo, start, end, state):
+        """Double-buffered HBM -> SMEM chunk loop over records
+        [start, end) of src_hbm, folding _eval_records into state."""
+        row_hi = (end + RECS_PER_ROW - 1) // RECS_PER_ROW
+        nchunks = (row_hi - row_lo + CHUNK_ROWS - 1) // CHUNK_ROWS
 
-    def big_body(r, st):
-        row = big_ref[pl.ds(r, 1), :]
-        # Dead records carry tri_id -1.
-        return _eval_records(
-            row, lambda s: row[0, 16 * s + 10] >= 0.0, sx, sy, st)
+        def get_dma(slot, ci):
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(row_lo + ci * CHUNK_ROWS, CHUNK_ROWS)],
+                scratch_ref.at[slot],
+                sem_ref.at[slot],
+            )
 
-    state = jax.lax.fori_loop(0, nbig_rows, big_body, state)
+        @pl.when(nchunks > 0)
+        def _():
+            get_dma(0, 0).start()
 
-    # ---- streamed pair run (double-buffered DMA from HBM) ----------------
+        def chunk_body(ci, st):
+            slot = jax.lax.rem(ci, N_BUF)
+
+            @pl.when(ci + 1 < nchunks)
+            def _():
+                get_dma(jax.lax.rem(ci + 1, N_BUF), ci + 1).start()
+
+            get_dma(slot, ci).wait()
+            for rr in range(CHUNK_ROWS):
+                g_row = row_lo + ci * CHUNK_ROWS + rr
+                base = g_row * RECS_PER_ROW
+
+                def read(k, slot=slot, rr=rr):
+                    return scratch_ref[slot, rr, k]
+
+                st = _eval_records(
+                    read, lambda s: (base + s >= start) & (base + s < end),
+                    sx, sy, st)
+            return st
+
+        return jax.lax.fori_loop(0, nchunks, chunk_body, state)
+
+    # Big/eye-crossing triangles: every tile streams the (short) list.
+    state = stream(big_hbm_ref, 0, 0, bigcnt_ref[0], state)
+    # This tile's pair run.
     start = starts_ref[i]
     end = start + counts_ref[i]
-    row_lo = start // RECS_PER_ROW
-    row_hi = (end + RECS_PER_ROW - 1) // RECS_PER_ROW
-    nchunks = (row_hi - row_lo + CHUNK_ROWS - 1) // CHUNK_ROWS
-
-    def get_dma(slot, ci):
-        return pltpu.make_async_copy(
-            pair_hbm_ref.at[pl.ds(row_lo + ci * CHUNK_ROWS, CHUNK_ROWS)],
-            scratch_ref.at[slot],
-            sem_ref.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
-
-    def chunk_body(ci, st):
-        slot = jax.lax.rem(ci, N_BUF)
-
-        @pl.when(ci + 1 < nchunks)
-        def _():
-            get_dma(jax.lax.rem(ci + 1, N_BUF), ci + 1).start()
-
-        get_dma(slot, ci).wait()
-        for rr in range(CHUNK_ROWS):
-            g_row = row_lo + ci * CHUNK_ROWS + rr
-            row = scratch_ref[slot, pl.ds(rr, 1), :]
-            base = g_row * RECS_PER_ROW
-            st = _eval_records(
-                row, lambda s: (base + s >= start) & (base + s < end),
-                sx, sy, st)
-        return st
-
-    state = jax.lax.fori_loop(0, nchunks, chunk_body, state)
+    state = stream(pair_hbm_ref, start // RECS_PER_ROW, start, end, state)
 
     best, bd1, bd2, bsum, btri = state
     hit = btri >= 0
@@ -157,8 +162,9 @@ def rasterize_tiles(bins, width: int, height: int,
     if interpret is None:
         interpret = not _compiled_backend()
 
-    # Pad the pair rows so the last chunk's fixed-size DMA stays in bounds.
+    # Pad both row arrays so the last chunk's fixed-size DMA stays in bounds.
     pair_rows = jnp.pad(bins.pair_rows, ((0, CHUNK_ROWS), (0, 0)))
+    big_rows = jnp.pad(bins.big_rows, ((0, CHUNK_ROWS), (0, 0)))
 
     vma = getattr(jax.typeof(pair_rows), "vma", None)
     out_spec = pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
@@ -168,12 +174,13 @@ def rasterize_tiles(bins, width: int, height: int,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # pair rows (HBM)
-            pl.BlockSpec(bins.big_rows.shape, lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),      # big list
+            pl.BlockSpec(memory_space=pl.ANY),          # big rows (HBM)
         ],
         out_specs=tuple(out_spec for _ in range(4)),
         scratch_shapes=[
-            pltpu.VMEM((N_BUF, CHUNK_ROWS, 128), jnp.float32),
+            # SMEM: record coefficients are consumed as SCALARS; see
+            # _eval_records for why VMEM rows were 3x slower.
+            pltpu.SMEM((N_BUF, CHUNK_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((N_BUF,)),
         ],
     )
@@ -189,7 +196,7 @@ def rasterize_tiles(bins, width: int, height: int,
     )
     bigcnt = jnp.reshape(bins.big_count.astype(jnp.int32), (1,))
     tri, u, v, invw = fn(bins.starts, bins.counts, bigcnt,
-                         pair_rows, bins.big_rows)
+                         pair_rows, big_rows)
     return (from_packets(tri, height, width),
             from_packets(u, height, width),
             from_packets(v, height, width),
