@@ -351,6 +351,21 @@ def order_children_for_point(wide: WideBVH, point) -> WideBVH:
     return _apply_child_order(wide, rows, key)
 
 
+def order_children_by_area(wide: WideBVH) -> WideBVH:
+    """Static (per-scene) child ordering for ANY-HIT queries: pop the
+    largest-surface-area child first. Occlusion probability scales with
+    box area, so testing big children first lets shadow packets resolve
+    (and early-exit) sooner; for lit rays the order is neutral. Unlike the
+    per-frame point/direction orderings this is camera/light independent —
+    apply once at accel build."""
+    rows = wide.nodes.reshape(-1, WIDE_FACTOR, 16)
+    ext = jnp.maximum(rows[:, :, 3:6] - rows[:, :, 0:3], 0.0)
+    area = (ext[:, :, 0] * ext[:, :, 1] + ext[:, :, 1] * ext[:, :, 2]
+            + ext[:, :, 2] * ext[:, :, 0])
+    # Smallest key pops first (see _apply_child_order): key = -area.
+    return _apply_child_order(wide, rows, -area)
+
+
 def order_children_for_direction(wide: WideBVH, direction) -> WideBVH:
     """Near-first ordering for a shared ray DIRECTION (directional-light
     shadow rays): sort by box-center projection along the direction, so

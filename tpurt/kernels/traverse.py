@@ -334,6 +334,20 @@ WIDE_STACK_DEPTH = 384
 # vector work and leaf Möller–Trumbore do. Kept for reproducibility.
 W8_REDUCE = "sum4"
 
+# Debug/probe knob: when set, overrides the traversal iteration cap in
+# _common_call (used to fit the per-packet fixed cost vs per-iteration
+# marginal cost on hardware; results are WRONG when it truncates walks).
+_ITER_CAP_OVERRIDE = None
+
+# Packet-grid step semantics knob. Iteration-capped probes measured ~13k
+# cycles of FIXED per-grid-step cost (cap=1 runs as slow as the full
+# traversal): the traversal itself is minor next to the step machinery.
+# The packet grid is embarrassingly parallel; "parallel" would let Mosaic
+# overlap step DMA with compute across steps, but is kept off the default
+# path until measured safe on this platform (a hung compile wedges the
+# terminal for ~25 min).
+_GRID_SEMANTICS = "arbitrary"
+
 
 def _child_anyhit8(hits, valids, variant=None):
     """8 scalar bools: does any lane hit child c's box (and is the slot
@@ -430,6 +444,141 @@ def _any_hit_kernel_w8(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
             stack_ref[sp] = jnp.where(push, ref, 0)
             sp = sp + push.astype(jnp.int32)
         alive = jax.lax.cond((it & 3) == 3,
+                             lambda: jnp.any(active0 & (occ == 0)),
+                             lambda: alive)
+        return it + 1, sp, alive, occ
+
+    occ0 = jnp.zeros(ox.shape, jnp.int32)
+    alive0 = jnp.any(active0)
+    _, _, _, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), alive0, occ0))
+    out_ref[0] = occ
+
+
+def _any_hit_kernel_w8_stats(k: int, max_iters: int, tmin_ref, ns_ref,
+                             tr_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                             dz_ref, tmax_ref, out_ref, it_ref, stack_ref):
+    """_any_hit_kernel_w8 plus a per-packet iteration count (observability:
+    node visits are the traversal cost model's independent variable)."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
+    t_min = tmin_ref[0]
+    ix, iy, iz = _inv3(dx, dy, dz)
+    active0 = tmax > t_min
+
+    stack_ref[0] = jnp.int32(0)
+
+    def leaf_test(leaf_id, occ):
+        h = _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz,
+                           t_min, tmax)
+        return occ | jnp.where(h & active0, 1, 0)
+
+    def cond(state):
+        it, sp, alive, occ = state
+        return (sp > 0) & (it < max_iters) & alive
+
+    def body(state):
+        it, sp, alive, occ = state
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec = ns_ref[pl.ds(node, 1), :]
+        lanes = active0 & (occ == 0)
+        cap = jnp.where(lanes, tmax, -_BIG)
+        hits = []
+        refs = []
+        valids = []
+        for c in range(8):
+            b, ref = _wide_child(rec, c)
+            hits.append(_slab(rec, b, ox, oy, oz, ix, iy, iz, t_min, cap)
+                        & lanes)
+            refs.append(ref)
+            valids.append(rec[0, b] <= rec[0, b + 3])
+        anyhit = _child_anyhit8(hits, valids)
+        for c in range(8):
+            ref = refs[c]
+            is_leaf = ref < 0
+            occ = jax.lax.cond(anyhit[c] & is_leaf,
+                               lambda o, r=ref: leaf_test(
+                                   jnp.maximum(-r - 1, 0), o),
+                               lambda o: o, occ)
+            push = anyhit[c] & (~is_leaf)
+            stack_ref[sp] = jnp.where(push, ref, 0)
+            sp = sp + push.astype(jnp.int32)
+        alive = jax.lax.cond((it & 3) == 3,
+                             lambda: jnp.any(active0 & (occ == 0)),
+                             lambda: alive)
+        return it + 1, sp, alive, occ
+
+    occ0 = jnp.zeros(ox.shape, jnp.int32)
+    alive0 = jnp.any(active0)
+    it, _, _, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), alive0, occ0))
+    out_ref[0] = occ
+    it_ref[0] = jnp.full(ox.shape, it, jnp.int32)
+
+
+def _any_hit_kernel_w8_x2(k: int, max_iters: int, tmin_ref, ns_ref, tr_ref,
+                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tmax_ref, out_ref, stack_ref):
+    """Dual-pop variant: two nodes per while iteration. The two nodes'
+    slab/reduction chains are independent, so their vector->scalar sync
+    latencies overlap and the loop-control overhead amortizes over 16
+    child tests."""
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
+    t_min = tmin_ref[0]
+    ix, iy, iz = _inv3(dx, dy, dz)
+    active0 = tmax > t_min
+
+    stack_ref[0] = jnp.int32(0)
+
+    def leaf_test(leaf_id, occ):
+        h = _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz,
+                           t_min, tmax)
+        return occ | jnp.where(h & active0, 1, 0)
+
+    def cond(state):
+        it, sp, alive, occ = state
+        return (sp > 0) & (it < max_iters) & alive
+
+    def body(state):
+        it, sp, alive, occ = state
+        spA = sp - 1
+        nodeA = stack_ref[spA]
+        haveB = spA > 0
+        spB = jnp.maximum(spA - 1, 0)
+        nodeB = jnp.where(haveB, stack_ref[spB], 0)
+        sp = jnp.where(haveB, spB, spA)
+        recA = ns_ref[pl.ds(nodeA, 1), :]
+        recB = ns_ref[pl.ds(nodeB, 1), :]
+        lanes = active0 & (occ == 0)
+        cap = jnp.where(lanes, tmax, -_BIG)
+        hits = []
+        refs = []
+        valids = []
+        for rec, have in ((recA, True), (recB, haveB)):
+            for c in range(8):
+                b, ref = _wide_child(rec, c)
+                hits.append(_slab(rec, b, ox, oy, oz, ix, iy, iz, t_min, cap)
+                            & lanes)
+                refs.append(ref)
+                ok = rec[0, b] <= rec[0, b + 3]
+                valids.append(ok if have is True else ok & have)
+        anyhit = (_child_anyhit8(hits[:8], valids[:8])
+                  + _child_anyhit8(hits[8:], valids[8:]))
+        for c in range(16):
+            ref = refs[c]
+            is_leaf = ref < 0
+            occ = jax.lax.cond(anyhit[c] & is_leaf,
+                               lambda o, r=ref: leaf_test(
+                                   jnp.maximum(-r - 1, 0), o),
+                               lambda o: o, occ)
+            push = anyhit[c] & (~is_leaf)
+            stack_ref[sp] = jnp.where(push, ref, 0)
+            sp = sp + push.astype(jnp.int32)
+        alive = jax.lax.cond((it & 1) == 1,
                              lambda: jnp.any(active0 & (occ == 0)),
                              lambda: alive)
         return it + 1, sp, alive, occ
@@ -715,6 +864,215 @@ def from_packets(p: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Batched kernels: B packets per grid step
+# ---------------------------------------------------------------------------
+#
+# Iteration-capped probes on a v5e measured ~13k cycles of FIXED cost per
+# grid step (a cap=1 run is as slow as the full traversal): with one packet
+# per step, the 8 small per-step block DMAs (7 ray components in + outputs)
+# dominate — each DMA issue/latency is ~1-2 us and they serialize against
+# the short traversal compute. The batched path amortizes the step
+# machinery two ways: the 7 ray components are packed into ONE array
+# (f32[P, 7, 8, 128] -> one input DMA per step) and each step processes
+# PACKETS_PER_STEP packets with an in-kernel fori_loop.
+
+PACKETS_PER_STEP = 8
+
+
+def _packet_body_rays(rays_ref, b):
+    """(8,128) ray components of packet b from a (B,7,8,128) block ref."""
+    ox = rays_ref[b, 0]
+    oy = rays_ref[b, 1]
+    oz = rays_ref[b, 2]
+    dx = rays_ref[b, 3]
+    dy = rays_ref[b, 4]
+    dz = rays_ref[b, 5]
+    tmax = rays_ref[b, 6]
+    return ox, oy, oz, dx, dy, dz, tmax
+
+
+def _any_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
+                         tr_ref, rays_ref, out_ref, stack_ref):
+    """8-wide any-hit over nb packets per grid step (see batching note)."""
+    t_min = tmin_ref[0]
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, tmax = _packet_body_rays(rays_ref, b)
+        ix, iy, iz = _inv3(dx, dy, dz)
+        active0 = tmax > t_min
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_test(leaf_id, occ):
+            h = _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz,
+                               t_min, tmax)
+            return occ | jnp.where(h & active0, 1, 0)
+
+        def cond(state):
+            it, sp, alive, occ = state
+            return (sp > 0) & (it < max_iters) & alive
+
+        def body(state):
+            it, sp, alive, occ = state
+            sp = sp - 1
+            node = stack_ref[sp]
+            rec = ns_ref[pl.ds(node, 1), :]
+            lanes = active0 & (occ == 0)
+            cap = jnp.where(lanes, tmax, -_BIG)
+            hits = []
+            refs = []
+            valids = []
+            for c in range(8):
+                bb, ref = _wide_child(rec, c)
+                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
+                                  cap) & lanes)
+                refs.append(ref)
+                valids.append(rec[0, bb] <= rec[0, bb + 3])
+            anyhit = _child_anyhit8(hits, valids)
+            for c in range(8):
+                ref = refs[c]
+                is_leaf = ref < 0
+                occ = jax.lax.cond(anyhit[c] & is_leaf,
+                                   lambda o, r=ref: leaf_test(
+                                       jnp.maximum(-r - 1, 0), o),
+                                   lambda o: o, occ)
+                push = anyhit[c] & (~is_leaf)
+                stack_ref[sp] = jnp.where(push, ref, 0)
+                sp = sp + push.astype(jnp.int32)
+            alive = jax.lax.cond((it & 3) == 3,
+                                 lambda: jnp.any(active0 & (occ == 0)),
+                                 lambda: alive)
+            return it + 1, sp, alive, occ
+
+        occ0 = jnp.zeros(ox.shape, jnp.int32)
+        alive0 = jnp.any(active0)
+        _, _, _, occ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(1), alive0, occ0))
+        out_ref[b] = occ
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
+def _closest_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
+                             ns_ref, tr_ref, rays_ref, t_out_ref,
+                             idx_out_ref, stack_ref):
+    """8-wide closest-hit over nb packets per grid step."""
+    t_min = tmin_ref[0]
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, tmax = _packet_body_rays(rays_ref, b)
+        ix, iy, iz = _inv3(dx, dy, dz)
+        active0 = tmax > t_min
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_test(leaf_id, carry):
+            best_t, best_i = carry
+            ts = _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+            base = leaf_id * k
+            for j, t in enumerate(ts):
+                better = (t > t_min) & (t < best_t) & active0
+                best_t = jnp.where(better, t, best_t)
+                best_i = jnp.where(better, base + j, best_i)
+            return best_t, best_i
+
+        def cond(state):
+            it, sp, _, _ = state
+            return (sp > 0) & (it < max_iters)
+
+        def body(state):
+            it, sp, best_t, best_i = state
+            sp = sp - 1
+            node = stack_ref[sp]
+            rec = ns_ref[pl.ds(node, 1), :]
+            cap = jnp.where(active0, best_t, -_BIG)
+            hits = []
+            refs = []
+            valids = []
+            for c in range(8):
+                bb, ref = _wide_child(rec, c)
+                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
+                                  cap))
+                refs.append(ref)
+                valids.append(rec[0, bb] <= rec[0, bb + 3])
+            anyhit = _child_anyhit8(hits, valids)
+            for c in range(8):
+                ref = refs[c]
+                is_leaf = ref < 0
+                best_t, best_i = jax.lax.cond(
+                    anyhit[c] & is_leaf,
+                    lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0), car),
+                    lambda car: car, (best_t, best_i))
+                push = anyhit[c] & (~is_leaf)
+                stack_ref[sp] = jnp.where(push, ref, 0)
+                sp = sp + push.astype(jnp.int32)
+            return it + 1, sp, best_t, best_i
+
+        best_t0 = jnp.where(active0, tmax, -_BIG)
+        best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+        _, _, best_t, best_i = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(1), best_t0, best_i0))
+        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+        idx_out_ref[b] = best_i
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
+def _ray_packets_packed(origins, dirs, t_max, batch: int):
+    """Rays -> ONE packed f32[PB, 7, 8, 128] array (PB = P padded to a
+    multiple of ``batch``; padding packets have t_max = -1 -> inactive)."""
+    comps, tm, meta = _ray_packets(origins, dirs, t_max)
+    rays = jnp.stack(comps + [tm], axis=1)            # (P, 7, 8, 128)
+    p = rays.shape[0]
+    pb = -(-p // batch) * batch
+    if pb != p:
+        pad = jnp.zeros((pb - p, 7, 8, 128), rays.dtype)
+        pad = pad.at[:, 6].set(-1.0)
+        rays = jnp.concatenate([rays, pad])
+    return rays, p, meta
+
+
+def _common_call_b(packed, kernel, out_shapes, rays, t_min, interpret,
+                   batch: int):
+    from ..bvh.wide import WideBVH
+    assert isinstance(packed, WideBVH)
+    pb = rays.shape[0]
+    nodes = packed.nodes
+    tris = packed.tris
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE  # cost-model probes only
+    if interpret is None:
+        interpret = not _compiled_backend()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 7, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pb // batch,),
+        in_specs=[const_spec(nodes.shape), const_spec(tris.shape), ray_spec],
+        out_specs=tuple(out_spec for _ in out_shapes),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(kernel, packed.leaf_size, iter_cap, batch),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((pb, 8, 128), dt, vma=vma)
+            for dt in out_shapes),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    return fn(tmin_arr, nodes, tris, rays)
+
+
+# ---------------------------------------------------------------------------
 # Host-callable wrappers
 # ---------------------------------------------------------------------------
 
@@ -760,6 +1118,8 @@ def _common_call(packed, kernel, out_shapes, comps, tm, t_min,
     else:
         stack_depth = STACK_DEPTH
         iter_cap = _iter_cap(packed.num_internal)
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE  # cost-model probes only
     if interpret is None:
         interpret = not _compiled_backend()
     # NB: with PrefetchScalarGridSpec the index maps receive the scalar
@@ -790,7 +1150,7 @@ def _common_call(packed, kernel, out_shapes, comps, tm, t_min,
             for dt in out_shapes),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=(_GRID_SEMANTICS,)),
     )
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
     return fn(tmin_arr, nodes, tris, *comps, tm)
@@ -814,15 +1174,39 @@ def trace_any_pallas(bvh, origins, dirs, t_max, cfg=None, t_min: float = 0.0,
     or "frustum" (scalar interval culling, kept for reference)."""
     from ..bvh.wide import WideBVH
     packed = _as_packed(bvh)
+    if isinstance(packed, WideBVH) and variant == "lanes" \
+            and PACKETS_PER_STEP > 1:
+        rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
+                                            PACKETS_PER_STEP)
+        (occ,) = _common_call_b(packed, _any_hit_kernel_w8_b, (jnp.int32,),
+                                rays, t_min, interpret, PACKETS_PER_STEP)
+        return _unpack(occ[:p], meta) > 0
     comps, tm, meta = _ray_packets(origins, dirs, t_max)
     if isinstance(packed, WideBVH):
-        kernel = _any_hit_kernel_w8
+        kernel = (_any_hit_kernel_w8_x2 if variant == "x2"
+                  else _any_hit_kernel_w8)
     else:
         kernel = (_any_hit_kernel_v2 if variant == "frustum"
                   else _any_hit_kernel)
     (occ,) = _common_call(packed, kernel, (jnp.int32,), comps, tm,
                           t_min, interpret)
     return _unpack(occ, meta) > 0
+
+
+def trace_any_pallas_stats(bvh, origins, dirs, t_max, t_min: float = 0.0,
+                           interpret: Optional[bool] = None):
+    """trace_any_pallas (wide path) + per-packet traversal iteration counts.
+
+    Returns (occluded bool[...], iters i32[P]) — the observability hook for
+    the traversal cost model (cycles/node x nodes/packet)."""
+    from ..bvh.wide import WideBVH
+    packed = _as_packed(bvh)
+    assert isinstance(packed, WideBVH), "stats variant is wide-BVH only"
+    comps, tm, meta = _ray_packets(origins, dirs, t_max)
+    occ, its = _common_call(packed, _any_hit_kernel_w8_stats,
+                            (jnp.int32, jnp.int32), comps, tm, t_min,
+                            interpret)
+    return _unpack(occ, meta) > 0, its[:, 0, 0]
 
 
 def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
@@ -836,15 +1220,24 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
     (e.g. the packed shading table), cheaper to consume than tri_id."""
     from ..bvh.wide import WideBVH
     packed = _as_packed(bvh)
-    comps, tm, meta = _ray_packets(origins, dirs, t_max)
-    if isinstance(packed, WideBVH):
-        kernel = _closest_hit_kernel_w8
+    if isinstance(packed, WideBVH) and variant == "lanes" \
+            and PACKETS_PER_STEP > 1:
+        rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
+                                            PACKETS_PER_STEP)
+        t, sidx = _common_call_b(packed, _closest_hit_kernel_w8_b,
+                                 (jnp.float32, jnp.int32), rays, t_min,
+                                 interpret, PACKETS_PER_STEP)
+        t, sidx = t[:p], sidx[:p]
     else:
-        kernel = (_closest_hit_kernel_v2 if variant == "frustum"
-                  else _closest_hit_kernel)
-    t, sidx = _common_call(packed, kernel,
-                           (jnp.float32, jnp.int32), comps, tm, t_min,
-                           interpret)
+        comps, tm, meta = _ray_packets(origins, dirs, t_max)
+        if isinstance(packed, WideBVH):
+            kernel = _closest_hit_kernel_w8
+        else:
+            kernel = (_closest_hit_kernel_v2 if variant == "frustum"
+                      else _closest_hit_kernel)
+        t, sidx = _common_call(packed, kernel,
+                               (jnp.float32, jnp.int32), comps, tm, t_min,
+                               interpret)
     t = _unpack(t, meta)
     sidx = _unpack(sidx, meta)
     tri_id = jnp.where(sidx >= 0,
