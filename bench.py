@@ -129,19 +129,41 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     log(f"lbvh build: {build_ms:.2f} ms; fused rebuild (build+collapse): "
         f"{rebuild_ms:.2f} ms")
 
-    # Full frame: all passes on a static accel (config 1/2-style frame).
+    # Raster G-buffer (the production primary-visibility path on compiled
+    # TPU; see passes/gbuffer.py v2 design). Fault-tolerant: the ray-cast
+    # numbers above must survive a raster failure.
+    from tpurt.passes.shading import make_shade_table_orig
+    st_orig = jax.jit(make_shade_table_orig)(mesh)
+    gbr_ms = None
+    if use_pallas:
+        try:
+            from tpurt.passes.gbuffer import gbuffer_raster_pass
+            gbr = jax.jit(lambda mesh, cam: gbuffer_raster_pass(
+                mesh, cam, width, height))
+            rv = int(np.asarray(gbr(mesh, cam)["valid"]).sum())
+            gbr_ms = timed(lambda: gbr(mesh, cam)["t"], 5) * 1e3
+            log(f"gbuffer RASTER pass: {gbr_ms:.2f} ms (valid {rv})")
+        except Exception as e:  # noqa: BLE001
+            log(f"raster gbuffer failed: {type(e).__name__}: {str(e)[:200]}")
+
+    # Full frame: all passes on a static accel (config 1/2-style frame);
+    # auto G-buffer strategy (raster on compiled TPU backends).
     st = st0
-    frame = jax.jit(lambda a, mesh, cam, lights, key, st: render_frame_fn(
-        a, mesh, cam, lights, key, cfg, shade_table=st)["image"])
+    frame = jax.jit(lambda a, mesh, cam, lights, key, st, sto:
+                    render_frame_fn(a, mesh, cam, lights, key, cfg,
+                                    shade_table=st,
+                                    shade_table_orig=sto)["image"])
     key = jax.random.PRNGKey(0)
-    frame_ms = timed(lambda: frame(accel, mesh, cam, (light,), key, st),
-                     5) * 1e3
+    frame_ms = timed(lambda: frame(accel, mesh, cam, (light,), key, st,
+                                   st_orig), 5) * 1e3
     log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
         f"build+trace: {rebuild_ms + shadow_s*1e3:.2f} ms")
     result = dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,
                   widen_ms=widen_ms, gbuffer_ms=gb_ms,
                   shadow_ms=shadow_s * 1e3,
                   build_trace_ms=rebuild_ms + shadow_s * 1e3)
+    if gbr_ms is not None:
+        result["gbuffer_raster_ms"] = round(gbr_ms, 2)
 
     # ---- BASELINE configs 3/4/5 (fault-tolerant: the headline metric above
     # must survive an extras failure) -------------------------------------

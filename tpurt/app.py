@@ -414,8 +414,8 @@ class Renderer:
             # Rasterizer pair capacity overflowed for this viewpoint: double
             # it (static -> recompile) and re-render; never return a frame
             # with dropped coverage.
-            from .raster.setup import default_cap_pairs
-            cap = cfg.raster_cap_pairs or default_cap_pairs(
+            from .raster.setup import default_cap_rows
+            cap = cfg.raster_cap_pairs or default_cap_rows(
                 self.mesh.num_triangles)
             self.config = dataclasses.replace(cfg,
                                               raster_cap_pairs=2 * cap)

@@ -150,6 +150,220 @@ def _raster_kernel(wt: int, starts_ref, counts_ref, bigcnt_ref,
     invw_ref[0] = jnp.where(hit, best, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# v2: self-shading records, B_TILES tiles per grid step
+# ---------------------------------------------------------------------------
+
+B_TILES = 4         # tiles per grid step (amortizes per-step machinery)
+CHUNK32 = 8         # v2 pair rows per DMA chunk (8 rows = 32 records)
+
+
+def _eval_records32(read, row_ok, sx, sy, state, cull=None):
+    """Test the 4 records of one 128-float v2 row (raster/setup.py layout).
+
+    read(k) -> scalar lane k (SMEM). row_ok: scalar bool for the whole row.
+    cull: None, or (tx, ty) for per-record tile-rect culling (big list) —
+    records whose stored rect misses the tile skip the vector work via cond.
+    """
+    from ..raster.setup import REC32, RECS32_PER_ROW
+
+    def eval_rec(b, st):
+        best, bd1, bd2, bsum, btri, nwx, nwy, nwz, gx, gy, gz, ar, ag, ab = st
+        d0 = read(b + 0) * sx + read(b + 1) * sy + read(b + 2)
+        d1 = read(b + 3) * sx + read(b + 4) * sy + read(b + 5)
+        d2 = read(b + 6) * sx + read(b + 7) * sy + read(b + 8)
+        dinv = read(b + 9)
+        tid_f = read(b + 10)
+        dsum = d0 + d1 + d2
+        cov = ((d0 >= 0.0) & (d1 >= 0.0) & (d2 >= 0.0)) | \
+              ((d0 <= 0.0) & (d1 <= 0.0) & (d2 <= 0.0))
+        invw = dsum * dinv
+        ok = cov & (invw > best) & (tid_f >= 0.0) & row_ok
+        nx = d0 * read(b + 12) + d1 * read(b + 15) + d2 * read(b + 18)
+        ny = d0 * read(b + 13) + d1 * read(b + 16) + d2 * read(b + 19)
+        nz = d0 * read(b + 14) + d1 * read(b + 17) + d2 * read(b + 20)
+        return (jnp.where(ok, invw, best), jnp.where(ok, d1, bd1),
+                jnp.where(ok, d2, bd2), jnp.where(ok, dsum, bsum),
+                jnp.where(ok, tid_f.astype(jnp.int32), btri),
+                jnp.where(ok, nx, nwx), jnp.where(ok, ny, nwy),
+                jnp.where(ok, nz, nwz),
+                jnp.where(ok, read(b + 21), gx),
+                jnp.where(ok, read(b + 22), gy),
+                jnp.where(ok, read(b + 23), gz),
+                jnp.where(ok, read(b + 24), ar),
+                jnp.where(ok, read(b + 25), ag),
+                jnp.where(ok, read(b + 26), ab))
+
+    for r in range(RECS32_PER_ROW):
+        b = REC32 * r
+        if cull is None:
+            state = eval_rec(b, state)
+        else:
+            tx, ty = cull
+            txf = tx.astype(jnp.float32)
+            tyf = ty.astype(jnp.float32)
+            hitrect = ((read(b + 27) <= txf) & (txf <= read(b + 29))
+                       & (read(b + 28) <= tyf) & (tyf <= read(b + 30)))
+            state = jax.lax.cond(hitrect & row_ok,
+                                 lambda st, bb=b: eval_rec(bb, st),
+                                 lambda st: st, state)
+    return state
+
+
+def _raster_kernel32(wt: int, ntiles: int, width: int, height: int,
+                     starts_ref, counts_ref,
+                     bigrows_ref, pair_hbm_ref, big_hbm_ref,
+                     tri_ref, attr_ref, scratch_ref, sem_ref):
+    i = pl.program_id(0)
+
+    for b in range(B_TILES):
+        tile = i * B_TILES + b
+        tile = jnp.minimum(tile, ntiles - 1)   # pad tiles re-render the last
+        ty = tile // wt
+        tx = tile % wt
+        pidx = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+        # Centered/unit-scaled coords — must match _setup_records32.
+        sx = ((tx * TILE + pidx % TILE).astype(jnp.float32)
+              - 0.5 * width) * (1.0 / width)
+        sy = ((ty * TILE + pidx // TILE).astype(jnp.float32)
+              - 0.5 * height) * (1.0 / height)
+
+        state = (jnp.zeros((8, 128), jnp.float32),   # best 1/w
+                 jnp.zeros((8, 128), jnp.float32),   # d1
+                 jnp.zeros((8, 128), jnp.float32),   # d2
+                 jnp.ones((8, 128), jnp.float32),    # dsum
+                 jnp.full((8, 128), -1, jnp.int32),  # tri
+                 ) + tuple(jnp.zeros((8, 128), jnp.float32)
+                           for _ in range(9))        # nw, gn, albedo
+
+        def stream(src_hbm, row_lo, row_hi, state, cull):
+            nchunks = (row_hi - row_lo + CHUNK32 - 1) // CHUNK32
+
+            def get_dma(slot, ci):
+                return pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(row_lo + ci * CHUNK32, CHUNK32)],
+                    scratch_ref.at[slot],
+                    sem_ref.at[slot],
+                )
+
+            @pl.when(nchunks > 0)
+            def _():
+                get_dma(0, 0).start()
+
+            def chunk_body(ci, st):
+                slot = jax.lax.rem(ci, N_BUF)
+
+                @pl.when(ci + 1 < nchunks)
+                def _():
+                    get_dma(jax.lax.rem(ci + 1, N_BUF), ci + 1).start()
+
+                get_dma(slot, ci).wait()
+                for rr in range(CHUNK32):
+                    g_row = row_lo + ci * CHUNK32 + rr
+
+                    def read(k, slot=slot, rr=rr):
+                        return scratch_ref[slot, rr, k]
+
+                    st = _eval_records32(read, g_row < row_hi, sx, sy, st,
+                                         cull=cull)
+                return st
+
+            return jax.lax.fori_loop(0, nchunks, chunk_body, state)
+
+        state = stream(big_hbm_ref, 0, bigrows_ref[0], state, (tx, ty))
+        start = starts_ref[tile]
+        state = stream(pair_hbm_ref, start, start + counts_ref[tile],
+                       state, None)
+
+        best, bd1, bd2, bsum, btri, nwx, nwy, nwz, gx, gy, gz, ar, ag, ab \
+            = state
+        hit = btri >= 0
+        safe = jnp.where(jnp.abs(bsum) > 1e-30, bsum, 1.0)
+        # d0*n0+d1*n1+d2*n2 is the interpolated normal times dsum, whose
+        # sign is negative for backfacing (two-sided) coverage — fold
+        # sign(dsum) into the normalization so the normal matches the
+        # clipped-barycentric interpolation of the ray-cast G-buffer.
+        rn = jax.lax.rsqrt(jnp.maximum(nwx * nwx + nwy * nwy + nwz * nwz,
+                                       1e-30))
+        rn = rn * jnp.where(bsum < 0.0, -1.0, 1.0)
+        z = jnp.zeros((8, 128), jnp.float32)
+        tri_ref[b] = btri
+        attr_ref[b, 0] = jnp.where(hit, bd1 / safe, z)
+        attr_ref[b, 1] = jnp.where(hit, bd2 / safe, z)
+        attr_ref[b, 2] = jnp.where(hit, best, z)
+        attr_ref[b, 3] = jnp.where(hit, nwx * rn, z)
+        attr_ref[b, 4] = jnp.where(hit, nwy * rn, z)
+        attr_ref[b, 5] = jnp.where(hit, nwz * rn, z)
+        attr_ref[b, 6] = jnp.where(hit, gx, z)
+        attr_ref[b, 7] = jnp.where(hit, gy, z)
+        attr_ref[b, 8] = jnp.where(hit, gz, z)
+        attr_ref[b, 9] = jnp.where(hit, ar, z)
+        attr_ref[b, 10] = jnp.where(hit, ag, z)
+        attr_ref[b, 11] = jnp.where(hit, ab, z)
+
+
+def rasterize_rows(bins, width: int, height: int, interpret=None):
+    """Run the v2 kernel over RasterRows bins. Returns per-pixel
+    (tri_id i32[H,W], attrs f32[12,H,W]) with attr channels
+    [u, v, invw, nx, ny, nz, gnx, gny, gnz, ar, ag, ab]."""
+    from .traverse import from_packets
+    wt = -(-width // TILE)
+    ht = -(-height // TILE)
+    ntiles = wt * ht
+    if interpret is None:
+        interpret = not _compiled_backend()
+    ngrid = -(-ntiles // B_TILES)
+    tpad = ngrid * B_TILES
+
+    def pad_rows(rows):
+        pad = jnp.zeros((CHUNK32, 128), jnp.float32)
+        pad = pad.at[:, 10::32].set(-1.0)            # dead tri slots
+        return jnp.concatenate([rows, pad])
+
+    pair_rows = pad_rows(bins.pair_rows)
+    big_rows = pad_rows(bins.big_rows)
+    starts = jnp.pad(bins.row_starts, (0, tpad - ntiles))
+    counts = jnp.pad(bins.row_counts, (0, tpad - ntiles))
+
+    vma = getattr(jax.typeof(pair_rows), "vma", None)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ngrid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # pair rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # big rows (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((B_TILES, 8, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILES, 12, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((N_BUF, CHUNK32, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_raster_kernel32, wt, ntiles, width, height),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((tpad, 8, 128), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((tpad, 12, 8, 128), jnp.float32, vma=vma),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )
+    bigrows = jnp.reshape(bins.big_nrows.astype(jnp.int32), (1,))
+    tri, attr = fn(starts, counts, bigrows, pair_rows, big_rows)
+    tri_img = from_packets(tri[:ntiles], height, width)
+    attrs = jnp.stack([from_packets(attr[:ntiles, c], height, width)
+                       for c in range(12)])
+    return tri_img, attrs
+
+
 def rasterize_tiles(bins, width: int, height: int,
                     interpret=None) -> Tuple[jnp.ndarray, jnp.ndarray,
                                              jnp.ndarray, jnp.ndarray]:

@@ -66,52 +66,48 @@ def shade_attributes(mesh: Mesh, tri_id: jnp.ndarray, position: jnp.ndarray,
 
 
 def gbuffer_raster_pass(mesh: Mesh, cam: Camera, width: int, height: int,
-                        shade_table_orig: jnp.ndarray,
+                        shade_table_orig=None,
                         cap_pairs: int | None = None,
                         interpret=None) -> Dict[str, jnp.ndarray]:
     """Primary visibility by TILE RASTERIZATION (the reference's actual
     G-buffer strategy — Model.vert/Model.frag [RECALL]) instead of a
-    closest-hit ray cast. Same output contract as gbuffer_pass. Pure
-    streaming VPU work: measured ~10x the ray-cast G-buffer's throughput at
-    1080p on a v5e (see bench.py). Needs no BVH.
+    closest-hit ray cast. Same output contract as gbuffer_pass.
 
-    shade_table_orig: passes/shading.py make_shade_table_orig(mesh).
+    v2 design: the 32-float setup records carry vertex normals, geometric
+    normal and albedo, and the kernel's z-fight selects the shading
+    attributes directly — the G-buffer needs NO per-pixel row gather
+    afterwards (XLA row gathers measured ~400 ms/1M rows on a v5e; position
+    reconstructs from 1/w and the view ray). shade_table_orig is accepted
+    and ignored for call-site compatibility.
+
     The dict gains "raster_overflow": True if the static pair capacity
     dropped work this frame (callers re-run with a bigger cap; the
     Renderer handles this like the wide-BVH pad overflow)."""
-    from ..kernels.raster import rasterize_tiles
-    from ..raster.setup import bin_triangles, default_cap_pairs
-    from .shading import shade_from_table_uv
+    from ..kernels.raster import rasterize_rows
+    from ..raster.setup import bin_rows, default_cap_rows
     if cap_pairs is None:
-        cap_pairs = default_cap_pairs(mesh.num_triangles)
-    bins = bin_triangles(cam, mesh, width, height, cap_pairs)
-    tri_id, u, v, invw = rasterize_tiles(bins, width, height,
-                                         interpret=interpret)
+        cap_pairs = default_cap_rows(mesh.num_triangles)
+    bins = bin_rows(cam, mesh, width, height, cap_pairs)
+    tri_id, at = rasterize_rows(bins, width, height, interpret=interpret)
     valid = tri_id >= 0
-    rows = shade_table_orig[jnp.clip(tri_id, 0,
-                                     shade_table_orig.shape[0] - 1)]
-    v0 = rows[..., 0:3]
-    e1 = rows[..., 3:6]
-    e2 = rows[..., 6:9]
-    position = jnp.where(valid[..., None],
-                         v0 + u[..., None] * e1 + v[..., None] * e2, 0.0)
-    attrs = shade_from_table_uv(rows, u, v, valid)
-    # View rays for facing/bias/shadow math: recompute from the camera (the
-    # raster path never generated them; elementwise, XLA-fused).
+    invw = at[2]
     origins, dirs = generate_rays(cam, width, height)
-    facing = jnp.sign(-jnp.sum(attrs["gnormal"] * dirs, axis=-1,
-                               keepdims=True))
-    gnormal = attrs["gnormal"] * jnp.where(facing == 0, 1.0, facing)
-    smooth = attrs["normal"] * jnp.where(facing == 0, 1.0, facing)
-    depth = jnp.where(valid, 1.0 / jnp.maximum(invw, 1e-30), cam.zfar)
     _, _, forward = camera_basis(cam)
+    depth = jnp.where(valid, 1.0 / jnp.maximum(invw, 1e-30), cam.zfar)
     t = jnp.where(valid, depth / jnp.maximum(
         jnp.einsum("...k,k->...", dirs, forward), 1e-6), jnp.inf)
+    t_safe = jnp.where(valid, t, 0.0)
+    position = origins + dirs * t_safe[..., None]
+    smooth = jnp.stack([at[3], at[4], at[5]], axis=-1)
+    gnormal = jnp.stack([at[6], at[7], at[8]], axis=-1)
+    albedo = jnp.stack([at[9], at[10], at[11]], axis=-1)
+    facing = jnp.sign(-jnp.sum(gnormal * dirs, axis=-1, keepdims=True))
+    flip = jnp.where(facing == 0, 1.0, facing)
     return {
         "position": position,
-        "normal": smooth,
-        "gnormal": gnormal,
-        "albedo": attrs["albedo"],
+        "normal": smooth * flip,
+        "gnormal": gnormal * flip,
+        "albedo": albedo,
         "depth": depth.astype(jnp.float32),
         "t": t.astype(jnp.float32),
         "tri_id": tri_id,

@@ -195,3 +195,225 @@ def default_cap_pairs(num_tris: int) -> int:
     scenes with large headroom (most tris span 1-4 tiles); bucketed to
     limit recompiles if callers grow it."""
     return max(1 << 17, -(-6 * num_tris // (1 << 16)) * (1 << 16))
+
+
+# ---------------------------------------------------------------------------
+# v2: self-shading 32-float records binned at table-ROW granularity
+# ---------------------------------------------------------------------------
+#
+# The v1 binner emitted (triangle, tile) pairs and gathered 16-float setup
+# records into sorted pair order — measured on a v5e: the argsort is cheap
+# (~10-30 ms) but the XLA row GATHER is catastrophic (~400 ms/1M rows) and
+# the searchsorted pair expansion costs ~100+ ms. v2 exploits mesh locality
+# (consecutive OBJ faces raster to the same tiles; measured on Sponza: ROW
+# granularity cuts pair count 4x for only ~5% extra record evals):
+#
+# - Records are 32 floats and carry EVERYTHING shading needs (vertex
+#   normals, geometric normal, albedo), so the kernel's z-fight selects
+#   shading attributes directly and the G-buffer needs NO per-pixel row
+#   gather afterwards (position reconstructs from 1/w and the view ray).
+# - The pair unit is one 128-lane table row (4 records): the pair list
+#   is ~4x smaller, and the gather into sorted pair order moves full
+#   aligned rows.
+# - Pair expansion is scatter-add + cumsum + tiny gathers (no searchsorted
+#   over the pair capacity).
+
+REC32 = 32          # floats per v2 record
+RECS32_PER_ROW = 4  # records per 128-lane row
+
+
+class RasterRows(NamedTuple):
+    """v2 kernel-ready binning (all shapes static).
+
+    pair_rows  : f32[CAP, 128] 4-record rows in SORTED (tile-major) order
+    row_starts : i32[ntiles] first pair-row of each tile
+    row_counts : i32[ntiles] pair-rows per tile
+    big_rows   : f32[BIGCAP/4, 128] big-list rows (streamed by every tile)
+    big_nrows  : i32[] valid big rows
+    overflow   : bool[] pair or big capacity exceeded
+    """
+
+    pair_rows: jnp.ndarray
+    row_starts: jnp.ndarray
+    row_counts: jnp.ndarray
+    big_rows: jnp.ndarray
+    big_nrows: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def _setup_records32(clip: jnp.ndarray, mesh: Mesh, width: int, height: int,
+                     tri_ids: jnp.ndarray, rect) -> jnp.ndarray:
+    """Self-shading setup record f32[T, 32]:
+
+    [0:9]   E0, E1, E2 (2DH edge vectors; see _setup_records)
+    [9]     Dinv
+    [10]    tri_id (-1 = dead slot; kernels skip via the coverage test)
+    [11]    pad
+    [12:21] n0, n1, n2 (vertex normals; z-fight carries d0*n0+d1*n1+d2*n2)
+    [21:24] geometric normal
+    [24:27] albedo
+    [27:31] tile-rect x0, y0, x1, y1 (f32; big-list per-tile culling)
+    [31]    pad
+    """
+    tri = mesh.indices.astype(jnp.int32)
+    # Centered/unit-scaled screen coordinates for the edge-vector build:
+    # pixel-scale coords make the cross products cancel catastrophically
+    # (measured ~2e-3 relative depth error at 96x64); the d-ratios that
+    # yield coverage, u/v and 1/w are invariant to this affine rescale.
+    # Must match the (sx, sy) mapping in kernels/raster.py::_raster_kernel32.
+    scale = jnp.asarray([1.0 / width, 1.0 / height, 1.0], jnp.float32)
+    off = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
+    cs = jnp.stack([(clip[:, 0] - off[0] * clip[:, 2]) * scale[0],
+                    (clip[:, 1] - off[1] * clip[:, 2]) * scale[1],
+                    clip[:, 2]], axis=-1)
+    c0 = cs[tri[:, 0]]
+    c1 = cs[tri[:, 1]]
+    c2 = cs[tri[:, 2]]
+    e0 = jnp.cross(c1, c2)
+    e1 = jnp.cross(c2, c0)
+    e2 = jnp.cross(c0, c1)
+    d = jnp.sum(e0 * c0, axis=-1)
+    dinv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 0.0)
+    n0 = mesh.normals[tri[:, 0]]
+    n1 = mesh.normals[tri[:, 1]]
+    n2 = mesh.normals[tri[:, 2]]
+    v0w = mesh.vertices[tri[:, 0]]
+    gve1 = mesh.vertices[tri[:, 1]] - v0w
+    gve2 = mesh.vertices[tri[:, 2]] - v0w
+    gn = jnp.cross(gve1, gve2)
+    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    tx0, ty0, tx1, ty1 = rect
+    rec = jnp.concatenate([
+        e0, e1, e2, dinv[:, None],
+        tri_ids.astype(jnp.float32)[:, None],
+        jnp.zeros((tri.shape[0], 1), jnp.float32),
+        n0, n1, n2, gn, mesh.albedo,
+        tx0.astype(jnp.float32)[:, None], ty0.astype(jnp.float32)[:, None],
+        tx1.astype(jnp.float32)[:, None], ty1.astype(jnp.float32)[:, None],
+        jnp.zeros((tri.shape[0], 1), jnp.float32),
+    ], axis=1)
+    return rec
+
+
+def _pack_rows32(rec: jnp.ndarray) -> jnp.ndarray:
+    n = rec.shape[0]
+    npad = -(-n // RECS32_PER_ROW) * RECS32_PER_ROW
+    if npad != n:
+        pad = jnp.zeros((npad - n, REC32), jnp.float32)
+        pad = pad.at[:, 10].set(-1.0)                 # dead slots
+        rec = jnp.concatenate([rec, pad])
+    return rec.reshape(npad // RECS32_PER_ROW, 128)
+
+
+def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
+             cap_pairs: int, cap_big: int = 2048) -> RasterRows:
+    """v2 binning: (table-row, tile) pairs, tile-sorted, rows gathered whole.
+
+    cap_pairs: static (row, tile)-pair capacity (see default_cap_rows)."""
+    wt = -(-width // TILE)
+    ht = -(-height // TILE)
+    ntiles = wt * ht
+    tri = mesh.indices.astype(jnp.int32)
+    t_count = tri.shape[0]
+    clip = clip_transform(cam, width, height, mesh.vertices)
+
+    # Per-triangle screen rects (same math as v1).
+    c = clip[tri]
+    w_ok = jnp.all(c[:, :, 2] > W_EPS, axis=1)
+    w_safe = jnp.maximum(c[:, :, 2:3], W_EPS)
+    sxy = c[:, :, 0:2] / w_safe
+    mn = jnp.min(sxy, axis=1) - 0.5
+    mx = jnp.max(sxy, axis=1) + 0.5
+    tx0 = jnp.clip(jnp.floor(mn[:, 0] / TILE), 0, wt - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(mn[:, 1] / TILE), 0, ht - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(mx[:, 0] / TILE), 0, wt - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(mx[:, 1] / TILE), 0, ht - 1).astype(jnp.int32)
+    onscreen = (mx[:, 0] >= 0) & (mx[:, 1] >= 0) & \
+               (mn[:, 0] <= width - 1) & (mn[:, 1] <= height - 1)
+    rec = _setup_records32(clip, mesh, width, height,
+                           jnp.arange(t_count, dtype=jnp.int32),
+                           (jnp.where(w_ok, tx0, 0),
+                            jnp.where(w_ok, ty0, 0),
+                            jnp.where(w_ok, tx1, wt - 1),
+                            jnp.where(w_ok, ty1, ht - 1)))
+    degenerate = jnp.abs(rec[:, 9]) == 0.0
+    all_behind = jnp.all(c[:, :, 2] < W_EPS, axis=1)
+    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    small = w_ok & onscreen & (span <= BIG_SPAN) & ~degenerate
+    big = (~w_ok | (w_ok & onscreen & (span > BIG_SPAN))) \
+        & ~degenerate & ~all_behind
+
+    # Kill dead slots in the packed table (offscreen/degenerate/big tris
+    # must not rasterize from the small path).
+    rec = rec.at[:, 10].set(jnp.where(small, rec[:, 10], -1.0))
+    table = _pack_rows32(rec)                         # [nrows, 128]
+    nrows = table.shape[0]
+
+    # Per-ROW tile rects: union over live (small) member triangles.
+    def row_reduce(a, fill, op):
+        n = a.shape[0]
+        npad = -(-n // RECS32_PER_ROW) * RECS32_PER_ROW
+        aa = jnp.full((npad,), fill, a.dtype)
+        aa = aa.at[:n].set(jnp.where(small, a, fill))
+        return op(aa.reshape(-1, RECS32_PER_ROW), axis=1)
+
+    rx0 = row_reduce(tx0, jnp.int32(10 ** 6), jnp.min)
+    ry0 = row_reduce(ty0, jnp.int32(10 ** 6), jnp.min)
+    rx1 = row_reduce(tx1, jnp.int32(-1), jnp.max)
+    ry1 = row_reduce(ty1, jnp.int32(-1), jnp.max)
+    live = rx1 >= rx0
+    span_x = jnp.where(live, rx1 - rx0 + 1, 0)
+    span_y = jnp.where(live, ry1 - ry0 + 1, 0)
+    rspan = span_x * span_y
+
+    # Pair expansion WITHOUT searchsorted: scatter-max each live row's id at
+    # its segment start, then a running max recovers every pair's row id
+    # (zero-count rows never scatter, so the max carries across them).
+    counts = rspan
+    starts = jnp.cumsum(counts) - counts
+    total = starts[-1] + counts[-1]
+    p = jnp.arange(cap_pairs, dtype=jnp.int32)
+    row_ids = jnp.arange(nrows, dtype=jnp.int32)
+    seg = jnp.full((cap_pairs,), -1, jnp.int32).at[
+        jnp.where(counts > 0, starts, cap_pairs)].max(row_ids, mode="drop")
+    pair_row = jax.lax.cummax(seg)
+    pair_row = jnp.clip(pair_row, 0, nrows - 1)
+    k = p - starts[pair_row]
+    alive = (p < total) & (k >= 0) & (k < counts[pair_row])
+    sx = jnp.maximum(span_x[pair_row], 1)
+    tx = rx0[pair_row] + k % sx
+    ty = ry0[pair_row] + k // sx
+    tile_id = jnp.where(alive, ty * wt + tx, jnp.int32(ntiles))
+
+    order = jnp.argsort(tile_id)
+    tile_sorted = tile_id[order]
+    pair_rows = table[pair_row[order]]                # [cap, 128] row gather
+
+    tile_range = jnp.arange(ntiles, dtype=jnp.int32)
+    t_starts = jnp.searchsorted(tile_sorted, tile_range, side="left"
+                                ).astype(jnp.int32)
+    t_ends = jnp.searchsorted(tile_sorted, tile_range, side="right"
+                              ).astype(jnp.int32)
+
+    # Big list: whole rows again, dead slots pre-killed.
+    big_rec = rec.at[:, 10].set(
+        jnp.where(big, jnp.arange(t_count, dtype=jnp.float32), -1.0))
+    big_idx = jnp.nonzero(big, size=cap_big, fill_value=t_count)[0]
+    n_big = jnp.sum(big.astype(jnp.int32))
+    dead = jnp.zeros((1, REC32), jnp.float32).at[0, 10].set(-1.0)
+    big_all = jnp.concatenate([big_rec, dead])
+    big_rows = _pack_rows32(big_all[big_idx])
+
+    overflow = (total > cap_pairs) | (n_big > cap_big)
+    return RasterRows(
+        pair_rows=pair_rows, row_starts=t_starts,
+        row_counts=t_ends - t_starts, big_rows=big_rows,
+        big_nrows=-(-jnp.minimum(n_big, cap_big) // RECS32_PER_ROW),
+        overflow=overflow)
+
+
+def default_cap_rows(num_tris: int) -> int:
+    """Static (row, tile)-pair capacity for bin_rows: ~2.2 tiles per
+    4-triangle row (measured ~1.5 on Sponza), bucketed."""
+    rows = -(-num_tris // RECS32_PER_ROW)
+    return max(1 << 15, -(-22 * rows // 10 // (1 << 14)) * (1 << 14))
