@@ -33,11 +33,16 @@ def _force(r):
     return np.asarray(r).ravel()[0]
 
 
-def timed(fn, reps, batches=3):
+def timed(fn, reps, batches=4):
     """Honest per-call seconds: batches of reps, each forced to completion;
-    returns the best batch average. The remote-TPU tunnel's throughput
-    swings ~50% between batches, so min-of-batches estimates the device's
-    noise floor (per-batch averages are already sync-amortized)."""
+    returns the best batch average.
+
+    Measured on this platform (round 2): ONE forced sync costs ~30 ms of
+    tunnel round-trip latency, so the timed ``fn`` must return a SCALAR
+    (device-side reduction fused into the jit) and reps must be high enough
+    to amortize the residual per-call dispatch cost. The tunnel's
+    throughput also swings ~50% between batches, so min-of-batches
+    estimates the device's noise floor."""
     _force(fn())
     best = float("inf")
     for _ in range(batches):
@@ -93,26 +98,31 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     gbuf = gb(accel, mesh, cam, st0)
     valid = int(np.asarray(gbuf["valid"]).sum())
     log(f"gbuffer valid px: {valid}/{width*height}")
-    gb_ms = timed(lambda: gb(accel, mesh, cam, st0)["t"], 5) * 1e3
+    gb_scalar = jax.jit(lambda a, mesh, cam, st: jnp.sum(
+        jnp.where(_gb(a, mesh, cam, st)["valid"], 1.0, 0.0)))
+    gb_ms = timed(lambda: gb_scalar(accel, mesh, cam, st0), 10) * 1e3
     log(f"gbuffer closest pass: {gb_ms:.2f} ms")
 
-    shadow_rays = jax.jit(lambda gbuf, light: shadow_ray_batch(
-        gbuf, light, cfg.shadow_bias, None))
-    so, sd, stm = shadow_rays(gbuf, light)
+    shadow_rays = jax.jit(lambda gbuf, light, bvh: shadow_ray_batch(
+        gbuf, light, cfg.shadow_bias, None,
+        scene_bounds=(bvh.root_min, bvh.root_max)))
+    so, sd, stm = shadow_rays(gbuf, light, bvh)
     # NB: light-direction child ordering was measured on-TPU (round 2) at
-    # NEUTRAL-to-HARMFUL for the any-hit trace (+dir 50 ms, -dir 25 ms vs
-    # unordered 26 ms), so the shadow accel stays unordered.
+    # NEUTRAL-to-HARMFUL for the any-hit trace, so the shadow accel stays
+    # unordered.
     shadow_accel = accel
-    shade = jax.jit(lambda a, o, d, tm: trace_any(a, o, d, tm))
-    shadow_s = timed(lambda: shade(shadow_accel, so, sd, stm), 10)
+    shade = jax.jit(lambda a, o, d, tm: jnp.sum(
+        trace_any(a, o, d, tm).astype(jnp.int32)))
+    shadow_s = timed(lambda: shade(shadow_accel, so, sd, stm), 40)
     mrays = valid / shadow_s / 1e6
-    occ = int(np.asarray(shade(shadow_accel, so, sd, stm)).sum())
+    occ = int(shade(shadow_accel, so, sd, stm))
     log(f"shadow trace: {shadow_s*1e3:.2f} ms -> {mrays:.1f} Mrays/s "
         f"(occluded {occ})")
 
     # LBVH build alone (binary) — diagnostic.
-    build_ms = timed(lambda: build(mesh.vertices, mesh.indices).nodes_box,
-                     5) * 1e3
+    build_scalar = jax.jit(lambda v, i: jnp.sum(build(v, i).nodes_box))
+    build_ms = timed(lambda: build_scalar(mesh.vertices, mesh.indices),
+                     10) * 1e3
     # Config-2 rebuild path: build + 8-wide collapse as ONE fused device
     # program (the wide pad is chosen once per scene, so per-frame rebuilds
     # have no host sync — tpurt/app.py _rebuild_fused).
@@ -121,10 +131,10 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     if use_pallas and bvh_width == 8:
         from tpurt.bvh.wide import count_wide, round_up_bucket, widen_lbvh
         nw_pad = round_up_bucket(max(count_wide(bvh), 1))
-        rebuild = jax.jit(lambda v, i: widen_lbvh(
-            build_lbvh(v, i, leaf_size=leaf_size), nw_pad=nw_pad).nodes)
+        rebuild = jax.jit(lambda v, i: jnp.sum(widen_lbvh(
+            build_lbvh(v, i, leaf_size=leaf_size), nw_pad=nw_pad).nodes))
         rebuild_ms = timed(lambda: rebuild(mesh.vertices, mesh.indices),
-                           5) * 1e3
+                           10) * 1e3
         widen_ms = max(rebuild_ms - build_ms, 0.0)
     log(f"lbvh build: {build_ms:.2f} ms; fused rebuild (build+collapse): "
         f"{rebuild_ms:.2f} ms")
@@ -141,7 +151,10 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             gbr = jax.jit(lambda mesh, cam: gbuffer_raster_pass(
                 mesh, cam, width, height))
             rv = int(np.asarray(gbr(mesh, cam)["valid"]).sum())
-            gbr_ms = timed(lambda: gbr(mesh, cam)["t"], 5) * 1e3
+            gbr_scalar = jax.jit(lambda mesh, cam: jnp.sum(jnp.where(
+                gbuffer_raster_pass(mesh, cam, width, height)["valid"],
+                1.0, 0.0)))
+            gbr_ms = timed(lambda: gbr_scalar(mesh, cam), 10) * 1e3
             log(f"gbuffer RASTER pass: {gbr_ms:.2f} ms (valid {rv})")
         except Exception as e:  # noqa: BLE001
             log(f"raster gbuffer failed: {type(e).__name__}: {str(e)[:200]}")
@@ -150,12 +163,12 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     # auto G-buffer strategy (raster on compiled TPU backends).
     st = st0
     frame = jax.jit(lambda a, mesh, cam, lights, key, st, sto:
-                    render_frame_fn(a, mesh, cam, lights, key, cfg,
-                                    shade_table=st,
-                                    shade_table_orig=sto)["image"])
+                    jnp.sum(render_frame_fn(a, mesh, cam, lights, key, cfg,
+                                            shade_table=st,
+                                            shade_table_orig=sto)["image"]))
     key = jax.random.PRNGKey(0)
     frame_ms = timed(lambda: frame(accel, mesh, cam, (light,), key, st,
-                                   st_orig), 5) * 1e3
+                                   st_orig), 10) * 1e3
     log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
         f"build+trace: {rebuild_ms + shadow_s*1e3:.2f} ms")
     result = dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,
@@ -194,9 +207,10 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
 
     # Config 3: area-light soft shadows, 8 jittered rays/pixel.
     sun = Light.sun((0.25, 0.9, 0.2), angular_radius_deg=2.5)
-    sp8 = jax.jit(lambda a, g, k: shadow_pass(
-        lambda o, d, tm: trace_any(a, o, d, tm), g, sun, 8, k, 1e-3))
-    t = timed(lambda: sp8(accel, gbuf, jax.random.PRNGKey(1)), 3)
+    sp8 = jax.jit(lambda a, g, k: jnp.sum(shadow_pass(
+        lambda o, d, tm: trace_any(a, o, d, tm), g, sun, 8, k, 1e-3,
+        scene_bounds=(bvh.root_min, bvh.root_max))))
+    t = timed(lambda: sp8(accel, gbuf, jax.random.PRNGKey(1)), 10)
     out["soft_spp8_ms"] = round(t * 1e3, 2)
     out["soft_spp8_mrays"] = round(valid * 8 / t / 1e6, 2)
     log(f"config 3 soft spp=8: {out['soft_spp8_ms']} ms "
@@ -206,12 +220,13 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
     if isinstance(accel, WideBVH):
         plan = jax.jit(make_wide_plan, static_argnames=("nw_pad",))(
             bvh, nw_pad=accel.num_wide)
-        refit = jax.jit(lambda b, v, i: widen_from_plan(
-            plan, refit_lbvh(b, v, i)).nodes)
+        refit = jax.jit(lambda b, v, i: jnp.sum(widen_from_plan(
+            plan, refit_lbvh(b, v, i)).nodes))
     else:
-        refit = jax.jit(lambda b, v, i: refit_lbvh(b, v, i).nodes_box)
+        refit = jax.jit(lambda b, v, i: jnp.sum(
+            refit_lbvh(b, v, i).nodes_box))
     out["refit_ms"] = round(
-        timed(lambda: refit(bvh, mesh.vertices, mesh.indices), 5) * 1e3, 2)
+        timed(lambda: refit(bvh, mesh.vertices, mesh.indices), 10) * 1e3, 2)
     log(f"config 4 refit (incl. wide re-gather): {out['refit_ms']} ms")
 
     # Config 5: 4K G-buffer + 2-light shadow batches, sorted vs unsorted.
@@ -229,8 +244,8 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
             lambda o, d: trace_closest(a, o, d), mesh, cam, W4, H4))
     gbuf4 = gb4(gb_accel4)
     valid4 = int(np.asarray(gbuf4["valid"]).sum())
-    out["gbuffer_4k_ms"] = round(timed(lambda: gb4(gb_accel4)["t"], 3) * 1e3,
-                                 2)
+    gb4s = jax.jit(lambda a: jnp.sum(jnp.where(gb4(a)["valid"], 1.0, 0.0)))
+    out["gbuffer_4k_ms"] = round(timed(lambda: gb4s(gb_accel4), 5) * 1e3, 2)
     lights5 = [Light.sun((0.25, 0.9, 0.2), angular_radius_deg=1.5),
                Light.directional((-0.4, 0.8, -0.3))]
     raw = lambda a, o, d, tm: trace_any(a, o, d, tm)
@@ -246,17 +261,19 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
             for li, lt in enumerate(lights5):
                 u = jax.random.uniform(jax.random.PRNGKey(li), (H4, W4, 2)) \
                     if lt.kind != 0 else None
-                o, d, tm = shadow_ray_batch(g, lt, 1e-3, u)
+                o, d, tm = shadow_ray_batch(
+                    g, lt, 1e-3, u,
+                    scene_bounds=(bvh.root_min, bvh.root_max))
                 occ = tracer(a, o, d, tm)
                 r = occ if r is None else r ^ occ
-            return r
+            return jnp.sum(r.astype(jnp.int32))
         fn = jax.jit(run)
         return lambda: fn(accel, gbuf4)
 
     run_raw = multi_light(raw)
     run_sorted = multi_light(sortd)
-    t_raw = timed(run_raw, 3)
-    t_sorted = timed(run_sorted, 3)
+    t_raw = timed(run_raw, 5)
+    t_sorted = timed(run_sorted, 5)
     nrays = 2 * valid4
     out["multilight_4k_unsorted_ms"] = round(t_raw * 1e3, 2)
     out["multilight_4k_sorted_ms"] = round(t_sorted * 1e3, 2)

@@ -152,7 +152,8 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
         # remains available for scenes where it pays.
         shadows.append(shadow_pass(
             lambda o, d, tm: trace_any(bvh, o, d, tm),
-            gbuf, lights[li], cfg.spp, lkey, cfg.shadow_bias))
+            gbuf, lights[li], cfg.spp, lkey, cfg.shadow_bias,
+            scene_bounds=(bvh.root_min, bvh.root_max)))
     # Composite: sum of per-light direct terms + one ambient term.
     img = composite_pass(gbuf, shadows[0], lights[0], cfg.ambient,
                          cfg.background)
@@ -473,7 +474,8 @@ class Renderer:
             jax.block_until_ready(gbuf["t"])
         sp = jax.jit(lambda bvh, gbuf, light, k: shadow_pass(
             lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf, light, cfg.spp,
-            k, cfg.shadow_bias))
+            k, cfg.shadow_bias,
+            scene_bounds=(bvh.root_min, bvh.root_max)))
         with timer.section("shadow"):
             masks = []
             for li, light in enumerate(self.lights):

@@ -48,6 +48,16 @@ class ChunkedAccel:
     def num_chunks(self) -> int:
         return len(self.chunks)
 
+    # Scene bounds = union over chunks (used e.g. to cap directional
+    # shadow rays at the scene-AABB exit, passes/shadow.py).
+    @property
+    def root_min(self):
+        return jnp.min(jnp.stack([c.root_min for c in self.chunks]), axis=0)
+
+    @property
+    def root_max(self):
+        return jnp.max(jnp.stack([c.root_max for c in self.chunks]), axis=0)
+
 
 jax.tree_util.register_pytree_node(
     ChunkedAccel,

@@ -67,6 +67,87 @@ jax.tree_util.register_pytree_node(
 )
 
 
+@dataclasses.dataclass
+class WideBVHT:
+    """Hybrid 8-wide BVH: row-layout nodes + TRANSPOSED (sublane-major)
+    leaf triangles, for the w8t kernels.
+
+    Measured motivation (v5e, round 2): the leaf Möller–Trumbore dominates
+    the row-layout traversal — a 14-triangle leaf reads ~126 scalars out
+    of vector registers (vreg->sreg moves, the same pathology the raster
+    kernel measured 3x on). A fully transposed NODE layout measured 2.4x
+    WORSE (the (8,1)x(1,128) broadcast arithmetic costs more than the row
+    slabs), so nodes keep the row layout and only LEAVES transpose:
+    triangle index in the sublane dimension, so every field is a static
+    (8,1) vector slice and one (8,128) op tests 8 triangles x 128 rays.
+
+    nodes   : f32[Nw, 128] — row layout, identical to WideBVH.nodes.
+    tris_t  : leaf_size 8:  f32[ceil(L/14), 8, 128] — tris_t[b, t, 9j+f] =
+              field f (v0.xyz, e1.xyz, e2.xyz) of triangle t of leaf
+              14b+j (14 leaves/block, lanes 126..128 pad).
+              leaf_size 16: f32[ceil(L/7), 8, 128] — leaf 7b+j holds tris
+              8h+t at lanes 18j+9h+f (7 leaves/block, two 8-triangle
+              sublane groups per leaf). Both pack 36.6 B/triangle, the
+              same density as the 14-triangle row layout.
+    """
+
+    nodes: Any
+    tris_t: Any
+    tri_id: Any
+    root_min: Any
+    root_max: Any
+    num_wide: int
+    num_leaves: int
+    leaf_size: int
+
+
+jax.tree_util.register_pytree_node(
+    WideBVHT,
+    lambda b: ((b.nodes, b.tris_t, b.tri_id, b.root_min, b.root_max),
+               (b.num_wide, b.num_leaves, b.leaf_size)),
+    lambda aux, c: WideBVHT(*c, num_wide=aux[0], num_leaves=aux[1],
+                            leaf_size=aux[2]),
+)
+
+LEAVES_PER_BLOCK = 14    # leaf_size 8:  14 leaves x 9 fields = 126 lanes
+LEAVES_PER_BLOCK16 = 7   # leaf_size 16: 7 leaves x 2 groups x 9 = 126
+
+
+def leaves_per_block(leaf_size: int) -> int:
+    assert leaf_size in (8, 16), \
+        f"w8t layout needs leaf_size 8 or 16, got {leaf_size}"
+    return LEAVES_PER_BLOCK if leaf_size == 8 else LEAVES_PER_BLOCK16
+
+
+def build_wide_t(wide: WideBVH, bvh: LBVH) -> WideBVHT:
+    """WideBVH (row layout) + its LBVH -> hybrid WideBVHT (transposed
+    leaves). Pure reshapes/transposes — jit-able, works for build and
+    refit outputs. The triangle data comes from the LBVH (wide.tris rows
+    cannot hold leaf_size 16)."""
+    k = wide.leaf_size
+    lpb = leaves_per_block(k)
+    tri9 = jnp.stack([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
+    tri9 = tri9.reshape(-1, 9)          # [tri, (v0.xyz, e1.xyz, e2.xyz)]
+    nl = tri9.shape[0] // k
+    tri9 = tri9.reshape(nl, k, 9)
+    nlb = -(-nl // lpb)
+    lpad = nlb * lpb - nl
+    if lpad:
+        tri9 = jnp.concatenate(
+            [tri9, jnp.zeros((lpad, k, 9), tri9.dtype)])
+    if k == 8:
+        tris_t = (tri9.reshape(nlb, lpb, k, 9)
+                  .transpose(0, 2, 1, 3).reshape(nlb, 8, 126))
+    else:
+        # leaf j at lanes 18j, sublane group h in {0, 1}: tri 8h+t.
+        tris_t = (tri9.reshape(nlb, lpb, 2, 8, 9)
+                  .transpose(0, 3, 1, 2, 4).reshape(nlb, 8, 126))
+    tris_t = jnp.pad(tris_t, ((0, 0), (0, 0), (0, 2)))
+    return WideBVHT(nodes=wide.nodes, tris_t=tris_t, tri_id=wide.tri_id,
+                    root_min=wide.root_min, root_max=wide.root_max,
+                    num_wide=wide.num_wide, num_leaves=nl, leaf_size=k)
+
+
 def _expand(child, refs):
     """One masked expansion level: internal refs -> their two children;
     leaves/EMPTY pass through as (ref, EMPTY)."""
@@ -326,11 +407,17 @@ def widen_lbvh(bvh: LBVH, nw_pad: int) -> WideBVH:
         lanes.append(lane)
     nodes = jnp.concatenate(lanes, axis=1)  # [Nw, 128]
 
-    # Leaf/tri rows: same packing as the binary kernel layout.
+    # Leaf/tri rows: same packing as the binary kernel layout. leaf_size
+    # > 14 cannot pack one leaf per 128-lane row — those accels are only
+    # usable through the transposed-leaf layout (build_wide_t), so the row
+    # field becomes a placeholder.
     k = bvh.leaf_size
-    tri9 = jnp.stack([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
-    tri9 = tri9.reshape(bvh.num_leaves, k * 9)
-    tris = jnp.pad(tri9, ((0, 0), (0, 128 - k * 9)))
+    if k * 9 <= 128:
+        tri9 = jnp.stack([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
+        tri9 = tri9.reshape(bvh.num_leaves, k * 9)
+        tris = jnp.pad(tri9, ((0, 0), (0, 128 - k * 9)))
+    else:
+        tris = jnp.zeros((1, 128), jnp.float32)
 
     return WideBVH(nodes=nodes, tris=tris, tri_id=bvh.tri_id,
                    root_min=bvh.root_min, root_max=bvh.root_max,

@@ -334,6 +334,15 @@ WIDE_STACK_DEPTH = 384
 # vector work and leaf Möller–Trumbore do. Kept for reproducibility.
 W8_REDUCE = "sum4"
 
+# Early-exit check period for the batched any-hit kernels: the packet-wide
+# "all lanes resolved?" reduction runs every 2**W8_EXIT_LOG iterations.
+W8_EXIT_LOG = 2
+
+# Skip the prologue jnp.any(active0) whole-packet-skip reduction: inactive
+# (sky/pad) packets then pay one cheap root iteration instead of a
+# vector->scalar sync on EVERY packet.
+W8_SKIP_ALIVE0 = True
+
 # Debug/probe knob: when set, overrides the traversal iteration cap in
 # _common_call (used to fit the per-packet fixed cost vs per-iteration
 # marginal cost on hardware; results are WRONG when it truncates walks).
@@ -938,13 +947,14 @@ def _any_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
                 push = anyhit[c] & (~is_leaf)
                 stack_ref[sp] = jnp.where(push, ref, 0)
                 sp = sp + push.astype(jnp.int32)
-            alive = jax.lax.cond((it & 3) == 3,
+            period = (1 << W8_EXIT_LOG) - 1
+            alive = jax.lax.cond((it & period) == period,
                                  lambda: jnp.any(active0 & (occ == 0)),
                                  lambda: alive)
             return it + 1, sp, alive, occ
 
         occ0 = jnp.zeros(ox.shape, jnp.int32)
-        alive0 = jnp.any(active0)
+        alive0 = jnp.bool_(True) if W8_SKIP_ALIVE0 else jnp.any(active0)
         _, _, _, occ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.int32(1), alive0, occ0))
         out_ref[b] = occ
@@ -1016,6 +1026,315 @@ def _closest_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
         return 0
 
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
+# w8t kernels: sublane-major (transposed) node/leaf layout
+# ---------------------------------------------------------------------------
+#
+# Profiling the batched kernels showed ~685 cycles/iteration of marginal
+# cost, dominated by vreg->sreg scalar extracts: the row layout needs ~50
+# box/ref scalars per node broadcast from vector registers (the raster
+# kernel hit the same pathology and measured 3x from switching its record
+# reads to SMEM). The w8t layout (bvh/wide.py WideBVHT) puts the CHILD (or
+# leaf-triangle) index in the SUBLANE dimension, so every box plane /
+# triangle field is a static (8,1) vector slice broadcasting against
+# (1,128) ray sub-blocks — the only scalar extracts left are the ~2-3
+# taken child refs per node.
+
+def _select_lane_group(row, g, width: int):
+    """(8,128) row -> (8,width) lane group g (g in 0..128/width-1) via a
+    select tree of static slices (no dynamic lane indexing)."""
+    span = 128
+    while span > width:
+        half = span // 2
+        lo = row[:, :half]
+        hi = row[:, half:span]
+        row = jnp.where((g & (half // width)) > 0, hi, lo)
+        span = half
+    return row
+
+
+def _roll_lanes_left(row, j, unit: int, jmax: int):
+    """Rotate lanes left by unit*j (j in 0..jmax-1) with STATIC rolls
+    selected by j's bits (dynamic-shift rolls are not relied on)."""
+    out = row
+    bit = 1
+    while bit < jmax:
+        rolled = pltpu.roll(out, 128 - unit * bit, 1)
+        out = jnp.where((j & bit) > 0, rolled, out)
+        bit *= 2
+    return out
+
+
+def _leaf_row_t(tr_ref, leaf_id, k: int):
+    """Load + lane-align the transposed leaf row for leaf_id (leaf j ends
+    up at lane 0). Returns the (8,128) aligned row."""
+    from ..bvh.wide import leaves_per_block
+    lpb = leaves_per_block(k)
+    unit = 9 * (k // 8)
+    blk = jax.lax.div(leaf_id, jnp.int32(lpb))
+    j = leaf_id - blk * lpb
+    return _roll_lanes_left(tr_ref[blk], j, unit, lpb)
+
+
+def _leaf_occluded_t(tr_ref, leaf_id, k: int, occ, active0, ox, oy, oz,
+                     dx, dy, dz, tmax, t_min):
+    """Transposed-leaf occlusion: one (8,128) op tests 8 triangles x 128
+    rays; 8 ray sub-blocks cover the packet. Zero scalar extracts."""
+    row = _leaf_row_t(tr_ref, leaf_id, k)
+    rows = []
+    for s in range(8):
+        lanes_s = (active0[s:s + 1] & (occ[s:s + 1] == 0))
+        dxs, dys, dzs = dx[s:s + 1], dy[s:s + 1], dz[s:s + 1]
+        oxs, oys, ozs = ox[s:s + 1], oy[s:s + 1], oz[s:s + 1]
+        tms = tmax[s:s + 1]
+        hit = None
+        for h in range(k // 8):
+            g = 9 * h
+            v0x, v0y, v0z = row[:, g:g + 1], row[:, g + 1:g + 2], \
+                row[:, g + 2:g + 3]
+            e1x, e1y, e1z = row[:, g + 3:g + 4], row[:, g + 4:g + 5], \
+                row[:, g + 5:g + 6]
+            e2x, e2y, e2z = row[:, g + 6:g + 7], row[:, g + 7:g + 8], \
+                row[:, g + 8:g + 9]
+            px = dys * e2z - dzs * e2y
+            py = dzs * e2x - dxs * e2z
+            pz = dxs * e2y - dys * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            sgn = jnp.where(det < 0.0, -1.0, 1.0)
+            adet = det * sgn
+            tx = oxs - v0x
+            ty = oys - v0y
+            tz = ozs - v0z
+            nu = (tx * px + ty * py + tz * pz) * sgn
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            nv = (dxs * qx + dys * qy + dzs * qz) * sgn
+            nt = (e2x * qx + e2y * qy + e2z * qz) * sgn
+            ok = ((adet >= 1e-9) & (nu >= 0.0) & (nv >= 0.0)
+                  & (nu + nv <= adet)
+                  & (nt > t_min * adet) & (nt < tms * adet))
+            hit = ok if hit is None else (hit | ok)
+        # any over the 8 triangle sublanes -> does ray sub-block s hit?
+        rows.append((jnp.sum((hit & lanes_s).astype(jnp.int32), axis=0,
+                             keepdims=True) > 0).astype(jnp.int32))
+    return occ | jnp.concatenate(rows, axis=0)
+
+
+def _leaf_closest_t(tr_ref, leaf_id, k: int, best_t, best_i, active0,
+                    ox, oy, oz, dx, dy, dz, t_min):
+    """Transposed-leaf closest hit: per ray sub-block, min-reduce t over
+    the 8 triangle sublanes (per group), argmin via an iota select."""
+    row = _leaf_row_t(tr_ref, leaf_id, k)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    t_rows = []
+    i_rows = []
+    for s in range(8):
+        dxs, dys, dzs = dx[s:s + 1], dy[s:s + 1], dz[s:s + 1]
+        oxs, oys, ozs = ox[s:s + 1], oy[s:s + 1], oz[s:s + 1]
+        bt_s = best_t[s:s + 1]
+        bi_s = best_i[s:s + 1]
+        for h in range(k // 8):
+            g = 9 * h
+            v0x, v0y, v0z = row[:, g:g + 1], row[:, g + 1:g + 2], \
+                row[:, g + 2:g + 3]
+            e1x, e1y, e1z = row[:, g + 3:g + 4], row[:, g + 4:g + 5], \
+                row[:, g + 5:g + 6]
+            e2x, e2y, e2z = row[:, g + 6:g + 7], row[:, g + 7:g + 8], \
+                row[:, g + 8:g + 9]
+            px = dys * e2z - dzs * e2y
+            py = dzs * e2x - dxs * e2z
+            pz = dxs * e2y - dys * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) >= 1e-9
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            tx = oxs - v0x
+            ty = oys - v0y
+            tz = ozs - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dxs * qx + dys * qy + dzs * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            tv = jnp.where(ok & (t > t_min), t, _BIG)     # (8,128) tri x ray
+            tm_s = jnp.min(tv, axis=0, keepdims=True)     # (1,128)
+            # lowest matching sublane = triangle index within the group
+            im_s = jnp.min(jnp.where(tv == tm_s, sub8, 8), axis=0,
+                           keepdims=True)
+            better = (tm_s < bt_s) & active0[s:s + 1]
+            bt_s = jnp.where(better, tm_s, bt_s)
+            bi_s = jnp.where(better, leaf_id * k + 8 * h + im_s, bi_s)
+        t_rows.append(bt_s)
+        i_rows.append(bi_s)
+    return jnp.concatenate(t_rows, axis=0), jnp.concatenate(i_rows, axis=0)
+
+
+def _any_hit_kernel_w8t(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
+                        tr_ref, rays_ref, out_ref, stack_ref):
+    """Hybrid 8-wide any-hit: row-layout node slabs (as _any_hit_kernel_w8)
+    + transposed leaf tests; nb packets per grid step."""
+    t_min = tmin_ref[0]
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, tmax = _packet_body_rays(rays_ref, b)
+        ix, iy, iz = _inv3(dx, dy, dz)
+        active0 = tmax > t_min
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_test(leaf_id, occ):
+            return _leaf_occluded_t(tr_ref, leaf_id, k, occ, active0,
+                                    ox, oy, oz, dx, dy, dz, tmax, t_min)
+
+        def cond(state):
+            it, sp, alive, occ = state
+            return (sp > 0) & (it < max_iters) & alive
+
+        def body(state):
+            it, sp, alive, occ = state
+            sp = sp - 1
+            node = stack_ref[sp]
+            rec = ns_ref[pl.ds(node, 1), :]                    # (1, 128)
+            lanes = active0 & (occ == 0)
+            cap = jnp.where(lanes, tmax, -_BIG)
+            hits = []
+            refs = []
+            valids = []
+            for c in range(8):
+                bb, ref = _wide_child(rec, c)
+                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
+                                  cap) & lanes)
+                refs.append(ref)
+                valids.append(rec[0, bb] <= rec[0, bb + 3])
+            anyhit = _child_anyhit8(hits, valids)
+            for c in range(8):
+                ref = refs[c]
+                is_leaf = ref < 0
+                occ = jax.lax.cond(anyhit[c] & is_leaf,
+                                   lambda o, r=ref: leaf_test(
+                                       jnp.maximum(-r - 1, 0), o),
+                                   lambda o: o, occ)
+                push = anyhit[c] & (~is_leaf)
+                stack_ref[sp] = jnp.where(push, ref, 0)
+                sp = sp + push.astype(jnp.int32)
+            alive = jax.lax.cond((it & 3) == 3,
+                                 lambda: jnp.any(active0 & (occ == 0)),
+                                 lambda: alive)
+            return it + 1, sp, alive, occ
+
+        occ0 = jnp.zeros((8, 128), jnp.int32)
+        # No prologue jnp.any: inactive (sky/pad) packets fail the root box
+        # test and exit after one cheap iteration.
+        _, _, _, occ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(1), True, occ0))
+        out_ref[b] = occ
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0)
+
+
+def _closest_hit_kernel_w8t(k: int, max_iters: int, nb: int, tmin_ref,
+                            ns_ref, tr_ref, rays_ref, t_out_ref,
+                            idx_out_ref, stack_ref):
+    """Hybrid 8-wide closest-hit: row-layout node slabs + transposed leaf
+    tests; nb packets per grid step."""
+    t_min = tmin_ref[0]
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, tmax = _packet_body_rays(rays_ref, b)
+        ix, iy, iz = _inv3(dx, dy, dz)
+        active0 = tmax > t_min
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_test(leaf_id, carry):
+            best_t, best_i = carry
+            return _leaf_closest_t(tr_ref, leaf_id, k, best_t, best_i,
+                                   active0, ox, oy, oz, dx, dy, dz, t_min)
+
+        def cond(state):
+            it, sp, _, _ = state
+            return (sp > 0) & (it < max_iters)
+
+        def body(state):
+            it, sp, best_t, best_i = state
+            sp = sp - 1
+            node = stack_ref[sp]
+            rec = ns_ref[pl.ds(node, 1), :]
+            cap = jnp.where(active0, best_t, -_BIG)
+            hits = []
+            refs = []
+            valids = []
+            for c in range(8):
+                bb, ref = _wide_child(rec, c)
+                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
+                                  cap))
+                refs.append(ref)
+                valids.append(rec[0, bb] <= rec[0, bb + 3])
+            anyhit = _child_anyhit8(hits, valids)
+            for c in range(8):
+                ref = refs[c]
+                is_leaf = ref < 0
+                best_t, best_i = jax.lax.cond(
+                    anyhit[c] & is_leaf,
+                    lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0),
+                                                 car),
+                    lambda car: car, (best_t, best_i))
+                push = anyhit[c] & (~is_leaf)
+                stack_ref[sp] = jnp.where(push, ref, 0)
+                sp = sp + push.astype(jnp.int32)
+            return it + 1, sp, best_t, best_i
+
+        best_t0 = jnp.where(active0, tmax, -_BIG)
+        best_i0 = jnp.full((8, 128), -1, jnp.int32)
+        _, _, best_t, best_i = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(1), best_t0, best_i0))
+        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+        idx_out_ref[b] = best_i
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0)
+
+
+def _common_call_t(packed, kernel, out_shapes, rays, t_min, interpret,
+                   batch: int):
+    from ..bvh.wide import WideBVHT
+    assert isinstance(packed, WideBVHT)
+    pb = rays.shape[0]
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE  # cost-model probes only
+    if interpret is None:
+        interpret = not _compiled_backend()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 7, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pb // batch,),
+        in_specs=[const_spec(packed.nodes.shape),
+                  const_spec(packed.tris_t.shape), ray_spec],
+        out_specs=tuple(out_spec for _ in out_shapes),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(kernel, packed.leaf_size, iter_cap, batch),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((pb, 8, 128), dt, vma=vma)
+            for dt in out_shapes),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    return fn(tmin_arr, packed.nodes, packed.tris_t, rays)
 
 
 def _ray_packets_packed(origins, dirs, t_max, batch: int):
@@ -1157,8 +1476,8 @@ def _common_call(packed, kernel, out_shapes, comps, tm, t_min,
 
 
 def _as_packed(bvh):
-    from ..bvh.wide import WideBVH
-    if isinstance(bvh, (PackedBVH, WideBVH)):
+    from ..bvh.wide import WideBVH, WideBVHT
+    if isinstance(bvh, (PackedBVH, WideBVH, WideBVHT)):
         return bvh
     return pack_bvh(bvh)
 
@@ -1172,8 +1491,14 @@ def trace_any_pallas(bvh, origins, dirs, t_max, cfg=None, t_min: float = 0.0,
     variant (binary-BVH path only): "lanes" (per-lane vector culling,
     default — measured faster: occlusion masks shrink the traversal union)
     or "frustum" (scalar interval culling, kept for reference)."""
-    from ..bvh.wide import WideBVH
+    from ..bvh.wide import WideBVH, WideBVHT
     packed = _as_packed(bvh)
+    if isinstance(packed, WideBVHT):
+        rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
+                                            PACKETS_PER_STEP)
+        (occ,) = _common_call_t(packed, _any_hit_kernel_w8t, (jnp.int32,),
+                                rays, t_min, interpret, PACKETS_PER_STEP)
+        return _unpack(occ[:p], meta) > 0
     if isinstance(packed, WideBVH) and variant == "lanes" \
             and PACKETS_PER_STEP > 1:
         rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
@@ -1218,9 +1543,16 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
     With return_sorted=True also returns the Morton-sorted hit index
     (t, tri_id, sorted_idx) — the key into sorted-order side tables
     (e.g. the packed shading table), cheaper to consume than tri_id."""
-    from ..bvh.wide import WideBVH
+    from ..bvh.wide import WideBVH, WideBVHT
     packed = _as_packed(bvh)
-    if isinstance(packed, WideBVH) and variant == "lanes" \
+    if isinstance(packed, WideBVHT):
+        rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
+                                            PACKETS_PER_STEP)
+        t, sidx = _common_call_t(packed, _closest_hit_kernel_w8t,
+                                 (jnp.float32, jnp.int32), rays, t_min,
+                                 interpret, PACKETS_PER_STEP)
+        t, sidx = t[:p], sidx[:p]
+    elif isinstance(packed, WideBVH) and variant == "lanes" \
             and PACKETS_PER_STEP > 1:
         rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
                                             PACKETS_PER_STEP)

@@ -65,7 +65,8 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
     for li, light in enumerate(lights):
         mask = shadow_pass(lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf,
                            light, cfg.spp, jax.random.fold_in(key, li),
-                           cfg.shadow_bias)
+                           cfg.shadow_bias,
+                           scene_bounds=(bvh.root_min, bvh.root_max))
         contrib = composite_pass(gbuf, mask, light,
                                  cfg.ambient if li == 0 else 0.0,
                                  cfg.background if li == 0 else (0, 0, 0))

@@ -44,15 +44,33 @@ def sample_cone(d: jnp.ndarray, half_angle, u: jnp.ndarray) -> jnp.ndarray:
                      + t1 * (sin_t * jnp.sin(phi))[..., None])
 
 
+def scene_exit_t(origins: jnp.ndarray, dirs: jnp.ndarray,
+                 bounds) -> jnp.ndarray:
+    """Distance at which each ray exits the scene AABB (bmin, bmax).
+
+    Used to cap directional shadow rays' t_max: no occluder exists outside
+    the root box, so results are identical while the tighter per-lane cap
+    prunes far nodes during traversal (measured win on Sponza interiors
+    where many shadow rays exit through the ceiling quickly)."""
+    bmin, bmax = bounds
+    inv = jnp.clip(1.0 / dirs, -3.4e38, 3.4e38)
+    t0 = (bmin - origins) * inv
+    t1 = (bmax - origins) * inv
+    exit_t = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return jnp.maximum(exit_t * (1.0 + 1e-4), 0.0)
+
+
 def shadow_ray_batch(gbuf: Dict[str, jnp.ndarray], light: Light,
-                     bias: float, u: jnp.ndarray | None
+                     bias: float, u: jnp.ndarray | None,
+                     scene_bounds=None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One shadow ray per pixel for one sample: (origins, dirs, t_max).
 
     u: [H, W, 2] uniforms for soft-shadow jitter, or None for the hard path.
     Invalid (sky) pixels get t_max = 0, so traversal exits on the root box
     test immediately — the masking the reference does by skipping invalid
-    texels [RECALL].
+    texels [RECALL]. scene_bounds: optional (root_min, root_max) to cap
+    directional rays at the scene-AABB exit (see scene_exit_t).
     """
     pos = gbuf["position"]
     gn = gbuf["gnormal"]
@@ -81,13 +99,15 @@ def shadow_ray_batch(gbuf: Dict[str, jnp.ndarray], light: Light,
         if light.kind == LIGHT_AREA_CONE and u is not None:
             d = sample_cone(d, light.angular_radius, u)
         dirs = d
-        t_max = jnp.where(valid, jnp.float32(3.4e38), 0.0)
+        far = scene_exit_t(origins, dirs, scene_bounds) \
+            if scene_bounds is not None else jnp.float32(3.4e38)
+        t_max = jnp.where(valid, far, 0.0)
     return origins, dirs, t_max
 
 
 def shadow_pass(trace_any: Callable, gbuf: Dict[str, jnp.ndarray],
                 light: Light, spp: int, key: jax.Array,
-                bias: float) -> jnp.ndarray:
+                bias: float, scene_bounds=None) -> jnp.ndarray:
     """Shadow visibility in [0, 1] per pixel (1 = fully lit).
 
     trace_any(origins, dirs, t_max) -> occluded bool[...]. spp rays are
@@ -101,7 +121,8 @@ def shadow_pass(trace_any: Callable, gbuf: Dict[str, jnp.ndarray],
         u = None
         if soft:
             u = jax.random.uniform(jax.random.fold_in(key, s), (h, w, 2))
-        origins, dirs, t_max = shadow_ray_batch(gbuf, light, bias, u)
+        origins, dirs, t_max = shadow_ray_batch(gbuf, light, bias, u,
+                                                scene_bounds=scene_bounds)
         occluded = trace_any(origins, dirs, t_max)
         acc = acc + jnp.where(occluded, 0.0, 1.0)
         if not soft:
