@@ -113,7 +113,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     shadow_accel = accel
     shade = jax.jit(lambda a, o, d, tm: jnp.sum(
         trace_any(a, o, d, tm).astype(jnp.int32)))
-    shadow_s = timed(lambda: shade(shadow_accel, so, sd, stm), 40)
+    shadow_s = timed(lambda: shade(shadow_accel, so, sd, stm), 64)
     mrays = valid / shadow_s / 1e6
     occ = int(shade(shadow_accel, so, sd, stm))
     log(f"shadow trace: {shadow_s*1e3:.2f} ms -> {mrays:.1f} Mrays/s "

@@ -163,3 +163,56 @@ def test_full_pipeline_with_pallas_tracers(rng):
                                      leaf_size=8))
     np.testing.assert_allclose(np.asarray(a["image"]), np.asarray(b["image"]),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("leaf_size", [8, 16])
+def test_w8t_transposed_leaf_parity(rng, leaf_size):
+    """Hybrid WideBVHT (transposed leaves) matches the pure-JAX oracle for
+    both any-hit and closest-hit, for both supported leaf sizes."""
+    from tpurt.bvh.wide import build_wide, build_wide_t
+    from tpurt.scenes import default_camera_for
+    from tpurt.camera import generate_rays
+    mesh = teapot_scene(1500)
+    bvh = _build(mesh, leaf_size=leaf_size)
+    accel_t = jax.jit(build_wide_t)(build_wide(bvh), bvh)
+    cam = default_camera_for(mesh)
+    o, d = generate_rays(cam, 96, 64)
+    t_ref, id_ref = traverse(bvh, o, d)
+    t_k, id_k = trace_closest_pallas(accel_t, o, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_k),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_k))
+    occ = trace_any_pallas(accel_t, o, d, jnp.full((64, 96), 3.4e38),
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ),
+                                  np.asarray(id_ref) >= 0)
+
+
+def test_scene_exit_t_cap_preserves_occlusion(rng):
+    """Capping directional shadow rays at the scene-AABB exit cannot change
+    any occlusion result (no occluder exists outside the root box)."""
+    from tpurt.passes.shadow import scene_exit_t
+    from tpurt.scenes import default_camera_for
+    from tpurt.camera import generate_rays
+    mesh = teapot_scene(1200)
+    bvh = _build(mesh, leaf_size=8)
+    cam = default_camera_for(mesh)
+    o, d = generate_rays(cam, 64, 48)
+    t_ref, id_ref = traverse(bvh, o, d)
+    # shadow-style origins: surface points nudged off the geometry
+    valid = np.asarray(id_ref) >= 0
+    pos = np.asarray(o) + np.asarray(d) * np.where(valid, np.asarray(t_ref),
+                                                   0.0)[..., None]
+    ldir = np.float32([0.45, 0.8, 0.3])
+    ldir /= np.linalg.norm(ldir)
+    so = jnp.asarray(pos + 1e-3 * ldir)
+    sd = jnp.broadcast_to(jnp.asarray(ldir), so.shape)
+    cap = scene_exit_t(so, sd, (bvh.root_min, bvh.root_max))
+    assert bool(jnp.all(cap >= 0.0))
+    occ_inf = trace_any_pallas(bvh, so, sd,
+                               jnp.where(jnp.asarray(valid), 3.4e38, 0.0),
+                               interpret=True)
+    occ_cap = trace_any_pallas(bvh, so, sd,
+                               jnp.where(jnp.asarray(valid), cap, 0.0),
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ_inf), np.asarray(occ_cap))

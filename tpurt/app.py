@@ -418,11 +418,15 @@ class Renderer:
             from .raster.setup import default_cap_rows
             cap = cfg.raster_cap_pairs or default_cap_rows(
                 self.mesh.num_triangles)
+            # Jump straight to at least the scene-size default: doubling
+            # from a tiny explicit cap one step at a time costs a Mosaic
+            # recompile per step.
+            new_cap = max(2 * cap, default_cap_rows(self.mesh.num_triangles))
             self.config = dataclasses.replace(cfg,
-                                              raster_cap_pairs=2 * cap)
+                                              raster_cap_pairs=new_cap)
             import sys
             print(f"tpurt: raster pair capacity {cap} overflowed; "
-                  f"retrying with {2 * cap}.", file=sys.stderr)
+                  f"retrying with {new_cap}.", file=sys.stderr)
             return self.render_frame(profile=profile)
 
         if profile:

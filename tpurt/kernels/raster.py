@@ -154,8 +154,12 @@ def _raster_kernel(wt: int, starts_ref, counts_ref, bigcnt_ref,
 # v2: self-shading records, B_TILES tiles per grid step
 # ---------------------------------------------------------------------------
 
-B_TILES = 4         # tiles per grid step (amortizes per-step machinery)
-CHUNK32 = 8         # v2 pair rows per DMA chunk (8 rows = 32 records)
+B_TILES = 8         # tiles per grid step (amortizes per-step machinery)
+CHUNK32 = 16        # v2 pair rows per DMA chunk (16 rows = 64 records)
+# Interpret mode pays per-traced-op Python overhead, so the static unroll
+# factors shrink (results identical; only the step/chunk shape changes).
+B_TILES_INTERP = 2
+CHUNK32_INTERP = 4
 
 
 def _eval_records32(read, row_ok, sx, sy, state, cull=None):
@@ -211,13 +215,14 @@ def _eval_records32(read, row_ok, sx, sy, state, cull=None):
 
 
 def _raster_kernel32(wt: int, ntiles: int, width: int, height: int,
+                     b_tiles: int, chunk: int,
                      starts_ref, counts_ref,
                      bigrows_ref, pair_hbm_ref, big_hbm_ref,
                      tri_ref, attr_ref, scratch_ref, sem_ref):
     i = pl.program_id(0)
 
-    for b in range(B_TILES):
-        tile = i * B_TILES + b
+    for b in range(b_tiles):
+        tile = i * b_tiles + b
         tile = jnp.minimum(tile, ntiles - 1)   # pad tiles re-render the last
         ty = tile // wt
         tx = tile % wt
@@ -238,11 +243,11 @@ def _raster_kernel32(wt: int, ntiles: int, width: int, height: int,
                            for _ in range(9))        # nw, gn, albedo
 
         def stream(src_hbm, row_lo, row_hi, state, cull):
-            nchunks = (row_hi - row_lo + CHUNK32 - 1) // CHUNK32
+            nchunks = (row_hi - row_lo + chunk - 1) // chunk
 
             def get_dma(slot, ci):
                 return pltpu.make_async_copy(
-                    src_hbm.at[pl.ds(row_lo + ci * CHUNK32, CHUNK32)],
+                    src_hbm.at[pl.ds(row_lo + ci * chunk, chunk)],
                     scratch_ref.at[slot],
                     sem_ref.at[slot],
                 )
@@ -259,8 +264,8 @@ def _raster_kernel32(wt: int, ntiles: int, width: int, height: int,
                     get_dma(jax.lax.rem(ci + 1, N_BUF), ci + 1).start()
 
                 get_dma(slot, ci).wait()
-                for rr in range(CHUNK32):
-                    g_row = row_lo + ci * CHUNK32 + rr
+                for rr in range(chunk):
+                    g_row = row_lo + ci * chunk + rr
 
                     def read(k, slot=slot, rr=rr):
                         return scratch_ref[slot, rr, k]
@@ -313,11 +318,13 @@ def rasterize_rows(bins, width: int, height: int, interpret=None):
     ntiles = wt * ht
     if interpret is None:
         interpret = not _compiled_backend()
-    ngrid = -(-ntiles // B_TILES)
-    tpad = ngrid * B_TILES
+    b_tiles = B_TILES_INTERP if interpret else B_TILES
+    chunk = CHUNK32_INTERP if interpret else CHUNK32
+    ngrid = -(-ntiles // b_tiles)
+    tpad = ngrid * b_tiles
 
     def pad_rows(rows):
-        pad = jnp.zeros((CHUNK32, 128), jnp.float32)
+        pad = jnp.zeros((chunk, 128), jnp.float32)
         pad = pad.at[:, 10::32].set(-1.0)            # dead tri slots
         return jnp.concatenate([rows, pad])
 
@@ -335,18 +342,19 @@ def rasterize_rows(bins, width: int, height: int, interpret=None):
             pl.BlockSpec(memory_space=pl.ANY),       # big rows (HBM)
         ],
         out_specs=(
-            pl.BlockSpec((B_TILES, 8, 128), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((b_tiles, 8, 128), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_TILES, 12, 8, 128), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((b_tiles, 12, 8, 128), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((N_BUF, CHUNK32, 128), jnp.float32),
+            pltpu.SMEM((N_BUF, chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((N_BUF,)),
         ],
     )
     fn = pl.pallas_call(
-        functools.partial(_raster_kernel32, wt, ntiles, width, height),
+        functools.partial(_raster_kernel32, wt, ntiles, width, height,
+                          b_tiles, chunk),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((tpad, 8, 128), jnp.int32, vma=vma),

@@ -889,15 +889,21 @@ PACKETS_PER_STEP = 8
 
 
 def _packet_body_rays(rays_ref, b):
-    """(8,128) ray components of packet b from a (B,7,8,128) block ref."""
+    """Ray components of packet b from a (B,10,8,128) block ref: origins,
+    directions, PRECOMPUTED clamped inverse directions (hoisted into the
+    XLA-fused ray batch — VPU divides inside the kernel cost ~hundreds of
+    cycles per packet), and t_max."""
     ox = rays_ref[b, 0]
     oy = rays_ref[b, 1]
     oz = rays_ref[b, 2]
     dx = rays_ref[b, 3]
     dy = rays_ref[b, 4]
     dz = rays_ref[b, 5]
-    tmax = rays_ref[b, 6]
-    return ox, oy, oz, dx, dy, dz, tmax
+    ix = rays_ref[b, 6]
+    iy = rays_ref[b, 7]
+    iz = rays_ref[b, 8]
+    tmax = rays_ref[b, 9]
+    return ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax
 
 
 def _any_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
@@ -906,8 +912,8 @@ def _any_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
     t_min = tmin_ref[0]
 
     def per_packet(b, _):
-        ox, oy, oz, dx, dy, dz, tmax = _packet_body_rays(rays_ref, b)
-        ix, iy, iz = _inv3(dx, dy, dz)
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
         active0 = tmax > t_min
         stack_ref[0] = jnp.int32(0)
 
@@ -970,8 +976,8 @@ def _closest_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
     t_min = tmin_ref[0]
 
     def per_packet(b, _):
-        ox, oy, oz, dx, dy, dz, tmax = _packet_body_rays(rays_ref, b)
-        ix, iy, iz = _inv3(dx, dy, dz)
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
         active0 = tmax > t_min
         stack_ref[0] = jnp.int32(0)
 
@@ -1180,8 +1186,8 @@ def _any_hit_kernel_w8t(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
     t_min = tmin_ref[0]
 
     def per_packet(b, _):
-        ox, oy, oz, dx, dy, dz, tmax = _packet_body_rays(rays_ref, b)
-        ix, iy, iz = _inv3(dx, dy, dz)
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
         active0 = tmax > t_min
         stack_ref[0] = jnp.int32(0)
 
@@ -1244,8 +1250,8 @@ def _closest_hit_kernel_w8t(k: int, max_iters: int, nb: int, tmin_ref,
     t_min = tmin_ref[0]
 
     def per_packet(b, _):
-        ox, oy, oz, dx, dy, dz, tmax = _packet_body_rays(rays_ref, b)
-        ix, iy, iz = _inv3(dx, dy, dz)
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
         active0 = tmax > t_min
         stack_ref[0] = jnp.int32(0)
 
@@ -1310,7 +1316,7 @@ def _common_call_t(packed, kernel, out_shapes, rays, t_min, interpret,
         interpret = not _compiled_backend()
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((batch, 7, 8, 128), lambda i, *_: (i, 0, 0, 0),
+    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1338,15 +1344,18 @@ def _common_call_t(packed, kernel, out_shapes, rays, t_min, interpret,
 
 
 def _ray_packets_packed(origins, dirs, t_max, batch: int):
-    """Rays -> ONE packed f32[PB, 7, 8, 128] array (PB = P padded to a
-    multiple of ``batch``; padding packets have t_max = -1 -> inactive)."""
+    """Rays -> ONE packed f32[PB, 10, 8, 128] array (PB = P padded to a
+    multiple of ``batch``; padding packets have t_max = -1 -> inactive).
+    Components: o.xyz, d.xyz, clamped 1/d.xyz (precomputed here so the
+    kernels never pay VPU divides), t_max."""
     comps, tm, meta = _ray_packets(origins, dirs, t_max)
-    rays = jnp.stack(comps + [tm], axis=1)            # (P, 7, 8, 128)
+    invs = [jnp.clip(1.0 / c, -_BIG, _BIG) for c in comps[3:6]]
+    rays = jnp.stack(comps + invs + [tm], axis=1)     # (P, 10, 8, 128)
     p = rays.shape[0]
     pb = -(-p // batch) * batch
     if pb != p:
-        pad = jnp.zeros((pb - p, 7, 8, 128), rays.dtype)
-        pad = pad.at[:, 6].set(-1.0)
+        pad = jnp.zeros((pb - p, 10, 8, 128), rays.dtype)
+        pad = pad.at[:, 9].set(-1.0)
         rays = jnp.concatenate([rays, pad])
     return rays, p, meta
 
@@ -1365,7 +1374,7 @@ def _common_call_b(packed, kernel, out_shapes, rays, t_min, interpret,
         interpret = not _compiled_backend()
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((batch, 7, 8, 128), lambda i, *_: (i, 0, 0, 0),
+    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)

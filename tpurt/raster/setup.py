@@ -338,10 +338,14 @@ def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
                             jnp.where(w_ok, ty1, ht - 1)))
     degenerate = jnp.abs(rec[:, 9]) == 0.0
     all_behind = jnp.all(c[:, :, 2] < W_EPS, axis=1)
-    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
-    small = w_ok & onscreen & (span <= BIG_SPAN) & ~degenerate
-    big = (~w_ok | (w_ok & onscreen & (span > BIG_SPAN))) \
-        & ~degenerate & ~all_behind
+    # Only eye-plane CROSSERS go to the big list (every tile pays a cull
+    # test per big record — with span-based big classification Sponza put
+    # ~244 records there, costing ~15 ms of per-tile cull conds in the
+    # kernel). Huge-span but well-projected triangles bin normally: their
+    # tile spans are bounded by the grid and the overflow-retry covers
+    # pathological viewpoints.
+    small = w_ok & onscreen & ~degenerate
+    big = (~w_ok) & ~degenerate & ~all_behind
 
     # Kill dead slots in the packed table (offscreen/degenerate/big tris
     # must not rasterize from the small path).
@@ -413,7 +417,9 @@ def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
 
 
 def default_cap_rows(num_tris: int) -> int:
-    """Static (row, tile)-pair capacity for bin_rows: ~2.2 tiles per
-    4-triangle row (measured ~1.5 on Sponza), bucketed."""
+    """Static (row, tile)-pair capacity for bin_rows: ~1.8 tiles per
+    4-triangle row (measured ~1.5 on Sponza 1080p), bucketed. The argsort
+    and expansion arrays scale with the cap, so it stays tight; the
+    Renderer's overflow-retry doubles it for pathological viewpoints."""
     rows = -(-num_tris // RECS32_PER_ROW)
-    return max(1 << 15, -(-22 * rows // 10 // (1 << 14)) * (1 << 14))
+    return max(1 << 15, -(-18 * rows // 10 // (1 << 14)) * (1 << 14))
