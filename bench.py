@@ -230,18 +230,28 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
     log(f"config 4 refit (incl. wide re-gather): {out['refit_ms']} ms")
 
     # Config 5: 4K G-buffer + 2-light shadow batches, sorted vs unsorted.
+    # Primary visibility at 4K uses the raster path (the production
+    # strategy on compiled TPU); ray-cast is the fallback.
     W4, H4 = 3840, 2160
     gb_accel4 = accel
     if isinstance(accel, WideBVH):
         gb_accel4 = jax.jit(order_children_for_point)(accel, cam.position)
-    if st0 is not None:
-        from tpurt.kernels.traverse import trace_closest_pallas
-        gb4 = jax.jit(lambda a: gbuffer_pass(
-            lambda o, d: trace_closest_pallas(a, o, d, return_sorted=True),
-            mesh, cam, W4, H4, shade_table=st0))
-    else:
-        gb4 = jax.jit(lambda a: gbuffer_pass(
-            lambda o, d: trace_closest(a, o, d), mesh, cam, W4, H4))
+    try:
+        from tpurt.passes.gbuffer import gbuffer_raster_pass
+        from tpurt.kernels.traverse import _compiled_backend
+        assert _compiled_backend()
+        gb4 = jax.jit(lambda a: gbuffer_raster_pass(mesh, cam, W4, H4))
+        gb4(gb_accel4)
+    except Exception:  # noqa: BLE001 - ray-cast fallback
+        if st0 is not None:
+            from tpurt.kernels.traverse import trace_closest_pallas
+            gb4 = jax.jit(lambda a: gbuffer_pass(
+                lambda o, d: trace_closest_pallas(a, o, d,
+                                                  return_sorted=True),
+                mesh, cam, W4, H4, shade_table=st0))
+        else:
+            gb4 = jax.jit(lambda a: gbuffer_pass(
+                lambda o, d: trace_closest(a, o, d), mesh, cam, W4, H4))
     gbuf4 = gb4(gb_accel4)
     valid4 = int(np.asarray(gbuf4["valid"]).sum())
     gb4s = jax.jit(lambda a: jnp.sum(jnp.where(gb4(a)["valid"], 1.0, 0.0)))

@@ -42,15 +42,19 @@ def test_shadow_throughput_floor():
     gbuf = gb(wide, mesh, cam)
     so, sd, stm = jax.jit(lambda g, l: shadow_ray_batch(
         g, l, cfg.shadow_bias, None))(gbuf, light)
-    shade = jax.jit(lambda a, o, d, t: trace_any(a, o, d, t))
-    np.asarray(shade(wide, so, sd, stm)).ravel()[0]  # warm + force
+    # Scalar-fused timing (a naked forced sync costs ~30 ms of tunnel
+    # latency on this platform; see bench.py timed()).
+    shade = jax.jit(lambda a, o, d, t: jnp.sum(
+        trace_any(a, o, d, t).astype(jnp.int32)))
+    float(shade(wide, so, sd, stm))  # warm + force
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(40):
         occ = shade(wide, so, sd, stm)
-    np.asarray(occ).ravel()[0]
-    dt = (time.perf_counter() - t0) / 10
+    float(occ)
+    dt = (time.perf_counter() - t0) / 40
     valid = int(np.asarray(gbuf["valid"]).sum())
     mrays = valid / dt / 1e6
     print(f"\nTPU shadow throughput: {mrays:.1f} Mrays/s")
-    # Floor well below observed (~73) to tolerate the terminal's 2x variance.
-    assert mrays > 25.0
+    # Floor well below observed (~100) to tolerate the terminal's 2x
+    # variance.
+    assert mrays > 40.0

@@ -241,6 +241,43 @@ def frontiers_adaptive(child: jnp.ndarray) -> jnp.ndarray:
     return slots
 
 
+def frontiers_area(child: jnp.ndarray, nodes_box: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """SAH-greedy frontiers: expand the LARGEST-AREA internal slot while
+    the row has < 8 slots (the classic wide-BVH collapse heuristic: big
+    boxes are the likeliest to be hit, so splitting them buys the most
+    culling per slot)."""
+    ni = child.shape[0]
+    # Own box of internal node i = union of its stored child boxes.
+    own_min = jnp.minimum(nodes_box[:, 0:3], nodes_box[:, 6:9])
+    own_max = jnp.maximum(nodes_box[:, 3:6], nodes_box[:, 9:12])
+    ext = jnp.maximum(own_max - own_min, 0.0)
+    area = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+            + ext[:, 2] * ext[:, 0])
+
+    slots = jnp.full((ni, WIDE_FACTOR), EMPTY, jnp.int32)
+    slots = slots.at[:, 0].set(child[:, 0]).at[:, 1].set(child[:, 1])
+    count = jnp.full((ni,), 2, jnp.int32)
+    lanes = jnp.arange(WIDE_FACTOR)[None, :]
+
+    for _ in range(WIDE_FACTOR - 2):
+        is_int = slots >= 0
+        key = jnp.where(is_int, area[jnp.clip(slots, 0, ni - 1)], -1.0)
+        pick = jnp.argmax(key, axis=1)                    # largest area
+        can = (count < WIDE_FACTOR) & (jnp.take_along_axis(
+            key, pick[:, None], axis=1)[:, 0] >= 0.0)
+        ref = jnp.take_along_axis(slots, pick[:, None], axis=1)[:, 0]
+        refc = jnp.clip(ref, 0, ni - 1)
+        at_pick = lanes == pick[:, None]
+        at_end = lanes == count[:, None]
+        slots = jnp.where(at_pick & can[:, None], child[refc, 0][:, None],
+                          slots)
+        slots = jnp.where(at_end & can[:, None], child[refc, 1][:, None],
+                          slots)
+        count = count + can.astype(jnp.int32)
+    return slots
+
+
 def wide_roots_reachable(child: jnp.ndarray, front: jnp.ndarray,
                          sweeps: int = 24) -> jnp.ndarray:
     """General reachability for adaptive frontiers: root is wide; every
@@ -258,11 +295,22 @@ def wide_roots_reachable(child: jnp.ndarray, front: jnp.ndarray,
     return wide > 0
 
 
-def _front_and_mask(child, adaptive: bool = False):
-    # Fixed-depth default: measured equal traversal perf on Sponza-class
-    # scenes (the tree is leaf-bound at the bottom) with a much cheaper
-    # wide-count program (depth mod 3 vs 24 scatter-OR sweeps).
-    if adaptive:
+# Collapse frontier strategy:
+#   "fixed" — depth-3 cut (cheapest count program; the rebuild default)
+#   "bfs"   — expand shallowest internal first until 8 slots
+#   "area"  — expand largest-area internal first (SAH-greedy collapse)
+# Area/bfs need the general reachability propagation; area chains can be
+# as long as the binary depth, hence the large sweep count (one-time per
+# scene on the static path; refits reuse the plan).
+FRONTIER_MODE = "fixed"
+
+
+def _front_and_mask(child, nodes_box=None, mode=None):
+    mode = mode or FRONTIER_MODE
+    if mode == "area":
+        front = frontiers_area(child, nodes_box)
+        return front, wide_roots_reachable(child, front, sweeps=64)
+    if mode == "bfs":
         front = frontiers_adaptive(child)
         return front, wide_roots_reachable(child, front)
     front = frontiers(child)
@@ -270,16 +318,16 @@ def _front_and_mask(child, adaptive: bool = False):
 
 
 @jax.jit
-def _wide_count_fn(child):
-    _, mask = _front_and_mask(child)
+def _wide_count_fn(child, nodes_box):
+    _, mask = _front_and_mask(child, nodes_box)
     return jnp.sum(mask)
 
 
 def count_wide(bvh: LBVH) -> int:
     """Host-sync: number of wide nodes (for choosing the padded size).
-    Jitted: the 24 scatter sweeps would otherwise run as hundreds of eager
+    Jitted: the scatter sweeps would otherwise run as hundreds of eager
     dispatches (seconds over the remote-TPU tunnel)."""
-    return int(_wide_count_fn(bvh.nodes_child))
+    return int(_wide_count_fn(bvh.nodes_child, bvh.nodes_box))
 
 
 def wide_count_device(bvh: LBVH) -> jnp.ndarray:
@@ -287,7 +335,7 @@ def wide_count_device(bvh: LBVH) -> jnp.ndarray:
     rebuild+collapse program expose the count for opportunistic overflow
     checking without a per-frame host sync (XLA CSE merges this with the
     mask computed inside widen_lbvh in the same program)."""
-    _, mask = _front_and_mask(bvh.nodes_child)
+    _, mask = _front_and_mask(bvh.nodes_child, bvh.nodes_box)
     return jnp.sum(mask)
 
 
@@ -309,7 +357,7 @@ def make_wide_plan(bvh: LBVH, nw_pad: int):
     Refits reuse the plan and only re-gather boxes (widen_from_plan)."""
     child = bvh.nodes_child
     ni = child.shape[0]
-    front, wide = _front_and_mask(child)
+    front, wide = _front_and_mask(child, bvh.nodes_box)
     ids = jnp.cumsum(wide.astype(jnp.int32)) - 1
     src = jnp.nonzero(wide, size=nw_pad, fill_value=ni - 1)[0]
     rows_front = front[src]
@@ -364,7 +412,7 @@ def widen_lbvh(bvh: LBVH, nw_pad: int) -> WideBVH:
     round up to a bucket to avoid recompiles across frames)."""
     child = bvh.nodes_child
     ni = child.shape[0]
-    front, wide = _front_and_mask(child)
+    front, wide = _front_and_mask(child, bvh.nodes_box)
 
     # Dense id for every wide binary node (garbage elsewhere).
     ids = jnp.cumsum(wide.astype(jnp.int32)) - 1
