@@ -92,6 +92,11 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int):
     return bvh, wide, st, st_orig, wide_count_device(bvh)
 
 
+def _sah_available() -> bool:
+    from . import native
+    return native.available()
+
+
 def use_raster_gbuffer(cfg: RenderConfig) -> bool:
     """Primary-visibility strategy resolution (see RenderConfig.gbuffer)."""
     if cfg.gbuffer == "raster":
@@ -178,6 +183,16 @@ class Renderer:
             lights = [lights]
         assert mode in ("static", "rebuild", "refit")
         config = self._check_vmem_budget(config, mesh)
+        # Static/refit scenes use the native host SAH build when available
+        # (the reference's own startup strategy): measured on Sponza, the
+        # SAH tree traces 15% faster for shadows and 2x for closest-hit
+        # than the on-device Morton tree — so the ray-cast G-buffer also
+        # becomes the better "auto" primary-visibility strategy. Per-frame
+        # rebuilds (config 2) keep the on-device LBVH.
+        self._use_sah = (mode != "rebuild" and config.use_pallas
+                         and config.bvh_width == 8 and _sah_available())
+        if self._use_sah and config.gbuffer == "auto":
+            config = dataclasses.replace(config, gbuffer="ray")
         self.config = config
         self.mode = mode
         self.rebuild_threshold = rebuild_threshold
@@ -206,25 +221,38 @@ class Renderer:
         """Content-addressed BVH cache (SURVEY.md §5): skip the build when
         this exact geometry was built before (the reference rebuilds its CPU
         BVH on every startup)."""
-        if cache_dir is None:
-            return jax.block_until_ready(
+        key = None
+        if cache_dir is not None:
+            from .checkpoint import load_bvh, scene_key
+            key = scene_key(np.asarray(host_mesh.vertices),
+                            np.asarray(host_mesh.indices),
+                            self.config.leaf_size)
+            if self._use_sah:
+                key += "-sah"
+            cached = load_bvh(cache_dir, key)
+            if cached is not None:
+                return jax.device_put(cached)
+        if self._use_sah:
+            from .bvh.sah import build_sah_lbvh
+            bvh = build_sah_lbvh(host_mesh, self.config.leaf_size)
+            if bvh is None:
+                self._use_sah = False      # native lib unavailable
+            else:
+                bvh = jax.device_put(bvh)
+        if not self._use_sah:
+            bvh = jax.block_until_ready(
                 self._build_jit(self.mesh.vertices, self.mesh.indices))
-        from .checkpoint import load_bvh, save_bvh, scene_key
-        key = scene_key(np.asarray(host_mesh.vertices),
-                        np.asarray(host_mesh.indices),
-                        self.config.leaf_size)
-        cached = load_bvh(cache_dir, key)
-        if cached is not None:
-            return jax.device_put(cached)
-        bvh = jax.block_until_ready(
-            self._build_jit(self.mesh.vertices, self.mesh.indices))
-        save_bvh(cache_dir, key, jax.device_get(bvh))
+        if key is not None:
+            from .checkpoint import save_bvh
+            save_bvh(cache_dir, key, jax.device_get(bvh))
         return bvh
 
-    # VMEM the kernel needs beyond the BVH itself: ray blocks (7 in + 2 out
-    # f32[8,128] double-buffered) + Mosaic scratch slack.
-    _VMEM_OVERHEAD = 1_000_000
-    _VMEM_BUDGET = 15_800_000
+    # VMEM the kernel needs beyond the BVH itself: ray blocks (10 comps in
+    # + 2 out f32[8,128] x batch, double-buffered) + Mosaic scratch slack.
+    _VMEM_OVERHEAD = 1_500_000
+    # Empirical ceiling on this v5e: 19.8 MB of const accel blocks compile
+    # and run (Sponza SAH, round 2); 24.7 MB fails in the Mosaic allocator.
+    _VMEM_BUDGET = 20_000_000
 
     @classmethod
     def _check_vmem_budget(cls, config: RenderConfig,
@@ -270,8 +298,9 @@ class Renderer:
             from .bvh.wide import count_wide, make_wide_plan, round_up_bucket
             from .kernels.pack import wide_vmem_bytes
             nw_pad = round_up_bucket(max(count_wide(self.bvh), 1))
-            exact = wide_vmem_bytes(nw_pad, self.mesh.num_triangles,
-                                    self.config.leaf_size)
+            # The BVH's OWN padded triangle count (SAH leaves repeat-pad).
+            ntris = int(self.bvh.tri_v0.shape[0])
+            exact = wide_vmem_bytes(nw_pad, ntris, self.config.leaf_size)
             if exact + self._VMEM_OVERHEAD > self._VMEM_BUDGET:
                 # Scene past the single-accel VMEM budget: Morton-split it
                 # into per-chunk wide BVHs traced sequentially with t/occ
@@ -380,11 +409,25 @@ class Renderer:
             self.stats.refit_ms = timer.ms["refit"]
             cost = float(sah_cost(self.bvh))
             if cost > self._base_cost * self.rebuild_threshold:
-                # Refit quality degraded past the policy threshold: rebuild.
+                # Refit quality degraded past the policy threshold: rebuild
+                # (the SAH path rebuilds on host with the CURRENT vertices).
                 with timer.section("build", None):
-                    self.bvh = jax.block_until_ready(
-                        self._build_jit(self.mesh.vertices,
-                                        self.mesh.indices))
+                    if self._use_sah:
+                        from .bvh.sah import build_sah_lbvh
+                        host = dataclasses.replace(
+                            self.mesh,
+                            vertices=np.asarray(self.mesh.vertices),
+                            indices=np.asarray(self.mesh.indices))
+                        rebuilt = build_sah_lbvh(host,
+                                                 self.config.leaf_size)
+                        self.bvh = jax.device_put(rebuilt) \
+                            if rebuilt is not None else \
+                            jax.block_until_ready(self._build_jit(
+                                self.mesh.vertices, self.mesh.indices))
+                    else:
+                        self.bvh = jax.block_until_ready(
+                            self._build_jit(self.mesh.vertices,
+                                            self.mesh.indices))
                     self.accel = self._make_accel()
                 self.stats.build_ms = timer.ms["build"]
                 self._base_cost = float(sah_cost(self.bvh))
