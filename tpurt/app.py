@@ -189,7 +189,8 @@ class Renderer:
         # than the on-device Morton tree — so the ray-cast G-buffer also
         # becomes the better "auto" primary-visibility strategy. Per-frame
         # rebuilds (config 2) keep the on-device LBVH.
-        self._use_sah = (mode != "rebuild" and config.use_pallas
+        self._use_sah = (config.sah and mode != "rebuild"
+                         and config.use_pallas
                          and config.bvh_width == 8 and _sah_available())
         if self._use_sah and config.gbuffer == "auto":
             config = dataclasses.replace(config, gbuffer="ray")

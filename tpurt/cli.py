@@ -117,7 +117,11 @@ def main(argv=None) -> int:
     p.add_argument("--gbuffer", choices=("auto", "ray", "raster"),
                    default="auto",
                    help="primary visibility: tile rasterizer (the "
-                        "reference's strategy; ~10x faster) or ray cast")
+                        "reference's strategy) or ray cast; auto picks "
+                        "by accel type")
+    p.add_argument("--no-sah", action="store_true",
+                   help="skip the native host SAH build for static "
+                        "scenes (use the on-device Morton LBVH)")
     args = p.parse_args(argv)
 
     if args.debug:
@@ -157,7 +161,7 @@ def main(argv=None) -> int:
                        sort_rays=opts.get("sort_rays", False),
                        accumulate=opts.get("accumulate", False),
                        leaf_size=leaf_size, seed=args.seed,
-                       gbuffer=args.gbuffer)
+                       gbuffer=args.gbuffer, sah=not args.no_sah)
 
     from .app import Renderer
     r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"],

