@@ -116,15 +116,23 @@ def shadow_pass(trace_any: Callable, gbuf: Dict[str, jnp.ndarray],
     """
     soft = light.kind in (LIGHT_AREA_CONE, LIGHT_POINT) and spp > 1
     h, w = gbuf["valid"].shape
-    acc = jnp.zeros((h, w), jnp.float32)
-    for s in range(spp):
-        u = None
-        if soft:
-            u = jax.random.uniform(jax.random.fold_in(key, s), (h, w, 2))
+    if not soft:
+        origins, dirs, t_max = shadow_ray_batch(gbuf, light, bias, None,
+                                                scene_bounds=scene_bounds)
+        occluded = trace_any(origins, dirs, t_max)
+        return jnp.where(gbuf["valid"], jnp.where(occluded, 0.0, 1.0), 1.0)
+
+    # Soft path: lax.scan over samples — ONE traversal-kernel lowering
+    # regardless of spp (a Python unroll lowers spp copies of the Pallas
+    # call; with a large const accel that breaks the Mosaic compiler) and
+    # live memory stays one ray-grid (SURVEY.md §5 long-axis blocking).
+    def sample(acc, s):
+        u = jax.random.uniform(jax.random.fold_in(key, s), (h, w, 2))
         origins, dirs, t_max = shadow_ray_batch(gbuf, light, bias, u,
                                                 scene_bounds=scene_bounds)
         occluded = trace_any(origins, dirs, t_max)
-        acc = acc + jnp.where(occluded, 0.0, 1.0)
-        if not soft:
-            return jnp.where(gbuf["valid"], acc, 1.0)  # hard: one ray suffices
+        return acc + jnp.where(occluded, 0.0, 1.0), None
+
+    acc, _ = jax.lax.scan(sample, jnp.zeros((h, w), jnp.float32),
+                          jnp.arange(spp))
     return jnp.where(gbuf["valid"], acc / spp, 1.0)
