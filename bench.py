@@ -369,6 +369,11 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
 
 
 def main() -> int:
+    import jax
+    # Persistent compile cache: repeat runs skip the ~5 min of Mosaic/XLA
+    # compiles (and reduce exposure to remote-compile-service flakiness).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpurt_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     result = None
     for attempt, kw in enumerate([
         dict(use_pallas=True, leaf_size=14, width=1920, height=1080,
