@@ -303,26 +303,30 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
     if isinstance(static_accel, WideBVH):
         gb_accel4 = jax.jit(order_children_for_point)(static_accel,
                                                       cam.position)
+    # mesh/cam enter every 4K G-buffer jit as ARGUMENTS (closure-captured
+    # device arrays would be baked into the program as giant constants).
     try:
         from tpurt.passes.gbuffer import gbuffer_raster_pass
         from tpurt.kernels.traverse import _compiled_backend
         assert _compiled_backend()
-        gb4 = jax.jit(lambda a: gbuffer_raster_pass(mesh, cam, W4, H4))
-        gb4(gb_accel4)
+        gb4 = jax.jit(lambda a, m, c: gbuffer_raster_pass(m, c, W4, H4))
+        gb4(gb_accel4, mesh, cam)
     except Exception:  # noqa: BLE001 - ray-cast fallback
         if st0 is not None:
             from tpurt.kernels.traverse import trace_closest_pallas
-            gb4 = jax.jit(lambda a: gbuffer_pass(
+            gb4 = jax.jit(lambda a, m, c: gbuffer_pass(
                 lambda o, d: trace_closest_pallas(a, o, d,
                                                   return_sorted=True),
-                mesh, cam, W4, H4, shade_table=st0))
+                m, c, W4, H4, shade_table=st0))
         else:
-            gb4 = jax.jit(lambda a: gbuffer_pass(
-                lambda o, d: trace_closest(a, o, d), mesh, cam, W4, H4))
-    gbuf4 = gb4(gb_accel4)
+            gb4 = jax.jit(lambda a, m, c: gbuffer_pass(
+                lambda o, d: trace_closest(a, o, d), m, c, W4, H4))
+    gbuf4 = gb4(gb_accel4, mesh, cam)
     valid4 = int(np.asarray(gbuf4["valid"]).sum())
-    gb4s = jax.jit(lambda a: jnp.sum(jnp.where(gb4(a)["valid"], 1.0, 0.0)))
-    out["gbuffer_4k_ms"] = round(timed(lambda: gb4s(gb_accel4), 5) * 1e3, 2)
+    gb4s = jax.jit(lambda a, m, c: jnp.sum(
+        jnp.where(gb4(a, m, c)["valid"], 1.0, 0.0)))
+    out["gbuffer_4k_ms"] = round(
+        timed(lambda: gb4s(gb_accel4, mesh, cam), 5) * 1e3, 2)
     lights5 = [Light.sun((0.25, 0.9, 0.2), angular_radius_deg=1.5),
                Light.directional((-0.4, 0.8, -0.3))]
     raw = lambda a, o, d, tm: trace_any(a, o, d, tm)

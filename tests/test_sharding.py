@@ -101,6 +101,62 @@ def test_sharded_soft_shadows_decorrelated(scene):
     assert len(distinct) > 1, "shards drew identical shadow jitter"
 
 
+def test_pure_jax_sharded_path_is_vma_checked(scene, monkeypatch):
+    """The pure-JAX sharded render must run with check_vma=True (only the
+    interpret-Pallas combination is excluded — tiling.vma_check_enabled)."""
+    from tpurt.parallel import tiling
+    mesh, cam, light, bvh = scene
+    seen = {}
+    real = jax.shard_map
+
+    def spy(f=None, /, **kw):
+        seen["check_vma"] = kw.get("check_vma")
+        return real(f, **kw) if f is not None else real(**kw)
+
+    monkeypatch.setattr(jax, "shard_map", spy)
+    cfg = RenderConfig(width=32, height=16, use_pallas=False)
+    img = render_frame_sharded(bvh, mesh, cam, (light,),
+                               jax.random.PRNGKey(0), cfg,
+                               mesh=make_tile_mesh())
+    assert np.isfinite(np.asarray(img)).all()
+    assert seen["check_vma"] is True
+    # And the helper itself: interpret-Pallas on CPU is the one exclusion.
+    assert tiling.vma_check_enabled(RenderConfig(use_pallas=False)) is True
+    from tpurt.kernels.traverse import _compiled_backend
+    expect = bool(_compiled_backend())
+    assert tiling.vma_check_enabled(RenderConfig(use_pallas=True)) is expect
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="JAX 0.9.0 HLO interpreter does not propagate varying manual "
+           "axes onto kernel-internal values; when this xPASSES after a "
+           "JAX upgrade, delete the interpret exclusion in "
+           "tpurt/parallel/tiling.py vma_check_enabled")
+def test_vma_interpret_pallas_canary():
+    """Minimal repro: ANY interpret-mode pallas_call under a check_vma=True
+    shard_map fails, even with a vma-annotated out_shape."""
+    from jax.experimental import pallas as pl
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    def k(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0
+
+    def f(x):
+        return pl.pallas_call(
+            k, grid=(x.shape[0] // 8,),
+            in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           vma=jax.typeof(x).vma),
+            interpret=True)(x)
+
+    m = Mesh(np.array(jax.devices()), ("tiles",))
+    fn = jax.shard_map(f, mesh=m, in_specs=(P("tiles"),),
+                       out_specs=P("tiles"), check_vma=True)
+    np.asarray(fn(jnp.ones((64, 128))))  # raises ValueError today
+
+
 def test_dryrun_multichip_entry():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

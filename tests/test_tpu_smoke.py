@@ -55,6 +55,7 @@ def test_shadow_throughput_floor():
     valid = int(np.asarray(gbuf["valid"]).sum())
     mrays = valid / dt / 1e6
     print(f"\nTPU shadow throughput: {mrays:.1f} Mrays/s")
-    # Floor well below observed (~100) to tolerate the terminal's 2x
-    # variance.
-    assert mrays > 40.0
+    # Morton-tree throughput measured ~100 Mrays/s with the honest timing
+    # protocol (round 2); the floor is ratcheted to 80 so a real regression
+    # fails while ~20% tunnel variance still passes.
+    assert mrays > 80.0

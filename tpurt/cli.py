@@ -31,8 +31,12 @@ PRESETS = {
                     lights="sun", accumulate=True),
     "config4": dict(width=1920, height=1080, spp=1, mode="refit",
                     lights="directional", animate=True),
+    # sort_rays deliberately OFF: full-resolution argsort reordering was
+    # measured 12.6x SLOWER than unsorted on TPU (BENCH_r02: 817 ms vs
+    # 64.9 ms at 4K 2-light; packets are already 0.96 occupancy, so there
+    # is no coherence left to buy). --sort-rays remains available.
     "config5": dict(width=3840, height=2160, spp=1, mode="static",
-                    lights="multi", sort_rays=True),
+                    lights="multi"),
 }
 
 

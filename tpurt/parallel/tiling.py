@@ -36,6 +36,22 @@ def make_tile_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices), ("tiles",))
 
 
+def vma_check_enabled(cfg: "RenderConfig") -> bool:
+    """Whether the sharded render runs with ``check_vma=True``.
+
+    True for the pure-JAX path and for compiled (TPU) Pallas kernels. The
+    ONE excluded combination is Pallas INTERPRET mode (CPU testing): JAX's
+    HLO interpreter does not propagate varying-manual-axes onto
+    kernel-internal values, so any interpret pallas_call under a
+    ``check_vma=True`` shard_map fails with "Primitive ... requires varying
+    manual axes to match". Re-verified broken on jax 0.9.0; minimal repro
+    lives in tests/test_sharding.py::test_vma_interpret_pallas_canary,
+    which is a STRICT xfail — when a JAX upgrade fixes the interpreter,
+    that test xpasses and this exclusion should be deleted."""
+    from ..kernels.traverse import _compiled_backend
+    return not (cfg.use_pallas and not _compiled_backend())
+
+
 def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
                  lights, key, cfg: RenderConfig, bvh: LBVH,
                  origins, dirs) -> jnp.ndarray:
@@ -104,21 +120,13 @@ def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
     from ..app import make_tracers
     trace_closest, trace_any = make_tracers(cfg)
 
-    # vma checking stays ON except for the one known-broken combination:
-    # Pallas INTERPRET mode (CPU testing) trips an internal vma mismatch in
-    # JAX's HLO interpreter ("Primitive dynamic_slice requires varying manual
-    # axes to match ... as a temporary workaround pass check_vma=False").
-    # The pure-JAX fallback and the compiled TPU kernel are fully checked.
-    from ..kernels.traverse import _compiled_backend
-    pallas_interpret = cfg.use_pallas and not _compiled_backend()
-
     local = partial(_local_frame, trace_closest, trace_any)
     fn = jax.shard_map(
         lambda tm, c, ls, k, bv, o, d: local(tm, c, ls, k, cfg, bv, o, d),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P("tiles"), P("tiles")),
         out_specs=P("tiles"),
-        check_vma=not pallas_interpret,
+        check_vma=vma_check_enabled(cfg),  # see the helper's docstring
     )
     img = fn(tri_mesh, cam, lights, key, bvh, origins, dirs)
     return img[:h]

@@ -310,9 +310,9 @@ def default_camera_for(mesh: Mesh, fov_y_deg: float = 55.0):
 
 def deform(mesh: Mesh, time: float, amplitude: float = 0.35,
            freq: float = 1.3) -> np.ndarray:
-    """Config-4 animation: sinusoidal vertex displacement (host-side NumPy
-    variant; see passes/animate.py for the on-device jnp version). Returns
-    displaced vertices; topology unchanged -> BVH refit path applies."""
+    """Config-4 animation: sinusoidal vertex displacement (host-side NumPy).
+    Returns displaced vertices; topology unchanged -> BVH refit path
+    applies (Renderer.set_vertices -> refit_lbvh)."""
     v = np.asarray(mesh.vertices)
     phase = v[:, 0] * freq + v[:, 2] * 0.7 * freq
     disp = np.stack([
