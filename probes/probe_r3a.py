@@ -44,8 +44,8 @@ def p1_kernel_prng():
 
     def k(seed_ref, o_ref):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        bits = pltpu.prng_random_bits((8, 128))
-        # u in [0,1): standard bit trick
+        bits = pltpu.bitcast(pltpu.prng_random_bits((8, 128)), jnp.uint32)
+        # u in [0,1): 23 random mantissa bits onto exponent 127 -> [1,2)
         u = (bits >> 9) | jnp.uint32(0x3F800000)
         o_ref[...] = pltpu.bitcast(u, jnp.float32) - 1.0
 
@@ -66,7 +66,7 @@ def p2_kernel_gather():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N = 512
+    N = 8  # one vreg of sublanes: does in-vreg sublane gather lower?
 
     def k(t_ref, i_ref, o_ref):
         o_ref[...] = jnp.take_along_axis(t_ref[...], i_ref[...], axis=0)

@@ -216,3 +216,38 @@ def test_scene_exit_t_cap_preserves_occlusion(rng):
                                jnp.where(jnp.asarray(valid), cap, 0.0),
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(occ_inf), np.asarray(occ_cap))
+
+
+def test_soft_kernel_zero_rng_matches_hard():
+    """trace_any_soft_pallas in TPU-interpret mode: the interpreter's PRNG
+    is a zero bit stream, so every cone sample degenerates to the exact
+    axis direction — counts must equal spp x the hard-shadow occlusion.
+    (The RNG distribution itself is validated on hardware by the opt-in
+    TPU test; this pins the traversal/masking/accumulation plumbing.)"""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpurt.bvh.wide import build_wide
+    from tpurt.camera import generate_rays
+    from tpurt.kernels.traverse import trace_any_soft_pallas
+    from tpurt.scenes import default_camera_for
+
+    mesh = teapot_scene(1200)
+    wide = build_wide(_build(mesh, leaf_size=8))
+    cam = default_camera_for(mesh)
+    o, d = generate_rays(cam, 64, 64)
+    t, tid = trace_closest_pallas(wide, o, d, interpret=True)
+    valid = tid >= 0
+    axis = jnp.asarray([0.45, 0.8, 0.3])
+    axis = axis / jnp.linalg.norm(axis)
+    origins = (o + d * jnp.where(valid, t, 0.0)[..., None]) + 1e-3 * axis
+    occ_hard = trace_any_pallas(wide, origins,
+                                jnp.broadcast_to(axis, origins.shape),
+                                jnp.where(valid, 3.4e38, 0.0),
+                                interpret=True)
+    counts = trace_any_soft_pallas(wide, origins, valid, axis,
+                                   jnp.cos(0.04), 4, 7,
+                                   interpret=pltpu.InterpretParams())
+    c = np.asarray(counts)
+    v = np.asarray(valid)
+    assert set(np.unique(c[v])) <= {0, 4}
+    assert (c[v] == 4 * np.asarray(occ_hard)[v]).all()
+    assert (c[~v] == 0).all()

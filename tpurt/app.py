@@ -79,6 +79,26 @@ def make_tracers(cfg: RenderConfig):
     return closest, any_
 
 
+def make_soft_tracer(cfg: RenderConfig, bvh):
+    """Fused in-kernel cone sampling for area-light soft shadows
+    (kernels/traverse.trace_any_soft_pallas), or None where the scan-based
+    XLA path should run instead: pure-JAX configs, chunked (over-VMEM)
+    accels, and interpret-mode CPU runs (the TPU-interpret PRNG is a zero
+    stream — silently degrading penumbrae to hard shadows is worse than
+    the slower exact path)."""
+    from .bvh.chunked import ChunkedAccel
+    from .kernels.traverse import _compiled_backend, trace_any_soft_pallas
+    if not cfg.use_pallas or not _compiled_backend() \
+            or isinstance(bvh, ChunkedAccel):
+        return None
+
+    def soft(origins, valid, axis_dir, cone_cos, spp, seed):
+        return trace_any_soft_pallas(bvh, origins, valid, axis_dir,
+                                     cone_cos, spp, seed)
+
+    return soft
+
+
 @partial(jax.jit, static_argnames=("leaf_size", "nw_pad"))
 def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int):
     """Config-2 hot path: LBVH build + 8-wide collapse + shading table as ONE
@@ -158,7 +178,8 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
         shadows.append(shadow_pass(
             lambda o, d, tm: trace_any(bvh, o, d, tm),
             gbuf, lights[li], cfg.spp, lkey, cfg.shadow_bias,
-            scene_bounds=(bvh.root_min, bvh.root_max)))
+            scene_bounds=(bvh.root_min, bvh.root_max),
+            trace_soft=make_soft_tracer(cfg, bvh)))
     # Composite: sum of per-light direct terms + one ambient term.
     img = composite_pass(gbuf, shadows[0], lights[0], cfg.ambient,
                          cfg.background)

@@ -906,6 +906,62 @@ def _packet_body_rays(rays_ref, b):
     return ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax
 
 
+def _w8_anyhit_walk(k: int, max_iters: int, ns_ref, tr_ref, stack_ref,
+                    ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min):
+    """One 8-wide any-hit packet walk -> occ i32 (8,128). The shared body of
+    the batched and soft-shadow kernels (identical control flow)."""
+    active0 = tmax > t_min
+    stack_ref[0] = jnp.int32(0)
+
+    def leaf_test(leaf_id, occ):
+        h = _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz,
+                           t_min, tmax)
+        return occ | jnp.where(h & active0, 1, 0)
+
+    def cond(state):
+        it, sp, alive, occ = state
+        return (sp > 0) & (it < max_iters) & alive
+
+    def body(state):
+        it, sp, alive, occ = state
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec = ns_ref[pl.ds(node, 1), :]
+        lanes = active0 & (occ == 0)
+        cap = jnp.where(lanes, tmax, -_BIG)
+        hits = []
+        refs = []
+        valids = []
+        for c in range(8):
+            bb, ref = _wide_child(rec, c)
+            hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
+                              cap) & lanes)
+            refs.append(ref)
+            valids.append(rec[0, bb] <= rec[0, bb + 3])
+        anyhit = _child_anyhit8(hits, valids)
+        for c in range(8):
+            ref = refs[c]
+            is_leaf = ref < 0
+            occ = jax.lax.cond(anyhit[c] & is_leaf,
+                               lambda o, r=ref: leaf_test(
+                                   jnp.maximum(-r - 1, 0), o),
+                               lambda o: o, occ)
+            push = anyhit[c] & (~is_leaf)
+            stack_ref[sp] = jnp.where(push, ref, 0)
+            sp = sp + push.astype(jnp.int32)
+        period = (1 << W8_EXIT_LOG) - 1
+        alive = jax.lax.cond((it & period) == period,
+                             lambda: jnp.any(active0 & (occ == 0)),
+                             lambda: alive)
+        return it + 1, sp, alive, occ
+
+    occ0 = jnp.zeros(ox.shape, jnp.int32)
+    alive0 = jnp.bool_(True) if W8_SKIP_ALIVE0 else jnp.any(active0)
+    _, _, _, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(1), alive0, occ0))
+    return occ
+
+
 def _any_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
                          tr_ref, rays_ref, out_ref, stack_ref):
     """8-wide any-hit over nb packets per grid step (see batching note)."""
@@ -914,56 +970,85 @@ def _any_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        active0 = tmax > t_min
-        stack_ref[0] = jnp.int32(0)
+        out_ref[b] = _w8_anyhit_walk(k, max_iters, ns_ref, tr_ref, stack_ref,
+                                     ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                     tmax, t_min)
+        return 0
 
-        def leaf_test(leaf_id, occ):
-            h = _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz,
-                               t_min, tmax)
-            return occ | jnp.where(h & active0, 1, 0)
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
 
-        def cond(state):
-            it, sp, alive, occ = state
-            return (sp > 0) & (it < max_iters) & alive
 
-        def body(state):
-            it, sp, alive, occ = state
-            sp = sp - 1
-            node = stack_ref[sp]
-            rec = ns_ref[pl.ds(node, 1), :]
-            lanes = active0 & (occ == 0)
-            cap = jnp.where(lanes, tmax, -_BIG)
-            hits = []
-            refs = []
-            valids = []
-            for c in range(8):
-                bb, ref = _wide_child(rec, c)
-                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
-                                  cap) & lanes)
-                refs.append(ref)
-                valids.append(rec[0, bb] <= rec[0, bb + 3])
-            anyhit = _child_anyhit8(hits, valids)
-            for c in range(8):
-                ref = refs[c]
-                is_leaf = ref < 0
-                occ = jax.lax.cond(anyhit[c] & is_leaf,
-                                   lambda o, r=ref: leaf_test(
-                                       jnp.maximum(-r - 1, 0), o),
-                                   lambda o: o, occ)
-                push = anyhit[c] & (~is_leaf)
-                stack_ref[sp] = jnp.where(push, ref, 0)
-                sp = sp + push.astype(jnp.int32)
-            period = (1 << W8_EXIT_LOG) - 1
-            alive = jax.lax.cond((it & period) == period,
-                                 lambda: jnp.any(active0 & (occ == 0)),
-                                 lambda: alive)
-            return it + 1, sp, alive, occ
+def _any_hit_kernel_w8_soft(k: int, max_iters: int, nb: int, spp: int,
+                            tmin_ref, seed_ref, scal_ref, ns_ref, tr_ref,
+                            rays_ref, out_ref, stack_ref):
+    """Fused area-light soft shadows: cone sampling INSIDE the traversal
+    kernel (BASELINE config 3).
 
-        occ0 = jnp.zeros(ox.shape, jnp.int32)
-        alive0 = jnp.bool_(True) if W8_SKIP_ALIVE0 else jnp.any(active0)
-        _, _, _, occ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(1), alive0, occ0))
-        out_ref[b] = occ
+    The XLA formulation (shadow_pass's scan) pays ~5 ms/sample of ray
+    generation at 1080p — threefry RNG, cone trig, scene-exit slab, and the
+    packet layout transform all rematerialize per sample in HBM. Here each
+    packet's origins load ONCE; every sample draws two uniforms from the
+    hardware PRNG (pltpu.prng_random_bits), builds the cone direction on
+    the VPU (d, t0, t1 orthonormal => unit by construction, no normalize),
+    caps t at the root-box exit, and runs the shared any-hit walk,
+    accumulating a per-pixel occlusion COUNT. HBM traffic per sample: zero.
+
+    rays_ref: (B, 4, 8, 128) = origins xyz + valid flag.
+    scal_ref: f32[16] = axis d(3), basis t0(3), t1(3), cone_cos, root box
+    min(3)/max(3). seed_ref: i32[1]; streams are decorrelated per grid step
+    and packet via prng_seed(seed, step, packet).
+    """
+    t_min = tmin_ref[0]
+    adx, ady, adz = scal_ref[0], scal_ref[1], scal_ref[2]
+    t0x, t0y, t0z = scal_ref[3], scal_ref[4], scal_ref[5]
+    t1x, t1y, t1z = scal_ref[6], scal_ref[7], scal_ref[8]
+    cone_cos = scal_ref[9]
+    rx0, ry0, rz0 = scal_ref[10], scal_ref[11], scal_ref[12]
+    rx1, ry1, rz1 = scal_ref[13], scal_ref[14], scal_ref[15]
+    two_pi = 6.2831853
+
+    def per_packet(b, _):
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0), b)
+        ox = rays_ref[b, 0]
+        oy = rays_ref[b, 1]
+        oz = rays_ref[b, 2]
+        valid = rays_ref[b, 3] > 0.0
+
+        def uniform01():
+            bits = pltpu.bitcast(pltpu.prng_random_bits(ox.shape),
+                                 jnp.uint32)
+            # 23 random mantissa bits onto exponent 127 -> [1,2) -> [0,1)
+            m = (bits >> 9) | jnp.uint32(0x3F800000)
+            return pltpu.bitcast(m, jnp.float32) - 1.0
+
+        def per_sample(s, count):
+            u1 = uniform01()
+            u2 = uniform01()
+            cos_t = 1.0 - u1 * (1.0 - cone_cos)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            phi = two_pi * u2
+            sc = sin_t * jnp.cos(phi)
+            ss = sin_t * jnp.sin(phi)
+            dx = adx * cos_t + t0x * sc + t1x * ss
+            dy = ady * cos_t + t0y * sc + t1y * ss
+            dz = adz * cos_t + t0z * sc + t1z * ss
+            ix, iy, iz = _inv3(dx, dy, dz)
+            # Root-box exit cap (shadow.scene_exit_t, in-kernel): no
+            # occluder exists outside the scene AABB.
+            ex = jnp.minimum(
+                jnp.minimum(jnp.maximum((rx0 - ox) * ix, (rx1 - ox) * ix),
+                            jnp.maximum((ry0 - oy) * iy, (ry1 - oy) * iy)),
+                jnp.maximum((rz0 - oz) * iz, (rz1 - oz) * iz))
+            tmax = jnp.where(valid, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+            occ = _w8_anyhit_walk(k, max_iters, ns_ref, tr_ref, stack_ref,
+                                  ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                  tmax, t_min)
+            return count + occ
+
+        count = jax.lax.fori_loop(0, spp, per_sample,
+                                  jnp.zeros(ox.shape, jnp.int32),
+                                  unroll=False)
+        out_ref[b] = count
         return 0
 
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
@@ -1541,6 +1626,108 @@ def trace_any_pallas_stats(bvh, origins, dirs, t_max, t_min: float = 0.0,
                             (jnp.int32, jnp.int32), comps, tm, t_min,
                             interpret)
     return _unpack(occ, meta) > 0, its[:, 0, 0]
+
+
+def _onb3(d):
+    """Branchless orthonormal basis (Duff et al. 2017) for a (3,) unit
+    vector — XLA-side twin of passes.shadow._onb, for kernel scalars."""
+    s = jnp.where(d[2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + d[2])
+    b = d[0] * d[1] * a
+    t0 = jnp.stack([1.0 + s * d[0] * d[0] * a, s * b, -s * d[0]])
+    t1 = jnp.stack([b, s + d[1] * d[1] * a, -d[1]])
+    return t0, t1
+
+
+def trace_any_soft_pallas(bvh, origins, valid, axis_dir, cone_cos, spp: int,
+                          seed, t_min: float = 0.0,
+                          interpret=None) -> jnp.ndarray:
+    """Area-light (cone) soft shadows with in-kernel sampling: occlusion
+    COUNTS i32[H, W] in [0, spp] (visibility = 1 - counts/spp).
+
+    origins: f32[H, W, 3] biased shadow origins; valid: bool[H, W];
+    axis_dir: f32[3] unit cone axis (toward the light); cone_cos: scalar
+    cos(angular radius); seed: int32 scalar (vary per frame/light).
+
+    Uses the TPU hardware PRNG — each (grid step, packet) gets a distinct
+    stream, so results are deterministic per (seed, topology) on TPU. On
+    CPU this runs in TPU-interpret mode where prng_random_bits is a ZERO
+    stream: every sample degenerates to the exact cone axis (== hard
+    shadow x spp), which tests exploit for deterministic parity. See
+    passes/shadow.py shadow_pass for the XLA twin this replaces at
+    BASELINE-config-3 scale (~5 ms/sample of ray-gen eliminated)."""
+    from ..bvh.wide import WideBVH
+    packed = _as_packed(bvh)
+    assert isinstance(packed, WideBVH), "soft kernel needs the 8-wide accel"
+    batch = PACKETS_PER_STEP
+    if origins.ndim == 3:
+        h, w = origins.shape[:2]
+        comps = [to_packets(origins[..., c]) for c in range(3)]
+        comps.append(to_packets(valid.astype(jnp.float32)))
+        meta = ("img", h, w)
+    else:
+        n = origins.shape[0]
+        npad = -(-n // 1024) * 1024
+
+        def flat(x, fill):
+            x = jnp.concatenate(
+                [x, jnp.full((npad - n,), fill, x.dtype)]) if npad != n else x
+            return x.reshape(-1, 8, 128)
+
+        comps = [flat(origins[:, c], 0.0) for c in range(3)]
+        comps.append(flat(valid.astype(jnp.float32), 0.0))
+        meta = ("flat", n, npad)
+    rays = jnp.stack(comps, axis=1)                   # (P, 4, 8, 128)
+    p = rays.shape[0]
+    pb = -(-p // batch) * batch
+    if pb != p:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((pb - p, 4, 8, 128), rays.dtype)])
+
+    t0, t1 = _onb3(axis_dir)
+    scal = jnp.concatenate([
+        axis_dir.astype(jnp.float32), t0, t1,
+        jnp.asarray(cone_cos, jnp.float32)[None],
+        packed.root_min.astype(jnp.float32),
+        packed.root_max.astype(jnp.float32)])          # f32[16]
+
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE
+    if interpret is None:
+        interpret = not _compiled_backend()
+    if interpret is True:
+        # The HLO interpreter has no prng_seed; the TPU-semantics
+        # interpreter runs the kernel with a zero bit stream.
+        interpret = pltpu.InterpretParams()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 4, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pb // batch,),
+        in_specs=[const_spec(packed.nodes.shape),
+                  const_spec(packed.tris.shape), ray_spec],
+        out_specs=(out_spec,),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(_any_hit_kernel_w8_soft, packed.leaf_size,
+                          iter_cap, batch, spp),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    (counts,) = fn(tmin_arr, seed_arr, scal, packed.nodes, packed.tris, rays)
+    return _unpack(counts[:p], meta)
 
 
 def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,

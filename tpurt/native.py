@@ -67,8 +67,14 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.bvh_build.restype = ctypes.c_void_p
     lib.bvh_build.argtypes = [c_float_p, ctypes.c_int64, c_int_p,
                               ctypes.c_int64, ctypes.c_int32]
+    lib.bvh_build_sbvh.restype = ctypes.c_void_p
+    lib.bvh_build_sbvh.argtypes = [c_float_p, ctypes.c_int64, c_int_p,
+                                   ctypes.c_int64, ctypes.c_int32,
+                                   ctypes.c_float, ctypes.c_float]
     lib.bvh_num_nodes.restype = ctypes.c_int64
     lib.bvh_num_nodes.argtypes = [ctypes.c_void_p]
+    lib.bvh_num_refs.restype = ctypes.c_int64
+    lib.bvh_num_refs.argtypes = [ctypes.c_void_p]
     lib.bvh_copy.argtypes = [ctypes.c_void_p, c_float_p, c_float_p, c_int_p,
                              c_int_p, c_int_p, c_int_p]
     lib.bvh_free.argtypes = [ctypes.c_void_p]
@@ -134,24 +140,39 @@ def load_obj_raw(path: str) -> Optional[Tuple[np.ndarray, np.ndarray,
 
 
 def build_sah_bvh(vertices: np.ndarray, indices: np.ndarray,
-                  leaf_size: int = 4):
+                  leaf_size: int = 4, spatial_alpha: float | None = None,
+                  spatial_budget: float = 1.3):
     """Native binned-SAH build -> CpuBVH (same layout as the NumPy oracle's
-    recursive builder); None if the library is unavailable."""
+    recursive builder); None if the library is unavailable.
+
+    spatial_alpha: when set (< 1), enables SBVH spatial splits — a node
+    whose best object split's child overlap exceeds ``alpha * root_area``
+    also evaluates chopped-binning spatial splits that duplicate straddling
+    triangle references with clipped boxes (capped at ``spatial_budget *
+    num_tris`` references). tri_order then contains duplicate triangle ids;
+    every id still maps to an original triangle for shading."""
     lib = load_library()
     if lib is None:
         return None
     from .bvh.reference import CpuBVH
     v = np.ascontiguousarray(vertices, np.float32)
     idx = np.ascontiguousarray(indices, np.int32)
-    h = lib.bvh_build(_fp(v), v.shape[0], _ip(idx), idx.shape[0], leaf_size)
+    if spatial_alpha is not None:
+        h = lib.bvh_build_sbvh(_fp(v), v.shape[0], _ip(idx), idx.shape[0],
+                               leaf_size, ctypes.c_float(spatial_alpha),
+                               ctypes.c_float(spatial_budget))
+    else:
+        h = lib.bvh_build(_fp(v), v.shape[0], _ip(idx), idx.shape[0],
+                          leaf_size)
     try:
         n = lib.bvh_num_nodes(h)
+        nrefs = lib.bvh_num_refs(h)
         bb_min = np.empty((n, 3), np.float32)
         bb_max = np.empty((n, 3), np.float32)
         prim_start = np.empty(n, np.int32)
         prim_count = np.empty(n, np.int32)
         skip = np.empty(n, np.int32)
-        order = np.empty(idx.shape[0], np.int32)
+        order = np.empty(nrefs, np.int32)
         lib.bvh_copy(h, _fp(bb_min), _fp(bb_max), _ip(prim_start),
                      _ip(prim_count), _ip(skip), _ip(order))
         return CpuBVH(bb_min=bb_min, bb_max=bb_max, prim_start=prim_start,

@@ -107,12 +107,20 @@ def shadow_ray_batch(gbuf: Dict[str, jnp.ndarray], light: Light,
 
 def shadow_pass(trace_any: Callable, gbuf: Dict[str, jnp.ndarray],
                 light: Light, spp: int, key: jax.Array,
-                bias: float, scene_bounds=None) -> jnp.ndarray:
+                bias: float, scene_bounds=None,
+                trace_soft: Callable | None = None) -> jnp.ndarray:
     """Shadow visibility in [0, 1] per pixel (1 = fully lit).
 
     trace_any(origins, dirs, t_max) -> occluded bool[...]. spp rays are
     traced sequentially (static unroll) so live memory stays one ray-grid
     regardless of sample count (SURVEY.md §5 long-axis blocking).
+
+    trace_soft(origins, valid, axis_dir, cone_cos, spp, seed) -> occlusion
+    counts i32: optional fused path that draws the cone samples INSIDE the
+    traversal kernel (kernels/traverse.trace_any_soft_pallas) — the scan
+    below pays ~5 ms/sample of XLA ray generation at 1080p, which the
+    in-kernel hardware PRNG eliminates. Used for area-cone lights when the
+    caller provides it (compiled-TPU Pallas path only).
     """
     soft = light.kind in (LIGHT_AREA_CONE, LIGHT_POINT) and spp > 1
     h, w = gbuf["valid"].shape
@@ -121,6 +129,20 @@ def shadow_pass(trace_any: Callable, gbuf: Dict[str, jnp.ndarray],
                                                 scene_bounds=scene_bounds)
         occluded = trace_any(origins, dirs, t_max)
         return jnp.where(gbuf["valid"], jnp.where(occluded, 0.0, 1.0), 1.0)
+
+    if trace_soft is not None and light.kind == LIGHT_AREA_CONE:
+        origins = gbuf["position"] + gbuf["gnormal"] * bias
+        # Any 32 bits of the key decorrelate frames/lights; the kernel
+        # further folds in (grid step, packet). Handles both typed and
+        # legacy uint32-array keys.
+        kd = key if jnp.issubdtype(key.dtype, jnp.integer) \
+            else jax.random.key_data(key)
+        seed = kd.ravel()[-1].astype(jnp.int32)
+        counts = trace_soft(origins, gbuf["valid"],
+                            jnp.asarray(light.direction, jnp.float32),
+                            jnp.cos(light.angular_radius), spp, seed)
+        vis = 1.0 - counts.astype(jnp.float32) / spp
+        return jnp.where(gbuf["valid"], vis, 1.0)
 
     # Soft path: lax.scan over samples — ONE traversal-kernel lowering
     # regardless of spp (a Python unroll lowers spp copies of the Pallas
