@@ -8,6 +8,7 @@ import sys
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpurt.bvh.lbvh import build_lbvh
 from tpurt.checkpoint import (load_accumulation, load_bvh, save_accumulation,
@@ -54,6 +55,7 @@ def test_metrics_timer_and_hud():
     assert mrays_per_s(100, 0.0) == 0.0
 
 
+@pytest.mark.slow
 def test_cli_renders_png(tmp_path):
     out = os.path.join(tmp_path, "cli.png")
     env = dict(os.environ, JAX_PLATFORMS="cpu",
@@ -73,6 +75,7 @@ def test_cli_renders_png(tmp_path):
     assert img.shape == (48, 64, 3)
 
 
+@pytest.mark.slow
 def test_renderer_checkpoint_resume(tmp_path):
     """Accumulation checkpoint/resume continues the running mean exactly."""
     import jax
@@ -97,6 +100,7 @@ def test_renderer_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_cli_flag_overrides_preset(tmp_path):
     """Explicit --width/--height must win over a preset's resolution."""
     out = os.path.join(tmp_path, "p.png")

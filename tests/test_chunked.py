@@ -16,6 +16,8 @@ from tpurt.camera import generate_rays
 from tpurt.kernels.traverse import trace_any_pallas, trace_closest_pallas
 from tpurt.scenes import default_camera_for, teapot_scene
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
 
 @pytest.fixture(scope="module")
 def scene():

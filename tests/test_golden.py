@@ -15,6 +15,8 @@ from tpurt.io.image import read_png, to_uint8
 
 from gen_goldens import golden_cases
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
 HERE = os.path.join(os.path.dirname(__file__), "golden")
 CASES = golden_cases()
 

@@ -166,6 +166,7 @@ def test_full_pipeline_with_pallas_tracers(rng):
 
 
 @pytest.mark.parametrize("leaf_size", [8, 16])
+@pytest.mark.slow
 def test_w8t_transposed_leaf_parity(rng, leaf_size):
     """Hybrid WideBVHT (transposed leaves) matches the pure-JAX oracle for
     both any-hit and closest-hit, for both supported leaf sizes."""
@@ -218,6 +219,7 @@ def test_scene_exit_t_cap_preserves_occlusion(rng):
     np.testing.assert_array_equal(np.asarray(occ_inf), np.asarray(occ_cap))
 
 
+@pytest.mark.slow
 def test_soft_kernel_zero_rng_matches_hard():
     """trace_any_soft_pallas in TPU-interpret mode: the interpreter's PRNG
     is a zero bit stream, so every cone sample degenerates to the exact

@@ -20,6 +20,8 @@ from tpurt.bvh.reference import brute_force_any, brute_force_closest
 from tpurt.camera import generate_rays
 from tpurt.scenes import default_camera_for, deform, teapot_scene
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
 W, H = 64, 48
 
 

@@ -5,6 +5,7 @@ conservative."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from tpurt.bvh.lbvh import build_lbvh, refit_lbvh
@@ -13,6 +14,8 @@ from tpurt.bvh.traverse import traverse
 from tpurt.bvh.wide import build_wide
 from tpurt.kernels.traverse import trace_closest_pallas
 from tpurt.scenes import random_soup
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
 
 
 @st.composite

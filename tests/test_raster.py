@@ -15,6 +15,8 @@ from tpurt.passes.shading import make_shade_table_orig
 from tpurt.scenes import default_camera_for, teapot_scene
 from tpurt.types import Camera, Light, RenderConfig
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
 W, H = 96, 64
 
 

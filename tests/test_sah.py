@@ -77,6 +77,7 @@ def test_sah_refit_tightness(scene):
     assert bool(jnp.all(refit.root_min <= jnp.min(refit.tri_v0, axis=0)))
 
 
+@pytest.mark.slow
 def test_renderer_sah_matches_reference(scene):
     mesh, cam = scene
     light = Light.directional((0.45, 0.8, 0.3))

@@ -13,6 +13,8 @@ from tpurt.parallel.tiling import (device_put_replicated, make_tile_mesh,
 from tpurt.scenes import default_camera_for, teapot_scene
 from tpurt.types import Light, RenderConfig
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
 
 @pytest.fixture(scope="module")
 def scene():
