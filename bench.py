@@ -237,21 +237,38 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
     # config is fault-isolated so one compile failure cannot drop the
     # rest from the report.
     sun = Light.sun((0.25, 0.9, 0.2), angular_radius_deg=2.5)
-    for name, a3, b3 in (("sah", static_accel, static_bvh),
-                         ("morton", accel, bvh)):
+    from tpurt.app import make_soft_tracer
+    from tpurt.types import RenderConfig as _RC
+    cfg3 = _RC(use_pallas=True)
+    # Variants: the fused in-kernel sampling path (hardware PRNG inside the
+    # traversal kernel — the production config-3 path) and the scan-based
+    # XLA twin, on the SAH then Morton accels. The headline soft number is
+    # the first variant that runs.
+    variants = (("sah+kernel", static_accel, static_bvh, True, "soft_spp8"),
+                ("sah+xla", static_accel, static_bvh, False,
+                 "soft_spp8_xla"),
+                ("morton+xla", accel, bvh, False, "soft_spp8_fallback"))
+    for name, a3, b3, fused, key in variants:
+        if key == "soft_spp8_fallback":
+            if "soft_spp8_ms" in out:
+                break              # only needed when both SAH attempts died
+            key = "soft_spp8"
         try:
-            sp8 = jax.jit(lambda a, g, k, b=b3: jnp.sum(shadow_pass(
+            sp8 = jax.jit(lambda a, g, k, b=b3, f=fused: jnp.sum(shadow_pass(
                 lambda o, d, tm: trace_any(a, o, d, tm), g, sun, 8, k,
-                1e-3, scene_bounds=(b.root_min, b.root_max))))
+                1e-3, scene_bounds=(b.root_min, b.root_max),
+                trace_soft=make_soft_tracer(cfg3, a) if f else None)))
             t = timed(lambda: sp8(a3, gbuf, jax.random.PRNGKey(1)), 10)
-            out["soft_spp8_ms"] = round(t * 1e3, 2)
-            out["soft_spp8_mrays"] = round(valid * 8 / t / 1e6, 2)
-            log(f"config 3 soft spp=8 ({name}): {out['soft_spp8_ms']} ms "
-                f"-> {out['soft_spp8_mrays']} Mrays/s")
-            break
+            out[f"{key}_ms"] = round(t * 1e3, 2)
+            out[f"{key}_mrays"] = round(valid * 8 / t / 1e6, 2)
+            log(f"config 3 soft spp=8 ({name}): {out[f'{key}_ms']} ms "
+                f"-> {out[f'{key}_mrays']} Mrays/s")
         except Exception as e:  # noqa: BLE001
             log(f"config 3 ({name}) failed: {type(e).__name__}: "
                 f"{str(e)[:160]}")
+    if "soft_spp8_ms" not in out and "soft_spp8_xla_ms" in out:
+        out["soft_spp8_ms"] = out["soft_spp8_xla_ms"]
+        out["soft_spp8_mrays"] = out["soft_spp8_xla_mrays"]
 
     # Config 4: per-frame AABB refit (topology + wide plan frozen).
     try:
@@ -369,6 +386,42 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
     log(f"config 5 4K 2-light: unsorted {out['multilight_4k_unsorted_ms']} "
         f"ms, sorted {out['multilight_4k_sorted_ms']} ms "
         f"({nrays/1e6:.1f} Mrays); gbuffer4k {out['gbuffer_4k_ms']} ms")
+
+    # The INCOHERENT workload (VERDICT r2 item 3): an interior point light
+    # with a large source radius at spp=4 — per-pixel directions fan out
+    # toward the light and jitter across its disk, the least coherent ray
+    # set this renderer produces. If full-resolution reordering cannot win
+    # here, it cannot win anywhere in this workload family.
+    try:
+        import jax.numpy as jnp2
+        center = np.asarray(mesh.vertices).mean(0)
+        plight = Light.point(center + np.float32([0.0, 4.0, 0.0]),
+                             radius=1.5)
+        spp = 4
+
+        def penumbra(tracer):
+            def run(a, g, key):
+                def sample(acc, s):
+                    u = jax.random.uniform(jax.random.fold_in(key, s),
+                                           (H4, W4, 2))
+                    o, d, tm = shadow_ray_batch(g, plight, 1e-3, u)
+                    occ = tracer(a, o, d, tm)
+                    return acc + jnp2.sum(occ.astype(jnp2.int32)), None
+                acc, _ = jax.lax.scan(sample, jnp2.int32(0),
+                                      jnp2.arange(spp))
+                return acc
+            fn = jax.jit(run)
+            return lambda: fn(static_accel, gbuf4, jax.random.PRNGKey(5))
+
+        t_pu = timed(penumbra(raw), 4)
+        t_ps = timed(penumbra(sortd), 4)
+        out["penumbra_4k_spp4_unsorted_ms"] = round(t_pu * 1e3, 2)
+        out["penumbra_4k_spp4_sorted_ms"] = round(t_ps * 1e3, 2)
+        log(f"config 5 INCOHERENT point-penumbra 4K spp={spp}: unsorted "
+            f"{out['penumbra_4k_spp4_unsorted_ms']} ms, sorted "
+            f"{out['penumbra_4k_spp4_sorted_ms']} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"penumbra probe failed: {type(e).__name__}: {str(e)[:160]}")
     return out
 
 

@@ -205,6 +205,28 @@ def karras_topology(leaf_codes) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     return child, first.astype(jnp.int32), last.astype(jnp.int32)
 
 
+def adjacent_deltas(leaf_codes) -> jnp.ndarray:
+    """D[g] = delta(g, g+1) for sorted leaf keys — the adjacent-delta array
+    that fully determines the Karras radix tree (no gathers: pure shifted
+    xors + clz). Same augmentation rules as _make_delta."""
+    if not isinstance(leaf_codes, tuple):
+        leaf_codes = (leaf_codes, None)
+    hi, lo = leaf_codes
+    hi = hi.astype(jnp.uint32)
+    n = hi.shape[0]
+    g = jnp.arange(n - 1, dtype=jnp.int32)
+    xh = hi[:-1] ^ hi[1:]
+    tie = 64 + jax.lax.clz((g ^ (g + 1)).astype(jnp.uint32)).astype(jnp.int32)
+    if lo is None:
+        d_lo = tie
+    else:
+        lo = lo.astype(jnp.uint32)
+        xl = lo[:-1] ^ lo[1:]
+        d_lo = jnp.where(xl == 0, tie,
+                         32 + jax.lax.clz(xl).astype(jnp.int32))
+    return jnp.where(xh == 0, d_lo, jax.lax.clz(xh).astype(jnp.int32))
+
+
 def karras_topology_scan(leaf_codes) -> Tuple[jnp.ndarray, jnp.ndarray,
                                               jnp.ndarray]:
     """Karras topology via the Cartesian-tree / all-nearest-smaller-values
@@ -398,7 +420,8 @@ def _leaf_boxes(v0, e1, e2, leaf_size: int):
 
 
 def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
-               leaf_size: int = 4, morton_bits: int = 30) -> LBVH:
+               leaf_size: int = 4, morton_bits: int = 30,
+               builder: str = "auto") -> LBVH:
     """Full on-device build: sort + topology + boxes. jit-able; all shapes
     depend only on (num_triangles, leaf_size).
 
@@ -407,7 +430,14 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     ~68% duplicate codes on Sponza-class density — at ~+30% build time;
     traversal quality on the benchmark scenes measured equal, so 30 is the
     default, but 60 is the safer choice for very dense or thin-feature
-    meshes)."""
+    meshes).
+
+    builder: "search" = Karras binary searches + RMQ boxes in XLA;
+    "kernel" = the Pallas Cartesian-stack build kernel
+    (kernels/build.py — topology + boxes as ONE program; the XLA
+    formulation is op-overhead bound at ~11 ms of the Sponza rebuild);
+    "auto" = kernel on compiled TPU backends, search elsewhere (the
+    interpret-mode kernel is a slow serial emulation)."""
     num_tris = int(indices.shape[0])
     tpad = _round_up(max(num_tris, 2 * leaf_size), leaf_size)
     pad = tpad - num_tris
@@ -453,9 +483,18 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     leaf_codes = (chi[order][::leaf_size],
                   clo[order][::leaf_size] if clo is not None else None)
 
-    child, first, last = karras_topology(leaf_codes)
-    nodes_box, root_min, root_max = _assemble_node_boxes(
-        lmin, lmax, child, first, last)
+    if builder == "auto":
+        from ..kernels.traverse import _compiled_backend
+        builder = "kernel" if _compiled_backend() else "search"
+    if builder == "kernel":
+        from ..kernels.build import topology_and_boxes_pallas
+        d = adjacent_deltas(leaf_codes)
+        child, first, last, nodes_box, root_min, root_max = \
+            topology_and_boxes_pallas(d, lmin, lmax)
+    else:
+        child, first, last = karras_topology(leaf_codes)
+        nodes_box, root_min, root_max = _assemble_node_boxes(
+            lmin, lmax, child, first, last)
 
     return LBVH(nodes_box=nodes_box, nodes_child=child, nodes_first=first,
                 nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,

@@ -1,0 +1,236 @@
+"""Pallas LBVH build kernel: Karras topology + node boxes in ONE program.
+
+The XLA formulation of the on-device build (bvh/lbvh.py) is OP-OVERHEAD
+bound on TPU: the Karras binary searches are ~30 sequential dependent
+gathers and the RMQ box phase another ~6, each a separate tiny XLA op with
+~0.3 ms of dispatch/loop overhead — topology + boxes cost ~11 ms of the
+~19 ms Sponza-class rebuild while moving only a few MB.
+
+This kernel computes BOTH in one Pallas program using the Cartesian-tree
+view of the Karras radix tree (see lbvh.karras_topology_scan for the
+derivation): internal node g <-> the gap between sorted leaves g and g+1,
+keyed by the adjacent-delta D[g], tree = min-Cartesian tree over
+D' = (D[g], g). One monotonic-stack sweep on the SCALAR core builds the
+topology in O(n); a node is FINALIZED exactly when it pops, which is a
+children-first order, so the same sweep computes every node's AABB as a
+16-lane vector union the moment its children are complete. No gathers, no
+per-op dispatch: one kernel.
+
+Layouts (all static shapes):
+  d          : i32[ni]  adjacent deltas (scalar-prefetch -> SMEM)
+  leaf boxes : f32[ceil(nl/16), 128] — 16 leaves/row, 8 floats each
+               [lmin xyz, lmax xyz, 0, 0]
+  node boxes : f32[ceil(ni/8), 128] — 8 nodes/row, 16 floats each
+               [Lmin xyz, Lmax xyz, Rmin xyz, Rmax xyz, 0...]
+  childl/r, first, last : i32[ni] SMEM outputs, GAP-indexed with child
+               refs encoding leaves as -(leaf_id+1); root gap id in
+               root[0]. The XLA wrapper renumbers the root to node 0
+               (the LBVH entry point) with two cheap elementwise ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NONE = -(1 << 30)  # plain int: a jnp scalar would be a captured const
+
+
+def _compiled_backend() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _group16(row, g):
+    """(1,128) row -> (1,16) group g (0..7) via a 3-level select tree."""
+    h = jnp.where((g & 4) > 0, row[:, 64:128], row[:, 0:64])
+    q = jnp.where((g & 2) > 0, h[:, 32:64], h[:, 0:32])
+    return jnp.where((g & 1) > 0, q[:, 16:32], q[:, 0:16])
+
+
+def _group8(row, g):
+    """(1,128) row -> (1,8) group g (0..15) via a 4-level select tree."""
+    q = _group16(row, (g >> 1))
+    return jnp.where((g & 1) > 0, q[:, 8:16], q[:, 0:8])
+
+
+def _build_kernel(ni: int, d_ref, lbox_ref, nbox_ref, childl_ref,
+                  childr_ref, first_ref, last_ref, root_ref,
+                  stack_ref, lc_ref, rc_ref):
+    """See module docstring."""
+
+    def leaf_box8(leaf):
+        row = lbox_ref[pl.ds(leaf >> 4, 1), :]
+        return _group8(row, leaf & 15)                  # (1, 8)
+
+    def node_box8(g):
+        """Union of node g's stored child boxes -> (1,8) [min xyz, max
+        xyz, 0, 0]. Record layout: [Lmin(3) Lmax(3) Rmin(3) Rmax(3)]."""
+        row = nbox_ref[pl.ds(g >> 3, 1), :]
+        rec = _group16(row, g & 7)                      # (1, 16)
+        lo = jnp.minimum(rec[:, 0:3], rec[:, 6:9])
+        hi = jnp.maximum(rec[:, 3:6], rec[:, 9:12])
+        return jnp.concatenate([lo, hi, jnp.zeros((1, 2), jnp.float32)],
+                               axis=1)
+
+    def box_of(ref):
+        return jax.lax.cond(ref < 0,
+                            lambda: leaf_box8(-ref - 1),
+                            lambda: node_box8(ref))
+
+    def first_of(ref):
+        return jax.lax.cond(ref < 0, lambda: -ref - 1,
+                            lambda: first_ref[ref])
+
+    def last_of(ref):
+        return jax.lax.cond(ref < 0, lambda: -ref - 1,
+                            lambda: last_ref[ref])
+
+    def finalize(x):
+        """x's children are final: record child refs, range, and write
+        x's 16-float node record [Lbox(6) pad2 Rbox(6) pad2]... packed as
+        [Lmin,Lmax,Rmin,Rmax, 0,0,0,0] to match lbvh nodes_box order."""
+        lc = lc_ref[x]
+        rc = rc_ref[x]
+        rc = jnp.where(rc == _NONE, -(x + 2), rc)      # right leaf x+1
+        childl_ref[x] = lc
+        childr_ref[x] = rc
+        first_ref[x] = first_of(lc)
+        last_ref[x] = last_of(rc)
+        lb = box_of(lc)                                 # (1,8) min3 max3 _
+        rb = box_of(rc)
+        # Assemble [Lmin(3) Lmax(3) Rmin(3) Rmax(3) 0^4] into lanes
+        # [16*(x&7), +16) of row x>>3 via a masked blend.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        base = (x & 7) * 16
+        off = lane - base
+        rec = jnp.zeros((1, 128), jnp.float32)
+        # Broadcast each of the 12 scalars via lane compare.
+        vals = [lb[:, 0:1], lb[:, 1:2], lb[:, 2:3],
+                lb[:, 3:4], lb[:, 4:5], lb[:, 5:6],
+                rb[:, 0:1], rb[:, 1:2], rb[:, 2:3],
+                rb[:, 3:4], rb[:, 4:5], rb[:, 5:6]]
+        for k, v in enumerate(vals):
+            rec = jnp.where(off == k, v, rec)
+        row_i = x >> 3
+        old = nbox_ref[pl.ds(row_i, 1), :]
+        keep = (off < 0) | (off >= 16)
+        nbox_ref[pl.ds(row_i, 1), :] = jnp.where(keep, old, rec)
+
+    def push_body(g, sp):
+        dg = d_ref[g]
+
+        def cond(c):
+            sp, _ = c
+            return (sp > 0) & (d_ref[stack_ref[jnp.maximum(sp - 1, 0)]]
+                               > dg)
+
+        def pop(c):
+            sp, _ = c
+            x = stack_ref[sp - 1]
+            finalize(x)
+            return sp - 1, x
+
+        sp, last_popped = jax.lax.while_loop(cond, pop,
+                                             (sp, jnp.int32(_NONE)))
+        lc_ref[g] = jnp.where(last_popped == _NONE, -(g + 1), last_popped)
+
+        @pl.when(sp > 0)
+        def _():
+            rc_ref[stack_ref[sp - 1]] = g
+
+        stack_ref[sp] = g
+        return sp + 1
+
+    # init rc to NONE
+    def init_body(g, _):
+        rc_ref[g] = jnp.int32(_NONE)
+        return 0
+
+    jax.lax.fori_loop(0, ni, init_body, 0, unroll=False)
+    sp = jax.lax.fori_loop(0, ni, push_body, jnp.int32(0), unroll=False)
+
+    # Drain the right spine (top -> bottom is children-first).
+    def drain_cond(c):
+        sp = c
+        return sp > 0
+
+    def drain(c):
+        sp = c
+        finalize(stack_ref[sp - 1])
+        return sp - 1
+
+    jax.lax.while_loop(drain_cond, drain, sp)
+    root_ref[0] = stack_ref[0]
+
+
+def topology_and_boxes_pallas(d: jnp.ndarray, leaf_min: jnp.ndarray,
+                              leaf_max: jnp.ndarray, interpret=None):
+    """d: i32[ni] adjacent deltas of the sorted leaf keys; leaf_min/max:
+    f32[nl, 3]. Returns (child i32[ni,2], first, last, nodes_box
+    f32[ni,12], root_min, root_max) with the root renumbered to node 0 —
+    drop-in for karras_topology + _assemble_node_boxes."""
+    ni = int(d.shape[0])
+    nl = ni + 1
+    if interpret is None:
+        interpret = not _compiled_backend()
+
+    # Pack leaf boxes: [nl,3]+[nl,3] -> (ceil(nl/16), 128).
+    nlp = -(-nl // 16) * 16
+    lb8 = jnp.concatenate([leaf_min, leaf_max,
+                           jnp.zeros((nl, 2), jnp.float32)], axis=1)
+    lb8 = jnp.pad(lb8, ((0, nlp - nl), (0, 0)))
+    lbox = lb8.reshape(nlp // 16, 128)
+    nip = -(-ni // 8) * 8
+
+    out_shape = (
+        jax.ShapeDtypeStruct((nip // 8, 128), jnp.float32),   # node boxes
+        jax.ShapeDtypeStruct((ni,), jnp.int32),               # child_l
+        jax.ShapeDtypeStruct((ni,), jnp.int32),               # child_r
+        jax.ShapeDtypeStruct((ni,), jnp.int32),               # first
+        jax.ShapeDtypeStruct((ni,), jnp.int32),               # last
+        jax.ShapeDtypeStruct((1,), jnp.int32),                # root gap
+    )
+    smem_out = pl.BlockSpec(memory_space=pltpu.SMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   smem_out, smem_out, smem_out, smem_out, smem_out),
+        scratch_shapes=[pltpu.SMEM((ni + 1,), jnp.int32),   # stack
+                        pltpu.SMEM((ni,), jnp.int32),       # lc
+                        pltpu.SMEM((ni,), jnp.int32)],      # rc
+    )
+    fn = pl.pallas_call(
+        functools.partial(_build_kernel, ni),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+    nbox_packed, cl, cr, first, last, root = fn(d, lbox)
+
+    root = root[0]
+    # Renumber root <-> 0 (values then rows).
+    def renum_vals(v):
+        return jnp.where(v < 0, v,
+                         jnp.where(v == root, 0,
+                                   jnp.where(v == 0, root, v)))
+
+    def swap_rows(a):
+        a0 = a[0]
+        ar = a[root]
+        return a.at[0].set(ar).at[root].set(a0)
+
+    child = jnp.stack([renum_vals(cl), renum_vals(cr)], axis=1)
+    child = swap_rows(child)
+    first = swap_rows(first)
+    last = swap_rows(last)
+    nbox16 = nbox_packed.reshape(nip, 16)[:ni]
+    nbox = swap_rows(nbox16)[:, :12]
+    root_min = jnp.minimum(nbox[0, 0:3], nbox[0, 6:9])
+    root_max = jnp.maximum(nbox[0, 3:6], nbox[0, 9:12])
+    return child, first, last, nbox, root_min, root_max

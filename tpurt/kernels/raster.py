@@ -217,14 +217,19 @@ def _eval_records32(read, row_ok, sx, sy, state, cull=None):
 def _raster_kernel32(wt: int, ntiles: int, width: int, height: int,
                      b_tiles: int, chunk: int,
                      starts_ref, counts_ref,
-                     bigrows_ref, pair_hbm_ref, big_hbm_ref,
+                     meta_ref, pair_hbm_ref, big_hbm_ref,
                      tri_ref, attr_ref, scratch_ref, sem_ref):
+    # meta_ref: [big_nrows, ty_off]. ty_off is the first GLOBAL tile row of
+    # this viewport (sort-middle sharded rasterization renders a band of
+    # tile rows per chip; width/height stay the full-frame dims so the
+    # centered coordinate mapping is identical). It rides in the scalar
+    # prefetch because shard_map passes it as a traced axis-index value.
     i = pl.program_id(0)
 
     for b in range(b_tiles):
         tile = i * b_tiles + b
         tile = jnp.minimum(tile, ntiles - 1)   # pad tiles re-render the last
-        ty = tile // wt
+        ty = tile // wt + meta_ref[1]
         tx = tile % wt
         pidx = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
                 + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
@@ -276,7 +281,7 @@ def _raster_kernel32(wt: int, ntiles: int, width: int, height: int,
 
             return jax.lax.fori_loop(0, nchunks, chunk_body, state)
 
-        state = stream(big_hbm_ref, 0, bigrows_ref[0], state, (tx, ty))
+        state = stream(big_hbm_ref, 0, meta_ref[0], state, (tx, ty))
         start = starts_ref[tile]
         state = stream(pair_hbm_ref, start, start + counts_ref[tile],
                        state, None)
@@ -308,14 +313,21 @@ def _raster_kernel32(wt: int, ntiles: int, width: int, height: int,
         attr_ref[b, 11] = jnp.where(hit, ab, z)
 
 
-def rasterize_rows(bins, width: int, height: int, interpret=None):
+def rasterize_rows(bins, width: int, height: int, interpret=None,
+                   ty_off: int = 0, full_height: int | None = None):
     """Run the v2 kernel over RasterRows bins. Returns per-pixel
     (tri_id i32[H,W], attrs f32[12,H,W]) with attr channels
-    [u, v, invw, nx, ny, nz, gnx, gny, gnz, ar, ag, ab]."""
+    [u, v, invw, nx, ny, nz, gnx, gny, gnz, ar, ag, ab].
+
+    For a sharded viewport, ``height`` is the LOCAL band height (multiple
+    of TILE), ``ty_off`` its first global tile row, and ``full_height``
+    the full-frame height (the coordinate mapping must match the setup's
+    full-frame centering)."""
     from .traverse import from_packets
     wt = -(-width // TILE)
     ht = -(-height // TILE)
     ntiles = wt * ht
+    fh = height if full_height is None else full_height
     if interpret is None:
         interpret = not _compiled_backend()
     b_tiles = B_TILES_INTERP if interpret else B_TILES
@@ -353,7 +365,7 @@ def rasterize_rows(bins, width: int, height: int, interpret=None):
         ],
     )
     fn = pl.pallas_call(
-        functools.partial(_raster_kernel32, wt, ntiles, width, height,
+        functools.partial(_raster_kernel32, wt, ntiles, width, fh,
                           b_tiles, chunk),
         grid_spec=grid_spec,
         out_shape=(
@@ -364,8 +376,9 @@ def rasterize_rows(bins, width: int, height: int, interpret=None):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )
-    bigrows = jnp.reshape(bins.big_nrows.astype(jnp.int32), (1,))
-    tri, attr = fn(starts, counts, bigrows, pair_rows, big_rows)
+    meta = jnp.stack([bins.big_nrows.astype(jnp.int32),
+                      jnp.asarray(ty_off, jnp.int32)])
+    tri, attr = fn(starts, counts, meta, pair_rows, big_rows)
     tri_img = from_packets(tri[:ntiles], height, width)
     attrs = jnp.stack([from_packets(attr[:ntiles, c], height, width)
                        for c in range(12)])

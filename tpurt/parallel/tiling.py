@@ -25,10 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..bvh.lbvh import LBVH
 from ..camera import generate_rays
 from ..passes.composite import composite_pass
-from ..passes.gbuffer import shade_attributes
 from ..passes.shadow import shadow_pass
 from ..types import Camera, Light, Mesh as TriMesh, RenderConfig
-from ..camera import view_depth
 
 
 def make_tile_mesh(devices: Optional[Sequence] = None) -> Mesh:
@@ -54,35 +52,53 @@ def vma_check_enabled(cfg: "RenderConfig") -> bool:
 
 def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
                  lights, key, cfg: RenderConfig, bvh: LBVH,
-                 origins, dirs) -> jnp.ndarray:
+                 origins, dirs, shade_table=None, shade_table_orig=None,
+                 band_tiles: int = 0) -> jnp.ndarray:
     """Render the local row-shard. Runs inside shard_map: everything except
-    (origins, dirs) is replicated."""
-    key = jax.random.fold_in(key, jax.lax.axis_index("tiles"))
-    t, tri_id = trace_closest(bvh, origins, dirs)
-    valid = tri_id >= 0
-    t_safe = jnp.where(valid, t, 0.0)
-    position = origins + dirs * t_safe[..., None]
-    attrs = shade_attributes(tri_mesh, tri_id, position, valid)
-    facing = jnp.sign(-jnp.sum(attrs["gnormal"] * dirs, axis=-1,
-                               keepdims=True))
-    facing = jnp.where(facing == 0, 1.0, facing)
-    gbuf = {
-        "position": position,
-        "normal": attrs["normal"] * facing,
-        "gnormal": attrs["gnormal"] * facing,
-        "albedo": attrs["albedo"],
-        "depth": view_depth(cam, position, valid),
-        "t": t,
-        "tri_id": tri_id,
-        "valid": valid,
-        "view_dir": dirs,
-    }
+    (origins, dirs) is replicated. Honors the SAME primary-visibility
+    strategies as render_frame_fn — tile raster (sort-middle: each chip
+    bins + rasters its own band of tile rows), shade-table ray cast, or
+    plain ray cast (also the chunked-accel route via make_tracers) — and
+    the fused soft-shadow kernel where available."""
+    from ..app import make_soft_tracer, use_raster_gbuffer
+    from ..bvh.chunked import ChunkedAccel
+    from ..bvh.wide import WideBVH, order_children_for_point
+    idx = jax.lax.axis_index("tiles")
+    key = jax.random.fold_in(key, idx)
+    if use_raster_gbuffer(cfg) and shade_table_orig is not None \
+            and band_tiles > 0:
+        from ..passes.gbuffer import gbuffer_raster_pass
+        gbuf = gbuffer_raster_pass(
+            tri_mesh, cam, cfg.width, cfg.height, shade_table_orig,
+            cap_pairs=cfg.raster_cap_pairs or None,
+            rays=(origins, dirs),
+            tile_rows=(idx * band_tiles, band_tiles))
+    else:
+        from ..passes.gbuffer import gbuffer_pass
+        gb_accel = bvh
+        if isinstance(bvh, WideBVH):
+            gb_accel = order_children_for_point(bvh, cam.position)
+        if shade_table is not None and cfg.use_pallas \
+                and not isinstance(bvh, ChunkedAccel):
+            from ..kernels.traverse import trace_closest_pallas
+
+            def tracer(o, d):
+                return trace_closest_pallas(gb_accel, o, d, cfg=cfg,
+                                            return_sorted=True)
+        else:
+            def tracer(o, d):
+                return trace_closest(gb_accel, o, d)
+        gbuf = gbuffer_pass(tracer, tri_mesh, cam, cfg.width,
+                            origins.shape[0], rays=(origins, dirs),
+                            shade_table=shade_table if cfg.use_pallas
+                            else None)
     img = None
     for li, light in enumerate(lights):
         mask = shadow_pass(lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf,
                            light, cfg.spp, jax.random.fold_in(key, li),
                            cfg.shadow_bias,
-                           scene_bounds=(bvh.root_min, bvh.root_max))
+                           scene_bounds=(bvh.root_min, bvh.root_max),
+                           trace_soft=make_soft_tracer(cfg, bvh))
         contrib = composite_pass(gbuf, mask, light,
                                  cfg.ambient if li == 0 else 0.0,
                                  cfg.background if li == 0 else (0, 0, 0))
@@ -95,12 +111,19 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
 
 def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
                          lights, key, cfg: RenderConfig,
-                         mesh: Optional[Mesh] = None) -> jnp.ndarray:
+                         mesh: Optional[Mesh] = None,
+                         shade_table=None,
+                         shade_table_orig=None) -> jnp.ndarray:
     """Render one frame with image rows sharded over the mesh's "tiles" axis.
 
     Returns the assembled f32[H, W, 3] image (sharded jax.Array; converting
-    to numpy performs the final gather).
+    to numpy performs the final gather). Optional shade tables select the
+    same fast shading paths as render_frame_fn: ``shade_table`` (sorted-id,
+    passes/shading.make_shade_table) for the ray-cast G-buffer,
+    ``shade_table_orig`` to enable the per-band tile rasterizer when
+    cfg.gbuffer resolves to raster.
     """
+    from ..app import make_tracers, use_raster_gbuffer
     if mesh is None:
         mesh = make_tile_mesh()
     n = mesh.devices.size
@@ -109,7 +132,12 @@ def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
     lights = tuple(lights)
 
     h, w = cfg.height, cfg.width
-    hpad = -(-h // n) * n
+    raster = use_raster_gbuffer(cfg) and shade_table_orig is not None
+    # The rasterizer renders whole 32-pixel tile rows, so under raster each
+    # shard's band must be tile-aligned.
+    unit = n * 32 if raster else n
+    hpad = -(-h // unit) * unit
+    band_tiles = (hpad // n) // 32 if raster else 0
     origins, dirs = generate_rays(cam, w, h)
     if hpad != h:
         origins = jnp.concatenate(
@@ -117,18 +145,21 @@ def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
         dirs = jnp.concatenate(
             [dirs, jnp.ones((hpad - h, w, 3), dirs.dtype)])
 
-    from ..app import make_tracers
     trace_closest, trace_any = make_tracers(cfg)
 
     local = partial(_local_frame, trace_closest, trace_any)
     fn = jax.shard_map(
-        lambda tm, c, ls, k, bv, o, d: local(tm, c, ls, k, cfg, bv, o, d),
+        lambda tm, c, ls, k, bv, st, sto, o, d: local(
+            tm, c, ls, k, cfg, bv, o, d, shade_table=st,
+            shade_table_orig=sto, band_tiles=band_tiles),
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P("tiles"), P("tiles")),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P("tiles"),
+                  P("tiles")),
         out_specs=P("tiles"),
         check_vma=vma_check_enabled(cfg),  # see the helper's docstring
     )
-    img = fn(tri_mesh, cam, lights, key, bvh, origins, dirs)
+    img = fn(tri_mesh, cam, lights, key, bvh, shade_table,
+             shade_table_orig, origins, dirs)
     return img[:h]
 
 

@@ -68,7 +68,9 @@ def shade_attributes(mesh: Mesh, tri_id: jnp.ndarray, position: jnp.ndarray,
 def gbuffer_raster_pass(mesh: Mesh, cam: Camera, width: int, height: int,
                         shade_table_orig=None,
                         cap_pairs: int | None = None,
-                        interpret=None) -> Dict[str, jnp.ndarray]:
+                        interpret=None,
+                        rays=None,
+                        tile_rows=None) -> Dict[str, jnp.ndarray]:
     """Primary visibility by TILE RASTERIZATION (the reference's actual
     G-buffer strategy — Model.vert/Model.frag [RECALL]) instead of a
     closest-hit ray cast. Same output contract as gbuffer_pass.
@@ -82,16 +84,39 @@ def gbuffer_raster_pass(mesh: Mesh, cam: Camera, width: int, height: int,
 
     The dict gains "raster_overflow": True if the static pair capacity
     dropped work this frame (callers re-run with a bigger cap; the
-    Renderer handles this like the wide-BVH pad overflow)."""
-    from ..kernels.raster import rasterize_rows
+    Renderer handles this like the wide-BVH pad overflow).
+
+    rays/tile_rows: per-shard viewport rendering (sort-middle parallel
+    raster under shard_map — SURVEY.md §2.4): ``tile_rows=(tr0, band)``
+    bins + rasters only the ``band`` 32-pixel tile rows starting at
+    global tile row ``tr0`` (tr0 may be traced), and ``rays`` supplies
+    the band's (origins, dirs) for position reconstruction; width/height
+    remain the FULL frame dims."""
+    from ..kernels.raster import TILE, rasterize_rows
     from ..raster.setup import bin_rows, default_cap_rows
     if cap_pairs is None:
         cap_pairs = default_cap_rows(mesh.num_triangles)
-    bins = bin_rows(cam, mesh, width, height, cap_pairs)
-    tri_id, at = rasterize_rows(bins, width, height, interpret=interpret)
+    bins = bin_rows(cam, mesh, width, height, cap_pairs,
+                    tile_rows=tile_rows)
+    if tile_rows is None:
+        tri_id, at = rasterize_rows(bins, width, height,
+                                    interpret=interpret)
+    else:
+        tr0, band = tile_rows
+        tri_id, at = rasterize_rows(bins, width, int(band) * TILE,
+                                    interpret=interpret, ty_off=tr0,
+                                    full_height=height)
     valid = tri_id >= 0
     invw = at[2]
-    origins, dirs = generate_rays(cam, width, height)
+    if rays is None:
+        origins, dirs = generate_rays(cam, width, height)
+    else:
+        origins, dirs = rays
+        # The band may be shorter than the raster's tile-aligned height.
+        tri_id = tri_id[:origins.shape[0]]
+        at = at[:, :origins.shape[0]]
+        valid = valid[:origins.shape[0]]
+        invw = invw[:origins.shape[0]]
     _, _, forward = camera_basis(cam)
     depth = jnp.where(valid, 1.0 / jnp.maximum(invw, 1e-30), cam.zfar)
     t = jnp.where(valid, depth / jnp.maximum(
@@ -120,15 +145,22 @@ def gbuffer_raster_pass(mesh: Mesh, cam: Camera, width: int, height: int,
 def gbuffer_pass(trace_closest: Callable, mesh: Mesh, cam: Camera,
                  width: int, height: int,
                  jitter: jnp.ndarray | None = None,
-                 shade_table: jnp.ndarray | None = None) -> Dict[str, jnp.ndarray]:
+                 shade_table: jnp.ndarray | None = None,
+                 rays=None) -> Dict[str, jnp.ndarray]:
     """trace_closest(origins, dirs) -> (t, tri_id[, sorted_idx]); injected so
     the same pass runs on the pure-JAX traversal or the Pallas kernel.
 
     When a packed ``shade_table`` (passes/shading.py) is provided AND the
     tracer returns the sorted hit index, all shading attributes come from a
     SINGLE per-pixel gather instead of ~8 (row-gathers cost ~45-95 ms per
-    2M-pixel lookup on TPU)."""
-    origins, dirs = generate_rays(cam, width, height, jitter)
+    2M-pixel lookup on TPU).
+
+    rays: optional precomputed (origins, dirs) — the sharded path passes
+    its row-shard here instead of generating the full frame."""
+    if rays is None:
+        origins, dirs = generate_rays(cam, width, height, jitter)
+    else:
+        origins, dirs = rays
     res = trace_closest(origins, dirs)
     sorted_idx = None
     if len(res) == 3:

@@ -306,13 +306,26 @@ def _pack_rows32(rec: jnp.ndarray) -> jnp.ndarray:
 
 
 def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
-             cap_pairs: int, cap_big: int = 2048) -> RasterRows:
+             cap_pairs: int, cap_big: int = 2048,
+             tile_rows: Tuple[int, int] | None = None) -> RasterRows:
     """v2 binning: (table-row, tile) pairs, tile-sorted, rows gathered whole.
 
-    cap_pairs: static (row, tile)-pair capacity (see default_cap_rows)."""
+    cap_pairs: static (row, tile)-pair capacity (see default_cap_rows).
+    tile_rows: optional (tr0, band) — bin only the ``band`` (static int)
+    tile rows starting at global tile row ``tr0`` (may be traced, e.g. a
+    shard_map axis index): the per-shard viewport for sort-middle parallel
+    rasterization (geometry replicated, each chip bins + rasters its own
+    rows; SURVEY.md §2.4). Projection stays full-frame; tile ids are
+    local to the band."""
     wt = -(-width // TILE)
     ht = -(-height // TILE)
-    ntiles = wt * ht
+    if tile_rows is None:
+        tr0, tr1 = 0, ht
+        ntiles = wt * ht
+    else:
+        tr0, band = tile_rows
+        tr1 = tr0 + band
+        ntiles = wt * int(band)
     tri = mesh.indices.astype(jnp.int32)
     t_count = tri.shape[0]
     clip = clip_transform(cam, width, height, mesh.vertices)
@@ -346,6 +359,12 @@ def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
     # pathological viewpoints.
     small = w_ok & onscreen & ~degenerate
     big = (~w_ok) & ~degenerate & ~all_behind
+    if tile_rows is not None:
+        # Viewport cull + clip to the shard's tile rows (records keep the
+        # GLOBAL rect; only binning coordinates go local).
+        small = small & (ty1 >= tr0) & (ty0 <= tr1 - 1)
+        ty0 = jnp.clip(ty0, tr0, tr1 - 1)
+        ty1 = jnp.clip(ty1, tr0, tr1 - 1)
 
     # Kill dead slots in the packed table (offscreen/degenerate/big tris
     # must not rasterize from the small path).
@@ -387,7 +406,7 @@ def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
     sx = jnp.maximum(span_x[pair_row], 1)
     tx = rx0[pair_row] + k % sx
     ty = ry0[pair_row] + k // sx
-    tile_id = jnp.where(alive, ty * wt + tx, jnp.int32(ntiles))
+    tile_id = jnp.where(alive, (ty - tr0) * wt + tx, jnp.int32(ntiles))
 
     order = jnp.argsort(tile_id)
     tile_sorted = tile_id[order]
