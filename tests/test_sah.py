@@ -91,3 +91,41 @@ def test_renderer_sah_matches_reference(scene):
                             ).render_frame()["image"])
     diff = np.abs(a - b).max(axis=-1)
     assert (diff > 2e-2).mean() < 0.01
+
+
+def test_sbvh_duplicated_refs_map_to_original_ids(scene):
+    """Spatial splits duplicate triangle REFERENCES with clipped boxes;
+    every duplicated id must still be a valid original triangle id and
+    every original triangle must stay covered (shading correctness)."""
+    from tpurt.native import build_sah_bvh
+    mesh, _ = scene
+    v = np.asarray(mesh.vertices, np.float32)
+    idx = np.asarray(mesh.indices, np.int32)
+    plain = build_sah_bvh(v, idx, leaf_size=8)
+    sbvh = build_sah_bvh(v, idx, leaf_size=8, spatial_alpha=1e-4,
+                         spatial_budget=1.3)
+    assert sbvh.tri_order.shape[0] >= plain.tri_order.shape[0]
+    assert (sbvh.tri_order >= 0).all()
+    assert (sbvh.tri_order < idx.shape[0]).all()
+    assert np.unique(sbvh.tri_order).shape[0] == idx.shape[0]
+    # duplication stays within the budget
+    assert sbvh.tri_order.shape[0] <= int(idx.shape[0] * 1.3) + 8
+
+
+def test_sbvh_traversal_matches_object_split(scene):
+    """Any-hit + closest-hit results on the SBVH tree must agree with the
+    object-split-only tree (same geometry; clipped boxes only prune)."""
+    from tpurt.bvh.traverse import traverse
+    mesh, cam = scene
+    o, d = generate_rays(cam, 48, 32)
+    ts = []
+    for alpha in (None, 1e-4):
+        bvh = build_sah_lbvh(mesh, leaf_size=8, spatial_alpha=alpha)
+        t, tid = traverse(bvh, o, d)
+        ts.append((np.asarray(t), np.asarray(tid)))
+    (t0, id0), (t1, id1) = ts
+    ok = np.isclose(t0, t1, rtol=1e-4, atol=1e-6) | \
+        (np.isinf(t0) & np.isinf(t1))
+    assert ok.mean() > 0.999
+    both = np.isfinite(t0) & np.isfinite(t1) & ok
+    assert (id0[both] == id1[both]).mean() > 0.995

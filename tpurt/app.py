@@ -250,7 +250,8 @@ class Renderer:
                             np.asarray(host_mesh.indices),
                             self.config.leaf_size)
             if self._use_sah:
-                key += "-sah"
+                from .bvh.sah import SAH_VARIANT
+                key += "-" + SAH_VARIANT
             cached = load_bvh(cache_dir, key)
             if cached is not None:
                 return jax.device_put(cached)
