@@ -20,7 +20,7 @@ def test_native_obj_matches_python(tmp_path):
     mesh = make_torus(seg_u=12, seg_v=8)
     p = os.path.join(tmp_path, "t.obj")
     save_obj(p, mesh)
-    pos, nrm, tp, tn, tm, mtl_names, mtllibs = native.load_obj_raw(p)
+    pos, nrm, tc, tp, tn, tt, tm, mtl_names, mtllibs = native.load_obj_raw(p)
     py = load_obj(p)
     assert tp.shape[0] == py.num_triangles
     assert pos.shape[0] == mesh.num_vertices
@@ -38,7 +38,7 @@ def test_native_obj_polygons_negative_indices(tmp_path):
     p = os.path.join(tmp_path, "quad.obj")
     with open(p, "w") as f:
         f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf -4 -3 -2 -1\n")
-    pos, nrm, tp, tn, tm, mtl_names, mtllibs = native.load_obj_raw(p)
+    pos, nrm, tc, tp, tn, tt, tm, mtl_names, mtllibs = native.load_obj_raw(p)
     assert tp.shape == (2, 3)          # fan triangulated
     assert (tn == -1).all()            # no normals in file
     assert (tm == -1).all()            # no materials in file

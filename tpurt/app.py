@@ -167,6 +167,11 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
         gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, cfg.height,
                             shade_table=shade_table if cfg.use_pallas
                             else None)
+    if mesh.textured:
+        # Texture sampling is a G-buffer post-pass on (tri_id, position),
+        # so every primary-visibility strategy goes through it.
+        from .passes.texture import apply_textures
+        gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
     shadows = []
     for li in range(num_lights):
         lkey = jax.random.fold_in(key, li)

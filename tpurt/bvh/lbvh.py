@@ -487,14 +487,15 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
         from ..kernels.traverse import _compiled_backend
         builder = "kernel" if _compiled_backend() else "search"
     if builder == "kernel":
-        from ..kernels.build import topology_and_boxes_pallas
-        d = adjacent_deltas(leaf_codes)
-        child, first, last, nodes_box, root_min, root_max = \
-            topology_and_boxes_pallas(d, lmin, lmax)
+        # Scalar-core Cartesian-stack topology (kernels/build.py) + XLA
+        # RMQ boxes — the measured-fastest split; the all-in-one kernel
+        # (topology_and_boxes_pallas) loses on serial VMEM row access.
+        from ..kernels.build import topology_pallas
+        child, first, last = topology_pallas(adjacent_deltas(leaf_codes))
     else:
         child, first, last = karras_topology(leaf_codes)
-        nodes_box, root_min, root_max = _assemble_node_boxes(
-            lmin, lmax, child, first, last)
+    nodes_box, root_min, root_max = _assemble_node_boxes(
+        lmin, lmax, child, first, last)
 
     return LBVH(nodes_box=nodes_box, nodes_child=child, nodes_first=first,
                 nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,

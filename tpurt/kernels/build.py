@@ -57,10 +57,14 @@ def _group8(row, g):
     return jnp.where((g & 1) > 0, q[:, 8:16], q[:, 0:8])
 
 
-def _build_kernel(ni: int, d_ref, lbox_ref, nbox_ref, childl_ref,
-                  childr_ref, first_ref, last_ref, root_ref,
+def _build_kernel(ni: int, with_boxes: bool, d_ref, lbox_ref, nbox_ref,
+                  childl_ref, childr_ref, first_ref, last_ref, root_ref,
                   stack_ref, lc_ref, rc_ref):
-    """See module docstring."""
+    """See module docstring. with_boxes=False skips the per-finalize box
+    unions (measured on a v5e: each dynamic VMEM row access in the serial
+    sweep costs ~470 cycles, making the in-kernel box pass SLOWER than the
+    XLA RMQ it replaces — the scalar-core topology alone is the win:
+    ~2.5 ms vs ~6.9 ms of sequential XLA gathers)."""
 
     def leaf_box8(leaf):
         row = lbox_ref[pl.ds(leaf >> 4, 1), :]
@@ -100,6 +104,8 @@ def _build_kernel(ni: int, d_ref, lbox_ref, nbox_ref, childl_ref,
         childr_ref[x] = rc
         first_ref[x] = first_of(lc)
         last_ref[x] = last_of(rc)
+        if not with_boxes:
+            return
         lb = box_of(lc)                                 # (1,8) min3 max3 _
         rb = box_of(rc)
         # Assemble [Lmin(3) Lmax(3) Rmin(3) Rmax(3) 0^4] into lanes
@@ -167,27 +173,10 @@ def _build_kernel(ni: int, d_ref, lbox_ref, nbox_ref, childl_ref,
     root_ref[0] = stack_ref[0]
 
 
-def topology_and_boxes_pallas(d: jnp.ndarray, leaf_min: jnp.ndarray,
-                              leaf_max: jnp.ndarray, interpret=None):
-    """d: i32[ni] adjacent deltas of the sorted leaf keys; leaf_min/max:
-    f32[nl, 3]. Returns (child i32[ni,2], first, last, nodes_box
-    f32[ni,12], root_min, root_max) with the root renumbered to node 0 —
-    drop-in for karras_topology + _assemble_node_boxes."""
-    ni = int(d.shape[0])
-    nl = ni + 1
-    if interpret is None:
-        interpret = not _compiled_backend()
-
-    # Pack leaf boxes: [nl,3]+[nl,3] -> (ceil(nl/16), 128).
-    nlp = -(-nl // 16) * 16
-    lb8 = jnp.concatenate([leaf_min, leaf_max,
-                           jnp.zeros((nl, 2), jnp.float32)], axis=1)
-    lb8 = jnp.pad(lb8, ((0, nlp - nl), (0, 0)))
-    lbox = lb8.reshape(nlp // 16, 128)
-    nip = -(-ni // 8) * 8
-
+def _topology_call(d, lbox, ni, nip, with_boxes, interpret):
     out_shape = (
-        jax.ShapeDtypeStruct((nip // 8, 128), jnp.float32),   # node boxes
+        jax.ShapeDtypeStruct(((nip // 8) if with_boxes else 1, 128),
+                             jnp.float32),                    # node boxes
         jax.ShapeDtypeStruct((ni,), jnp.int32),               # child_l
         jax.ShapeDtypeStruct((ni,), jnp.int32),               # child_r
         jax.ShapeDtypeStruct((ni,), jnp.int32),               # first
@@ -206,15 +195,16 @@ def topology_and_boxes_pallas(d: jnp.ndarray, leaf_min: jnp.ndarray,
                         pltpu.SMEM((ni,), jnp.int32)],      # rc
     )
     fn = pl.pallas_call(
-        functools.partial(_build_kernel, ni),
+        functools.partial(_build_kernel, ni, with_boxes),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )
-    nbox_packed, cl, cr, first, last, root = fn(d, lbox)
+    return fn(d, lbox)
 
-    root = root[0]
-    # Renumber root <-> 0 (values then rows).
+
+def _renumber(root, cl, cr, first, last):
+    """Swap the root gap id with 0 (values then rows)."""
     def renum_vals(v):
         return jnp.where(v < 0, v,
                          jnp.where(v == root, 0,
@@ -226,9 +216,50 @@ def topology_and_boxes_pallas(d: jnp.ndarray, leaf_min: jnp.ndarray,
         return a.at[0].set(ar).at[root].set(a0)
 
     child = jnp.stack([renum_vals(cl), renum_vals(cr)], axis=1)
-    child = swap_rows(child)
-    first = swap_rows(first)
-    last = swap_rows(last)
+    return swap_rows(child), swap_rows(first), swap_rows(last), swap_rows
+
+
+def topology_pallas(d: jnp.ndarray, interpret=None):
+    """Scalar-core Karras topology only (the production kernel mode):
+    (child i32[ni,2], first, last) with root = node 0 — drop-in for
+    lbvh.karras_topology; boxes stay on the XLA RMQ path. Measured v5e,
+    Sponza 20.5k leaves: ~2.5 ms vs ~6.9 ms for the gather-bound search."""
+    ni = int(d.shape[0])
+    if interpret is None:
+        interpret = not _compiled_backend()
+    lbox = jnp.zeros((1, 128), jnp.float32)
+    _, cl, cr, first, last, root = _topology_call(
+        d, lbox, ni, 8, with_boxes=False, interpret=interpret)
+    child, first, last, _ = _renumber(root[0], cl, cr, first, last)
+    return child, first, last
+
+
+def topology_and_boxes_pallas(d: jnp.ndarray, leaf_min: jnp.ndarray,
+                              leaf_max: jnp.ndarray, interpret=None):
+    """d: i32[ni] adjacent deltas of the sorted leaf keys; leaf_min/max:
+    f32[nl, 3]. Returns (child i32[ni,2], first, last, nodes_box
+    f32[ni,12], root_min, root_max) with the root renumbered to node 0 —
+    drop-in for karras_topology + _assemble_node_boxes. NOTE: measured
+    SLOWER than topology_pallas + XLA RMQ on a v5e (the serial box sweep
+    pays ~470 cycles per dynamic VMEM row access); kept as the reference
+    single-program formulation and for exact-parity tests."""
+    ni = int(d.shape[0])
+    nl = ni + 1
+    if interpret is None:
+        interpret = not _compiled_backend()
+
+    # Pack leaf boxes: [nl,3]+[nl,3] -> (ceil(nl/16), 128).
+    nlp = -(-nl // 16) * 16
+    lb8 = jnp.concatenate([leaf_min, leaf_max,
+                           jnp.zeros((nl, 2), jnp.float32)], axis=1)
+    lb8 = jnp.pad(lb8, ((0, nlp - nl), (0, 0)))
+    lbox = lb8.reshape(nlp // 16, 128)
+    nip = -(-ni // 8) * 8
+
+    nbox_packed, cl, cr, first, last, root = _topology_call(
+        d, lbox, ni, nip, with_boxes=True, interpret=interpret)
+    root = root[0]
+    child, first, last, swap_rows = _renumber(root, cl, cr, first, last)
     nbox16 = nbox_packed.reshape(nip, 16)[:ni]
     nbox = swap_rows(nbox16)[:, :12]
     root_min = jnp.minimum(nbox[0, 0:3], nbox[0, 6:9])

@@ -1005,10 +1005,26 @@ def _any_hit_kernel_w8_soft(k: int, max_iters: int, nb: int, spp: int,
     cone_cos = scal_ref[9]
     rx0, ry0, rz0 = scal_ref[10], scal_ref[11], scal_ref[12]
     rx1, ry1, rz1 = scal_ref[13], scal_ref[14], scal_ref[15]
-    two_pi = 6.2831853
+
+    # One PRNG stream per grid step; packets/samples consume it
+    # sequentially (decorrelated without re-seeding on traced indices).
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    def _sincos_2pi(t):
+        """(sin, cos) of 2*pi*(t - 0.5) for t in [0, 1) WITHOUT jnp trig
+        (Mosaic has no sin/cos lowering): degree-7/6 Taylor on the
+        half-angle psi = pi*(t-0.5) in [-pi/2, pi/2) + double-angle.
+        Max error ~1e-6 — far below sampling noise; the caller
+        renormalizes the direction anyway. The phase shift by pi is
+        irrelevant for a uniform angle."""
+        psi = 3.14159265 * (t - 0.5)
+        p2 = psi * psi
+        s1 = psi * (1.0 + p2 * (-1.0 / 6.0 + p2 * (1.0 / 120.0
+                                                   + p2 * (-1.0 / 5040.0))))
+        c1 = 1.0 + p2 * (-0.5 + p2 * (1.0 / 24.0 + p2 * (-1.0 / 720.0)))
+        return 2.0 * s1 * c1, 1.0 - 2.0 * s1 * s1
 
     def per_packet(b, _):
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0), b)
         ox = rays_ref[b, 0]
         oy = rays_ref[b, 1]
         oz = rays_ref[b, 2]
@@ -1026,12 +1042,19 @@ def _any_hit_kernel_w8_soft(k: int, max_iters: int, nb: int, spp: int,
             u2 = uniform01()
             cos_t = 1.0 - u1 * (1.0 - cone_cos)
             sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-            phi = two_pi * u2
-            sc = sin_t * jnp.cos(phi)
-            ss = sin_t * jnp.sin(phi)
+            sphi, cphi = _sincos_2pi(u2)
+            sc = sin_t * cphi
+            ss = sin_t * sphi
             dx = adx * cos_t + t0x * sc + t1x * ss
             dy = ady * cos_t + t0y * sc + t1y * ss
             dz = adz * cos_t + t0z * sc + t1z * ss
+            # Renormalize: the polynomial sin/cos are 1e-6-accurate, so
+            # this is belt-and-braces for the slab/leaf t comparisons.
+            rn = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz,
+                                           1e-20))
+            dx = dx * rn
+            dy = dy * rn
+            dz = dz * rn
             ix, iy, iz = _inv3(dx, dy, dz)
             # Root-box exit cap (shadow.scene_exit_t, in-kernel): no
             # occluder exists outside the scene AABB.

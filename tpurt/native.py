@@ -51,12 +51,15 @@ def load_library() -> Optional[ctypes.CDLL]:
     c_int_p = ctypes.POINTER(ctypes.c_int32)
     lib.obj_load.restype = ctypes.c_void_p
     lib.obj_load.argtypes = [ctypes.c_char_p]
-    for name in ("obj_num_positions", "obj_num_normals", "obj_num_tris"):
+    for name in ("obj_num_positions", "obj_num_normals",
+                 "obj_num_texcoords", "obj_num_tris"):
         getattr(lib, name).restype = ctypes.c_int64
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.obj_copy_positions.argtypes = [ctypes.c_void_p, c_float_p]
     lib.obj_copy_normals.argtypes = [ctypes.c_void_p, c_float_p]
+    lib.obj_copy_texcoords.argtypes = [ctypes.c_void_p, c_float_p]
     lib.obj_copy_tris.argtypes = [ctypes.c_void_p, c_int_p, c_int_p]
+    lib.obj_copy_tri_tex.argtypes = [ctypes.c_void_p, c_int_p]
     lib.obj_copy_tri_mtl.argtypes = [ctypes.c_void_p, c_int_p]
     for name in ("obj_mtl_names_len", "obj_mtllibs_len"):
         getattr(lib, name).restype = ctypes.c_int64
@@ -98,9 +101,10 @@ def load_obj_raw(path: str) -> Optional[Tuple[np.ndarray, np.ndarray,
                                               np.ndarray, np.ndarray,
                                               np.ndarray, list, list]]:
     """Fast OBJ parse -> (positions f32[P,3], normals f32[N,3],
-    tri_pos i32[T,3], tri_nrm i32[T,3] with -1 for 'no normal',
-    tri_mtl i32[T] material index (-1 = none), mtl_names, mtllib_names).
-    None if the native library is unavailable or the file has no faces."""
+    texcoords f32[TC,2], tri_pos i32[T,3], tri_nrm i32[T,3] with -1 for
+    'no normal', tri_tex i32[T,3] (-1 = none), tri_mtl i32[T] material
+    index (-1 = none), mtl_names, mtllib_names). None if the native
+    library is unavailable or the file has no faces."""
     lib = load_library()
     if lib is None:
         return None
@@ -108,20 +112,26 @@ def load_obj_raw(path: str) -> Optional[Tuple[np.ndarray, np.ndarray,
     if not h:
         raise FileNotFoundError(path)
     try:
-        np_, nn, nt = (lib.obj_num_positions(h), lib.obj_num_normals(h),
-                       lib.obj_num_tris(h))
+        np_, nn, ntc, nt = (lib.obj_num_positions(h),
+                            lib.obj_num_normals(h),
+                            lib.obj_num_texcoords(h), lib.obj_num_tris(h))
         if nt == 0:
             raise ValueError(f"no faces found in OBJ file: {path}")
         pos = np.empty((np_, 3), np.float32)
         nrm = np.empty((max(nn, 1), 3), np.float32)
+        tc = np.empty((max(ntc, 1), 2), np.float32)
         tp = np.empty((nt, 3), np.int32)
         tn = np.empty((nt, 3), np.int32)
+        tt = np.empty((nt, 3), np.int32)
         tm = np.empty(nt, np.int32)
         if np_:
             lib.obj_copy_positions(h, _fp(pos))
         if nn:
             lib.obj_copy_normals(h, _fp(nrm))
+        if ntc:
+            lib.obj_copy_texcoords(h, _fp(tc))
         lib.obj_copy_tris(h, _ip(tp), _ip(tn))
+        lib.obj_copy_tri_tex(h, _ip(tt))
         lib.obj_copy_tri_mtl(h, _ip(tm))
 
         def _names(len_fn, copy_fn):
@@ -134,7 +144,7 @@ def load_obj_raw(path: str) -> Optional[Tuple[np.ndarray, np.ndarray,
 
         mtl_names = _names(lib.obj_mtl_names_len, lib.obj_copy_mtl_names)
         mtllibs = _names(lib.obj_mtllibs_len, lib.obj_copy_mtllibs)
-        return pos, nrm[:nn], tp, tn, tm, mtl_names, mtllibs
+        return pos, nrm[:nn], tc[:ntc], tp, tn, tt, tm, mtl_names, mtllibs
     finally:
         lib.obj_free(h)
 

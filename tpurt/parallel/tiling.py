@@ -92,6 +92,9 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
                             origins.shape[0], rays=(origins, dirs),
                             shade_table=shade_table if cfg.use_pallas
                             else None)
+    if tri_mesh.textured:
+        from ..passes.texture import apply_textures
+        gbuf = {**gbuf, "albedo": apply_textures(tri_mesh, gbuf)}
     img = None
     for li, light in enumerate(lights):
         mask = shadow_pass(lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf,

@@ -50,15 +50,29 @@ class Mesh:
     vertices : f32[V, 3] positions
     normals  : f32[V, 3] per-vertex (smooth) normals
     indices  : i32[T, 3] triangle vertex indices
-    albedo   : f32[T, 3] per-triangle albedo color (the reference uses a
-               constant / textured albedo; per-triangle keeps the pipeline
-               texture-free while preserving material variation)
+    albedo   : f32[T, 3] per-triangle albedo color (flat-material path;
+               also the fallback for untextured triangles)
+    uv       : f32[V, 2] per-vertex texture coordinates, or None
+    tex_atlas: f32[NT, R, R, 3] stacked square diffuse textures (one
+               fixed-resolution atlas array — TPU-friendly: every sample
+               is one computed-index gather, no per-texture shapes), or
+               None. The reference samples a diffuse texture for albedo
+               (Model.frag [RECALL]); here texturing is OPT-IN per mesh.
+    tri_tex  : i32[T] per-triangle atlas layer (-1 = flat albedo), or None
     """
 
     vertices: Any
     normals: Any
     indices: Any
     albedo: Any
+    uv: Any = None
+    tex_atlas: Any = None
+    tri_tex: Any = None
+
+    @property
+    def textured(self) -> bool:
+        return self.tex_atlas is not None and self.uv is not None \
+            and self.tri_tex is not None
 
     @property
     def num_vertices(self) -> int:
@@ -73,7 +87,8 @@ class Mesh:
         return v.min(axis=0), v.max(axis=0)
 
 
-_register_pytree(Mesh, ("vertices", "normals", "indices", "albedo"))
+_register_pytree(Mesh, ("vertices", "normals", "indices", "albedo",
+                        "uv", "tex_atlas", "tri_tex"))
 
 
 @dataclasses.dataclass
