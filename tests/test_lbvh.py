@@ -272,3 +272,50 @@ def test_build_under_jit_and_grad_free():
     f = jax.jit(lambda v, i: build_lbvh(v, i).nodes_box)
     out = f(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_builder_kernel_matches_search():
+    """build_lbvh(builder="kernel") — the Pallas Cartesian-stack topology
+    (interpret mode here) — must produce a tree whose traversal results
+    match the binary-search builder's (topologies may differ only in
+    delta tie-breaks, which cannot change any intersection)."""
+    from tpurt.bvh.traverse import traverse
+    from tpurt.camera import generate_rays
+    from tpurt.scenes import default_camera_for, teapot_scene
+    mesh = teapot_scene(1500)
+    b1 = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
+                    leaf_size=8, builder="search")
+    b2 = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
+                    leaf_size=8, builder="kernel")
+    assert np.allclose(np.asarray(b1.root_min), np.asarray(b2.root_min))
+    assert np.allclose(np.asarray(b1.root_max), np.asarray(b2.root_max))
+    o, d = generate_rays(default_camera_for(mesh), 48, 32)
+    t1, i1 = traverse(b1, o, d)
+    t2, i2 = traverse(b2, o, d)
+    t1, t2 = np.asarray(t1), np.asarray(t2)
+    ok = np.isclose(t1, t2, rtol=1e-5) | (np.isinf(t1) & np.isinf(t2))
+    assert ok.all()
+
+
+def test_builder_kernel_topology_exact_vs_scan():
+    """The kernel topology is the same Cartesian-tree construction as
+    karras_topology_scan — child/first/last must be EXACTLY equal."""
+    from tpurt.bvh.lbvh import adjacent_deltas, karras_topology_scan
+    from tpurt.bvh.morton import morton_of_points
+    from tpurt.kernels.build import topology_pallas
+    from tpurt.scenes import random_soup
+    mesh = random_soup(700, seed=11)
+    v = np.asarray(mesh.vertices)
+    idx = np.asarray(mesh.indices)
+    v0, v1, v2 = v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    c = (tmin + tmax) * 0.5
+    chi = morton_of_points(jnp.asarray(c), jnp.asarray(tmin.min(0)),
+                           jnp.asarray(tmax.max(0)))
+    lc = (jnp.sort(chi)[::4], None)
+    c1, f1, l1 = karras_topology_scan(lc)
+    c2, f2, l2 = topology_pallas(adjacent_deltas(lc), interpret=True)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
