@@ -457,12 +457,21 @@ def main() -> int:
               if k not in ("mrays", "frame_ms", "build_ms", "widen_ms",
                            "gbuffer_ms", "shadow_ms", "build_trace_ms",
                            "kw")}
+    # Config-2 companion number: the animated-scene path (per-frame AABB
+    # refit instead of full rebuild) + trace — the reference's own
+    # startup-build/per-frame split corresponds to refit, and it is the
+    # variant that meets the <16 ms budget.
+    refit_trace = None
+    if "refit_ms" in result and "shadow_ms" in result:
+        refit_trace = round(result["refit_ms"] + result["shadow_ms"], 2)
     print(json.dumps({
         "metric": "shadow_mrays_per_s",
         "value": round(result["mrays"], 2),
         "unit": "Mrays/s",
         "vs_baseline": round(result["mrays"] / 100.0, 3),
         **extras,
+        **({"sponza1080p_refit_plus_trace_ms": refit_trace}
+           if refit_trace is not None else {}),
         "sponza1080p_build_plus_trace_ms": round(result["build_trace_ms"], 2),
         "frame_ms": round(result["frame_ms"], 2),
         "lbvh_build_ms": round(result["build_ms"], 2),

@@ -348,13 +348,11 @@ W8_SKIP_ALIVE0 = True
 # marginal cost on hardware; results are WRONG when it truncates walks).
 _ITER_CAP_OVERRIDE = None
 
-# Packet-grid step semantics knob. Iteration-capped probes measured ~13k
-# cycles of FIXED per-grid-step cost (cap=1 runs as slow as the full
-# traversal): the traversal itself is minor next to the step machinery.
-# The packet grid is embarrassingly parallel; "parallel" would let Mosaic
-# overlap step DMA with compute across steps, but is kept off the default
-# path until measured safe on this platform (a hung compile wedges the
-# terminal for ~25 min).
+# Packet-grid step semantics knob. Measured round 3 (v5e, Sponza SBVH
+# shadows, honest timing): "parallel" 7.91 ms vs "arbitrary" 7.95 ms —
+# within run-to-run noise, so the semantically-safer default stays. (The
+# per-step machinery cost is hidden by the batched-packet kernels' single
+# ray-block DMA, which is why step-overlap buys nothing measurable.)
 _GRID_SEMANTICS = "arbitrary"
 
 
