@@ -206,6 +206,31 @@ def test_renderer_rebuild_mode_fused(scene):
     np.testing.assert_allclose(img2, want, rtol=1e-5, atol=1e-6)
 
 
+def test_renderer_refit_mode_clip(scene):
+    """mode="refit" with the Pallas wide path runs the fused clip-geometry
+    refit (bvh/clip_refit.py): after an animation step the image must match
+    a fresh-build static render of the deformed mesh (boxes only cull;
+    triangle tests decide, so conservative refit boxes change nothing
+    except closest-hit tie order at shared edges)."""
+    mesh, cam, light = scene
+    cfg = RenderConfig(width=32, height=24, use_pallas=True, leaf_size=4)
+    r = Renderer(mesh, cam, light, cfg, mode="refit")
+    assert r._nw_pad is not None, "wide path should be active"
+    assert r._clip_plan is not None, "clip-refit plan should be active"
+    r.render_frame()
+    r.set_vertices(deform(mesh, 0.37))
+    out = r.render_frame()
+    assert r.stats.refit_ms > 0
+    r2 = Renderer(mesh, cam, light, cfg, mode="static")
+    r2.set_vertices(deform(mesh, 0.37))
+    r2.bvh = r2._build_jit(r2.mesh.vertices, r2.mesh.indices)
+    r2.accel = r2._make_accel()
+    want = np.asarray(r2.render_frame()["image"])
+    diff = np.abs(np.asarray(out["image"]) - want).max(axis=-1)
+    assert (diff > 2e-2).mean() < 0.01, \
+        f"{(diff > 2e-2).mean():.3%} mismatched pixels after clip refit"
+
+
 def test_renderer_rebuild_overflow_recovery(scene):
     """If animation grows the wide-node count past the cached pad, the
     rebuild path must detect the on-device overflow and re-plan — never

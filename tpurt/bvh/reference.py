@@ -80,16 +80,18 @@ def triangle_data(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def brute_force_closest(mesh: Mesh, origins: np.ndarray, dirs: np.ndarray,
-                        t_min: float = 0.0, t_max: float = np.inf
+                        t_min: float = 0.0, t_max=np.inf
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Vectorized-over-triangles brute force. Returns (t [N], tri_id [N]).
 
-    t = +inf, tri_id = -1 where there is no hit.
+    t = +inf, tri_id = -1 where there is no hit. ``t_max`` may be a
+    scalar or a per-ray array [N] (e.g. shadow scene-exit distances).
     """
     v0, e1, e2 = triangle_data(mesh)
     origins = np.asarray(origins, np.float64).reshape(-1, 3)
     dirs = np.asarray(dirs, np.float64).reshape(-1, 3)
     n = origins.shape[0]
+    t_max = np.broadcast_to(np.asarray(t_max, np.float64), (n,))
     out_t = np.full(n, np.inf)
     out_id = np.full(n, -1, np.int64)
     # Chunk rays so the [rays, tris] intermediates stay bounded.
@@ -107,7 +109,8 @@ def brute_force_closest(mesh: Mesh, origins: np.ndarray, dirs: np.ndarray,
             vv = np.einsum("rj,rtj->rt", d, qvec) * inv_det
             t = np.einsum("tj,rtj->rt", e2, qvec) * inv_det
         ok = ((u >= 0) & (u <= 1) & (vv >= 0) & (u + vv <= 1)
-              & (t > t_min) & (t < t_max) & np.isfinite(t))
+              & (t > t_min) & (t < t_max[lo:lo + chunk, None])
+              & np.isfinite(t))
         tt = np.where(ok, t, np.inf)
         j = np.argmin(tt, axis=1)
         rows = np.arange(len(o))

@@ -351,6 +351,31 @@ def _leaf_boxes_from_tris(bvh: LBVH):
             tmax.reshape(n_leaves, k, 3).max(axis=1))
 
 
+def leaf_boxes_from_nodes(bvh: LBVH):
+    """Per-leaf boxes scattered out of the stored per-child node boxes.
+
+    Every leaf is the child of exactly one internal node, whose row in
+    ``nodes_box`` stores that leaf's box as built. For Karras/object-SAH
+    trees this equals the full-triangle leaf box; for SBVH topologies it
+    is the CLIPPED box (the union of the leaf's spatially-split reference
+    boxes), which is strictly tighter than the full-triangle union —
+    using it for the wide tree's leaf slots preserves the native
+    builder's spatial-split quality at the leaf level."""
+    child = bvh.nodes_child
+    nl = bvh.num_leaves
+    lmin = jnp.full((nl, 3), 3.4e38, jnp.float32)
+    lmax = jnp.full((nl, 3), -3.4e38, jnp.float32)
+    for lo in (0, 6):                       # [lmin lmax rmin rmax] rows
+        ref = child[:, 0 if lo == 0 else 1]
+        is_leaf = ref < 0
+        tgt = jnp.where(is_leaf, -ref - 1, 0)
+        bmin = bvh.nodes_box[:, lo:lo + 3]
+        bmax = bvh.nodes_box[:, lo + 3:lo + 6]
+        lmin = lmin.at[tgt].min(jnp.where(is_leaf[:, None], bmin, 3.4e38))
+        lmax = lmax.at[tgt].max(jnp.where(is_leaf[:, None], bmax, -3.4e38))
+    return lmin, lmax
+
+
 def make_wide_plan(bvh: LBVH, nw_pad: int):
     """Topology-only collapse plan: per wide node, the 8 frontier refs (as
     binary/leaf ids, EMPTY-padded) plus their pre-remapped kernel refs.
@@ -368,15 +393,17 @@ def make_wide_plan(bvh: LBVH, nw_pad: int):
     return refs, wref.astype(jnp.float32)
 
 
-def widen_from_plan(plan, bvh: LBVH) -> WideBVH:
+def widen_from_plan(plan, bvh: LBVH, leaf_boxes=None) -> WideBVH:
     """Assemble the 8-wide node rows from a plan + (possibly refit) LBVH
     boxes. This is the per-frame path for animated meshes: no reachability,
-    no count host-sync — just box gathers."""
+    no count host-sync — just box gathers. ``leaf_boxes`` overrides the
+    full-triangle leaf boxes (e.g. clipped boxes on SBVH topologies)."""
     refs, wref = plan
     nw_pad = refs.shape[0]
     child = bvh.nodes_child
     ni = child.shape[0]
-    leaf_min, leaf_max = _leaf_boxes_from_tris(bvh)
+    leaf_min, leaf_max = leaf_boxes if leaf_boxes is not None \
+        else _leaf_boxes_from_tris(bvh)
 
     lanes = []
     for c in range(WIDE_FACTOR):
@@ -407,9 +434,13 @@ def widen_from_plan(plan, bvh: LBVH) -> WideBVH:
                    num_wide=nw_pad, leaf_size=k)
 
 
-def widen_lbvh(bvh: LBVH, nw_pad: int) -> WideBVH:
+def widen_lbvh(bvh: LBVH, nw_pad: int, from_node_boxes: bool = False
+                ) -> WideBVH:
     """Collapse to 8-wide. ``nw_pad`` must be >= count_wide(bvh) (static;
-    round up to a bucket to avoid recompiles across frames)."""
+    round up to a bucket to avoid recompiles across frames).
+    ``from_node_boxes`` takes the leaf slots' boxes from the stored
+    per-child node boxes (leaf_boxes_from_nodes) — strictly tighter on
+    SBVH topologies, identical on Karras/object trees."""
     child = bvh.nodes_child
     ni = child.shape[0]
     front, wide = _front_and_mask(child, bvh.nodes_box)
@@ -420,7 +451,8 @@ def widen_lbvh(bvh: LBVH, nw_pad: int) -> WideBVH:
     rows_front = front[src]                                     # [Nw, 8]
     is_pad = jnp.arange(nw_pad) >= jnp.sum(wide)
 
-    leaf_min, leaf_max = _leaf_boxes_from_tris(bvh)
+    leaf_min, leaf_max = leaf_boxes_from_nodes(bvh) if from_node_boxes \
+        else _leaf_boxes_from_tris(bvh)
 
     # Child box per frontier ref: internal -> union of its stored child
     # boxes; leaf -> leaf box; EMPTY/pad -> inverted (unhittable).
@@ -529,10 +561,13 @@ def round_up_bucket(n: int, bucket: int = 1024) -> int:
     return -(-n // bucket) * bucket
 
 
-_widen_jit = jax.jit(widen_lbvh, static_argnames=("nw_pad",))
+_widen_jit = jax.jit(widen_lbvh,
+                     static_argnames=("nw_pad", "from_node_boxes"))
 
 
-def build_wide(bvh: LBVH, bucket: int = 1024) -> WideBVH:
+def build_wide(bvh: LBVH, bucket: int = 1024,
+               from_node_boxes: bool = False) -> WideBVH:
     """Convenience: count (host sync) + widen with bucketed padding."""
     nw = count_wide(bvh)
-    return _widen_jit(bvh, nw_pad=round_up_bucket(max(nw, 1), bucket))
+    return _widen_jit(bvh, nw_pad=round_up_bucket(max(nw, 1), bucket),
+                      from_node_boxes=from_node_boxes)
