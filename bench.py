@@ -163,6 +163,25 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     log(f"lbvh build: {build_ms:.2f} ms; fused rebuild (build+collapse): "
         f"{rebuild_ms:.2f} ms")
 
+    # Same-tree honesty: the tree the per-frame rebuild PRODUCES (Morton)
+    # traces slower than the static SBVH the headline shadow number uses.
+    # Report the rebuilt tree's own trace so build+trace can be read both
+    # ways (established metric = rebuild + static trace; strict metric =
+    # rebuild + rebuilt-tree trace).
+    rebuilt_shadow_ms = None
+    if use_pallas and bvh_width == 8:
+        try:
+            kw = jax.jit(lambda v, i: widen_lbvh(
+                build_lbvh(v, i, leaf_size=leaf_size), nw_pad=nw_pad))(
+                    mesh.vertices, mesh.indices)
+            rebuilt_shadow_ms = timed(
+                lambda: shade(kw, so, sd, stm), 32) * 1e3
+            log(f"rebuilt-tree (morton) shadow trace: "
+                f"{rebuilt_shadow_ms:.2f} ms")
+        except Exception as e:  # noqa: BLE001
+            log(f"rebuilt-tree trace failed: {type(e).__name__}: "
+                f"{str(e)[:160]}")
+
     # Raster G-buffer (the production primary-visibility path on compiled
     # TPU; see passes/gbuffer.py v2 design). Fault-tolerant: the ray-cast
     # numbers above must survive a raster failure.
@@ -199,6 +218,10 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                   widen_ms=widen_ms, gbuffer_ms=gb_ms,
                   shadow_ms=shadow_s * 1e3,
                   build_trace_ms=rebuild_ms + shadow_s * 1e3)
+    if rebuilt_shadow_ms is not None:
+        result["rebuilt_tree_shadow_ms"] = round(rebuilt_shadow_ms, 2)
+        result["build_plus_trace_same_tree_ms"] = round(
+            rebuild_ms + rebuilt_shadow_ms, 2)
     if gbr_ms is not None:
         result["gbuffer_raster_ms"] = round(gbr_ms, 2)
 
@@ -270,7 +293,26 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
         out["soft_spp8_ms"] = out["soft_spp8_xla_ms"]
         out["soft_spp8_mrays"] = out["soft_spp8_xla_mrays"]
 
-    # Config 4: per-frame AABB refit (topology + wide plan frozen).
+    # Config 4: per-frame refit (topology + wide plan frozen). The
+    # production path is the clip-geometry SBVH refit (bvh/clip_refit.py):
+    # one fused program preserving the static tree's spatial-split quality,
+    # so refit+trace = refit_ms + shadow_ms. The plain full-triangle refit
+    # on the Morton tree is kept as a comparison point.
+    try:
+        if isinstance(static_accel, WideBVH):
+            from tpurt.bvh.clip_refit import make_clip_refit, refit_sbvh_wide
+            cplan = jax.device_put(make_clip_refit(
+                static_bvh, static_accel.num_wide))
+            crefit = jax.jit(lambda b, v: jnp.sum(refit_sbvh_wide(
+                cplan, b, None, None, None, vertices=v)[0].nodes))
+            out["refit_ms"] = round(
+                timed(lambda: crefit(static_bvh, mesh.vertices), 10)
+                * 1e3, 2)
+            log(f"config 4 clip refit (fused refit+widen): "
+                f"{out['refit_ms']} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"config 4 clip refit failed: {type(e).__name__}: "
+            f"{str(e)[:160]}")
     try:
         if isinstance(accel, WideBVH):
             plan = jax.jit(make_wide_plan, static_argnames=("nw_pad",))(
@@ -280,10 +322,11 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
         else:
             refit = jax.jit(lambda b, v, i: jnp.sum(
                 refit_lbvh(b, v, i).nodes_box))
-        out["refit_ms"] = round(
+        key = "refit_plain_ms" if "refit_ms" in out else "refit_ms"
+        out[key] = round(
             timed(lambda: refit(bvh, mesh.vertices, mesh.indices), 10)
             * 1e3, 2)
-        log(f"config 4 refit (incl. wide re-gather): {out['refit_ms']} ms")
+        log(f"config 4 plain refit (incl. wide re-gather): {out[key]} ms")
     except Exception as e:  # noqa: BLE001
         log(f"config 4 failed: {type(e).__name__}: {str(e)[:160]}")
 

@@ -92,6 +92,22 @@ def test_closest_matches_jax_traversal(leaf_size, rng):
     np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_k))
 
 
+@pytest.mark.parametrize("leaf_size", [4, 14])
+def test_seeded_closest_matches_unseeded(leaf_size, rng):
+    """Two-pass seeded closest hit is exact: identical (t, id) to the
+    single-pass kernel (the seed is a conservative upper bound only)."""
+    mesh = random_soup(150, seed=100 + leaf_size)
+    bvh = _build(mesh, leaf_size=leaf_size)
+    o, d = _rays(rng, 700)
+    t_ref, id_ref = trace_closest_pallas(bvh, jnp.asarray(o),
+                                         jnp.asarray(d), interpret=True)
+    t_s, id_s = trace_closest_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
+                                     interpret=True, seeded=True)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_s),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_s))
+
+
 def test_any_hit_matches_jax_traversal(rng):
     mesh = teapot_scene(2000)
     bvh = _build(mesh, leaf_size=8)

@@ -456,32 +456,38 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     scene_min = tmin.min(axis=0)
     scene_max = tmax.max(axis=0)
 
+    # ONE key sort carrying ALL downstream per-triangle data as payload
+    # operands: v0/e1/e2 (Möller–Trumbore), the vertex-id triple (refit)
+    # and the original index. Probe r3i: each payload operand costs
+    # ~+0.1 ms in the sort, while a single post-sort row gather costs
+    # ~2.8-6 ms — co-sorting removed ~6 ms from the Sponza rebuild.
+    e1 = v1 - v0
+    e2 = v2 - v0
+    payload = (jnp.arange(tpad, dtype=jnp.int32),
+               v0[:, 0], v0[:, 1], v0[:, 2],
+               e1[:, 0], e1[:, 1], e1[:, 2],
+               e2[:, 0], e2[:, 1], e2[:, 2],
+               tri[:, 0], tri[:, 1], tri[:, 2])
     if morton_bits == 60:
         chi, clo = morton_of_points_60(centroid, scene_min, scene_max)
-        _, _, order = jax.lax.sort(
-            (chi, clo, jnp.arange(tpad, dtype=jnp.int32)), num_keys=2)
+        s = jax.lax.sort((chi, clo) + payload, num_keys=2)
+        chs, cls, s = s[0], s[1], s[2:]
+        leaf_codes = (chs[::leaf_size], cls[::leaf_size])
     else:
         chi = morton_of_points(centroid, scene_min, scene_max)
-        clo = None
-        _, order = jax.lax.sort(
-            (chi, jnp.arange(tpad, dtype=jnp.int32)), num_keys=1)
+        s = jax.lax.sort((chi,) + payload, num_keys=1)
+        chs, s = s[0], s[1:]
+        leaf_codes = (chs[::leaf_size], None)
+    order = s[0]
     # Padded rows are literal copies of triangle T-1, so clamping their ids
     # keeps shading lookups (albedo/normals by original id) in range while
     # refit gathers identical geometry.
     tri_id = jnp.minimum(order, num_tris - 1).astype(jnp.int32)
-
-    # ONE packed gather into sorted order (row-gathers dominate build time;
-    # packing v0/e1/e2 into 16-float rows replaces four separate gathers).
-    tri16 = jnp.concatenate(
-        [v0, v1 - v0, v2 - v0, jnp.zeros((tpad, 7), v0.dtype)], axis=1)
-    sorted16 = tri16[order]
-    sv0 = sorted16[:, 0:3]
-    se1 = sorted16[:, 3:6]
-    se2 = sorted16[:, 6:9]
-    tri_sorted = tri[order]
+    sv0 = jnp.stack(s[1:4], axis=1)
+    se1 = jnp.stack(s[4:7], axis=1)
+    se2 = jnp.stack(s[7:10], axis=1)
+    tri_sorted = jnp.stack(s[10:13], axis=1)
     lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
-    leaf_codes = (chi[order][::leaf_size],
-                  clo[order][::leaf_size] if clo is not None else None)
 
     if builder == "auto":
         from ..kernels.traverse import _compiled_backend

@@ -1075,10 +1075,19 @@ def _any_hit_kernel_w8_soft(k: int, max_iters: int, nb: int, spp: int,
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
 
 
-def _closest_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
-                             ns_ref, tr_ref, rays_ref, t_out_ref,
-                             idx_out_ref, stack_ref):
-    """8-wide closest-hit over nb packets per grid step."""
+def _closest_w8_b_impl(first_hit: bool, k: int, max_iters: int, nb: int,
+                       tmin_ref, ns_ref, tr_ref, rays_ref, t_out_ref,
+                       idx_out_ref, stack_ref):
+    """8-wide closest-hit over nb packets per grid step.
+
+    first_hit=True turns it into the SEED pass of the two-pass primary
+    ray cast: identical walk, but the packet exits as soon as every lane
+    has found SOME hit (checked every 4 iterations, like the any-hit
+    early exit). The output (t, idx) is then a valid conservative UPPER
+    bound on the closest hit per lane (best-so-far only decreases), which
+    the second, normal closest pass consumes as its per-ray t_max cap —
+    culling far subtrees from iteration 0 instead of only after the cap
+    tightens organically."""
     t_min = tmin_ref[0]
 
     def per_packet(b, _):
@@ -1098,11 +1107,11 @@ def _closest_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
             return best_t, best_i
 
         def cond(state):
-            it, sp, _, _ = state
-            return (sp > 0) & (it < max_iters)
+            it, sp, alive, _, _ = state
+            return (sp > 0) & (it < max_iters) & alive
 
         def body(state):
-            it, sp, best_t, best_i = state
+            it, sp, alive, best_t, best_i = state
             sp = sp - 1
             node = stack_ref[sp]
             rec = ns_ref[pl.ds(node, 1), :]
@@ -1127,17 +1136,32 @@ def _closest_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
                 push = anyhit[c] & (~is_leaf)
                 stack_ref[sp] = jnp.where(push, ref, 0)
                 sp = sp + push.astype(jnp.int32)
-            return it + 1, sp, best_t, best_i
+            if first_hit:
+                period = (1 << W8_EXIT_LOG) - 1
+                alive = jax.lax.cond(
+                    (it & period) == period,
+                    lambda: jnp.any(active0 & (best_i < 0)),
+                    lambda: alive)
+            return it + 1, sp, alive, best_t, best_i
 
         best_t0 = jnp.where(active0, tmax, -_BIG)
         best_i0 = jnp.full(ox.shape, -1, jnp.int32)
-        _, _, best_t, best_i = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(1), best_t0, best_i0))
+        _, _, _, best_t, best_i = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(1), jnp.bool_(True), best_t0, best_i0))
         t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
         idx_out_ref[b] = best_i
         return 0
 
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
+def _closest_hit_kernel_w8_b(k: int, max_iters: int, nb: int, *refs):
+    _closest_w8_b_impl(False, k, max_iters, nb, *refs)
+
+
+def _first_hit_kernel_w8_b(k: int, max_iters: int, nb: int, *refs):
+    _closest_w8_b_impl(True, k, max_iters, nb, *refs)
 
 
 # ---------------------------------------------------------------------------
@@ -1755,11 +1779,19 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
                          t_min: float = 0.0,
                          interpret: Optional[bool] = None,
                          variant: str = "lanes",
-                         return_sorted: bool = False):
+                         return_sorted: bool = False,
+                         seeded: bool = False):
     """Closest hit: (t f32[H, W], tri_id i32[H, W]); miss = (inf, -1).
     With return_sorted=True also returns the Morton-sorted hit index
     (t, tri_id, sorted_idx) — the key into sorted-order side tables
-    (e.g. the packed shading table), cheaper to consume than tri_id."""
+    (e.g. the packed shading table), cheaper to consume than tri_id.
+
+    seeded=True (WideBVH lanes path only) runs the two-pass variant:
+    a cheap first-hit pass (early exit once every lane has SOME hit)
+    produces per-ray conservative t upper bounds; the main pass then
+    starts with those as its caps and never descends subtrees entirely
+    behind the seed. Exact: the seed bound is >= the true closest t, so
+    the main pass always (re-)finds the closest hit."""
     from ..bvh.wide import WideBVH, WideBVHT
     packed = _as_packed(bvh)
     if isinstance(packed, WideBVHT):
@@ -1773,6 +1805,14 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
             and PACKETS_PER_STEP > 1:
         rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
                                             PACKETS_PER_STEP)
+        if seeded:
+            t1, s1 = _common_call_b(packed, _first_hit_kernel_w8_b,
+                                    (jnp.float32, jnp.int32), rays, t_min,
+                                    interpret, PACKETS_PER_STEP)
+            # Loosen the seed by ~33 ulps so the main pass's strict '<'
+            # always re-accepts the seed triangle itself.
+            cap = jnp.where(s1 >= 0, t1 * (1.0 + 4e-6) + 1e-6, rays[:, 9])
+            rays = rays.at[:, 9].set(cap)
         t, sidx = _common_call_b(packed, _closest_hit_kernel_w8_b,
                                  (jnp.float32, jnp.int32), rays, t_min,
                                  interpret, PACKETS_PER_STEP)

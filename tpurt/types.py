@@ -223,6 +223,11 @@ class RenderConfig:
     # compiled TPU backends (interpret-mode CPU runs keep the ray cast).
     gbuffer: str = "auto"
     raster_cap_pairs: int = 0        # 0 = auto from triangle count
+    # Two-pass seeded primary ray cast: a cheap first-hit pass supplies
+    # per-ray conservative t bounds that cap the main closest pass from
+    # iteration 0 (kernels/traverse.py trace_closest_pallas seeded=True).
+    # Exact (the bound only culls); flip per measurement.
+    seeded_gbuffer: bool = False
     # Static/refit scenes: build with the native host SAH builder when
     # available (the reference's own startup strategy; measured +17%
     # shadow and 2x closest-hit throughput vs the on-device Morton tree).
