@@ -112,18 +112,26 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             a = order_children_for_point(a, cam.position)
         if st is not None:
             from tpurt.kernels.traverse import trace_closest_pallas
-            tracer = lambda o, d: trace_closest_pallas(a, o, d,
-                                                       return_sorted=True)
+            tracer = lambda o, d: trace_closest_pallas(
+                a, o, d, return_sorted=True, gather_tri_id=False)
         else:
             tracer = lambda o, d: trace_closest(a, o, d)
         return gbuffer_pass(tracer, mesh, cam, width, height, shade_table=st)
+
+    def _gb_consume(g):
+        # Consume EVERY output the downstream passes read — a valid-only
+        # reduction lets XLA dead-code-eliminate the attribute gathers and
+        # understates the pass by ~25% (probe r3q).
+        return (jnp.sum(g["normal"]) + jnp.sum(g["albedo"])
+                + jnp.sum(g["position"]) + jnp.sum(g["tri_id"])
+                + jnp.sum(jnp.where(g["valid"], 1.0, 0.0)))
 
     gb = jax.jit(_gb)
     gbuf = gb(static_accel, mesh, cam, st0)
     valid = int(np.asarray(gbuf["valid"]).sum())
     log(f"gbuffer valid px: {valid}/{width*height}")
-    gb_scalar = jax.jit(lambda a, mesh, cam, st: jnp.sum(
-        jnp.where(_gb(a, mesh, cam, st)["valid"], 1.0, 0.0)))
+    gb_scalar = jax.jit(lambda a, mesh, cam, st: _gb_consume(
+        _gb(a, mesh, cam, st)))
     gb_ms = timed(lambda: gb_scalar(static_accel, mesh, cam, st0), 10) * 1e3
     log(f"gbuffer closest pass: {gb_ms:.2f} ms")
 
@@ -194,9 +202,12 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             gbr = jax.jit(lambda mesh, cam: gbuffer_raster_pass(
                 mesh, cam, width, height))
             rv = int(np.asarray(gbr(mesh, cam)["valid"]).sum())
-            gbr_scalar = jax.jit(lambda mesh, cam: jnp.sum(jnp.where(
-                gbuffer_raster_pass(mesh, cam, width, height)["valid"],
-                1.0, 0.0)))
+            def _gbr_all(mesh, cam):
+                g = gbuffer_raster_pass(mesh, cam, width, height)
+                return (jnp.sum(g["normal"]) + jnp.sum(g["albedo"])
+                        + jnp.sum(g["position"]) + jnp.sum(g["tri_id"])
+                        + jnp.sum(jnp.where(g["valid"], 1.0, 0.0)))
+            gbr_scalar = jax.jit(_gbr_all)
             gbr_ms = timed(lambda: gbr_scalar(mesh, cam), 10) * 1e3
             log(f"gbuffer RASTER pass: {gbr_ms:.2f} ms (valid {rv})")
         except Exception as e:  # noqa: BLE001
@@ -383,8 +394,10 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
                 lambda o, d: trace_closest(a, o, d), m, c, W4, H4))
     gbuf4 = gb4(gb_accel4, mesh, cam)
     valid4 = int(np.asarray(gbuf4["valid"]).sum())
-    gb4s = jax.jit(lambda a, m, c: jnp.sum(
-        jnp.where(gb4(a, m, c)["valid"], 1.0, 0.0)))
+    gb4s = jax.jit(lambda a, m, c: (lambda g: (
+        jnp.sum(g["normal"]) + jnp.sum(g["albedo"]) + jnp.sum(g["position"])
+        + jnp.sum(g["tri_id"])
+        + jnp.sum(jnp.where(g["valid"], 1.0, 0.0))))(gb4(a, m, c)))
     out["gbuffer_4k_ms"] = round(
         timed(lambda: gb4s(gb_accel4, mesh, cam), 5) * 1e3, 2)
     lights5 = [Light.sun((0.25, 0.9, 0.2), angular_radius_deg=1.5),

@@ -26,7 +26,8 @@ def main():
             best = min(best, (time.perf_counter() - t0) / reps)
         return best * 1e3
 
-    bvh = build_lbvh(mesh.vertices, mesh.indices, leaf_size=LEAF)
+    bvh = jax.jit(lambda v, i: build_lbvh(v, i, leaf_size=LEAF))(
+        mesh.vertices, mesh.indices)
     nw_pad = round_up_bucket(max(count_wide(bvh), 1))
     build_s = jax.jit(lambda v, i: jnp.sum(
         build_lbvh(v, i, leaf_size=LEAF).nodes_box))

@@ -30,7 +30,12 @@ def test_table_matches_gather_path(rng):
     bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
                      leaf_size=4)
     table = make_shade_table(bvh, mesh)
-    assert table.shape == (bvh.num_sorted_tris, 16)
+    assert table.shape == (bvh.num_sorted_tris, 24)
+    # Lane 16 carries the original triangle id as int32 bits.
+    from tpurt.passes.shading import table_tri_id
+    tid = np.asarray(table_tri_id(jnp.asarray(table),
+                                  jnp.ones(table.shape[0], bool)))
+    np.testing.assert_array_equal(tid, np.asarray(bvh.tri_id))
     # Pick random sorted triangles, fabricate hit points inside them, and
     # compare both attribute paths.
     n = 200

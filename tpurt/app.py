@@ -176,7 +176,8 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
             def tracer(o, d):
                 return trace_closest_pallas(gb_accel, o, d, cfg=cfg,
                                             return_sorted=True,
-                                            seeded=cfg.seeded_gbuffer)
+                                            seeded=cfg.seeded_gbuffer,
+                                            gather_tri_id=False)
         else:
             def tracer(o, d):
                 return trace_closest(gb_accel, o, d)

@@ -1780,7 +1780,8 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
                          interpret: Optional[bool] = None,
                          variant: str = "lanes",
                          return_sorted: bool = False,
-                         seeded: bool = False):
+                         seeded: bool = False,
+                         gather_tri_id: bool = True):
     """Closest hit: (t f32[H, W], tri_id i32[H, W]); miss = (inf, -1).
     With return_sorted=True also returns the Morton-sorted hit index
     (t, tri_id, sorted_idx) — the key into sorted-order side tables
@@ -1829,11 +1830,17 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
                                interpret)
     t = _unpack(t, meta)
     sidx = _unpack(sidx, meta)
+    t = jnp.where(sidx >= 0, t, jnp.inf)
+    if not gather_tri_id:
+        # Caller derives tri_id from a side table keyed by sidx (the
+        # packed shade table carries the id bits) — skips a ~2M-row
+        # gather per frame at 1080p.
+        assert return_sorted, "gather_tri_id=False requires return_sorted"
+        return t, None, sidx
     tri_id = jnp.where(sidx >= 0,
                        packed.tri_id[jnp.clip(sidx, 0,
                                               packed.tri_id.shape[0] - 1)],
                        -1)
-    t = jnp.where(sidx >= 0, t, jnp.inf)
     if return_sorted:
         return t, tri_id, sidx
     return t, tri_id

@@ -84,7 +84,8 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
 
             def tracer(o, d):
                 return trace_closest_pallas(gb_accel, o, d, cfg=cfg,
-                                            return_sorted=True)
+                                            return_sorted=True,
+                                            gather_tri_id=False)
         else:
             def tracer(o, d):
                 return trace_closest(gb_accel, o, d)

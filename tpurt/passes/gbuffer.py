@@ -167,14 +167,22 @@ def gbuffer_pass(trace_closest: Callable, mesh: Mesh, cam: Camera,
         t, tri_id, sorted_idx = res
     else:
         t, tri_id = res
-    valid = tri_id >= 0
+    valid = (sorted_idx >= 0) if tri_id is None else (tri_id >= 0)
     t_safe = jnp.where(valid, t, 0.0)
     position = origins + dirs * t_safe[..., None]
+    extra = {}
     if shade_table is not None and sorted_idx is not None:
-        from .shading import shade_from_table
+        from .shading import shade_from_table, table_tri_id, table_uv
         rows = shade_table[jnp.clip(sorted_idx, 0,
                                     shade_table.shape[0] - 1)]
         attrs = shade_from_table(rows, position, valid)
+        if tri_id is None:
+            # tri_id rides in the shading row (lane 16): no separate
+            # per-pixel gather.
+            tri_id = table_tri_id(rows, valid)
+        if mesh.textured and rows.shape[-1] >= 24:
+            uv, layer = table_uv(rows, attrs["u"], attrs["v"])
+            extra = {"uv": uv, "tex_layer": jnp.where(valid, layer, -1)}
     else:
         attrs = shade_attributes(mesh, tri_id, position, valid)
     # Offset-ready geometric normal: flip toward the viewer so the shadow
@@ -193,4 +201,5 @@ def gbuffer_pass(trace_closest: Callable, mesh: Mesh, cam: Camera,
         "tri_id": tri_id,
         "valid": valid,
         "view_dir": dirs,
+        **extra,
     }

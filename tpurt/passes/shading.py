@@ -16,6 +16,7 @@ one float.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..bvh.lbvh import LBVH
@@ -71,18 +72,53 @@ def smooth_normals_device(vertices: jnp.ndarray,
 
 
 def make_shade_table(bvh: LBVH, mesh: Mesh) -> jnp.ndarray:
-    """f32[Tpad, 16] shading rows in Morton-sorted triangle order.
+    """f32[Tpad, 24] shading rows in Morton-sorted triangle order.
 
     Built once per (re)build with T-sized gathers (cheap relative to the
-    per-pixel gathers it replaces)."""
+    per-pixel gathers it replaces). Layout:
+
+        [0:9]   v0.xyz, e1.xyz, e2.xyz
+        [9:15]  oct(n0), oct(n1), oct(n2)
+        [15]    albedo as packed 8-bit rgb
+        [16]    ORIGINAL triangle id (int32 bit pattern) — per-pixel
+                gathers cost ~10 ns/row regardless of width, so riding
+                tri_id in the shading row makes the G-buffer's separate
+                2M-row tri_id gather free
+        [17:23] uv0, uv1, uv2 (textured meshes; zeros otherwise)
+        [23]    texture layer as a float (-1 = untextured triangle)
+    """
     tri = mesh.indices[bvh.tri_id]            # [Tpad, 3]
     n0 = oct_encode(mesh.normals[tri[:, 0]])
     n1 = oct_encode(mesh.normals[tri[:, 1]])
     n2 = oct_encode(mesh.normals[tri[:, 2]])
     alb = pack_rgb(mesh.albedo[bvh.tri_id])[:, None]
+    tid = jax.lax.bitcast_convert_type(bvh.tri_id.astype(jnp.int32),
+                                       jnp.float32)[:, None]
+    if mesh.textured:
+        uv = jnp.concatenate([mesh.uv[tri[:, 0]], mesh.uv[tri[:, 1]],
+                              mesh.uv[tri[:, 2]]], axis=1)
+        layer = mesh.tri_tex[bvh.tri_id].astype(jnp.float32)[:, None]
+    else:
+        uv = jnp.zeros((tri.shape[0], 6), jnp.float32)
+        layer = jnp.full((tri.shape[0], 1), -1.0, jnp.float32)
     return jnp.concatenate(
-        [bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, n0, n1, n2, alb],
-        axis=1).astype(jnp.float32)
+        [bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, n0, n1, n2, alb, tid, uv,
+         layer], axis=1).astype(jnp.float32)
+
+
+def table_tri_id(rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Original triangle ids out of gathered rows (lane 16); -1 invalid."""
+    tid = jax.lax.bitcast_convert_type(rows[..., 16], jnp.int32)
+    return jnp.where(valid, tid, -1)
+
+
+def table_uv(rows: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Interpolated texture coords + layer out of gathered rows."""
+    uv0 = rows[..., 17:19]
+    uv1 = rows[..., 19:21]
+    uv2 = rows[..., 21:23]
+    uv = uv0 + u[..., None] * (uv1 - uv0) + v[..., None] * (uv2 - uv0)
+    return uv, rows[..., 23].astype(jnp.int32)
 
 
 def make_shade_table_orig(mesh: Mesh) -> jnp.ndarray:
@@ -149,4 +185,6 @@ def shade_from_table(rows: jnp.ndarray, position: jnp.ndarray,
         "normal": jnp.where(vmask, smooth, zeros),
         "gnormal": jnp.where(vmask, gnormal, zeros),
         "albedo": jnp.where(vmask, albedo, zeros),
+        "u": u,
+        "v": v,
     }

@@ -88,10 +88,16 @@ def apply_textures(mesh: Mesh, gbuf: dict, bilinear: bool = True
     triangle has a texture layer, keeps the flat per-triangle albedo
     elsewhere. Works on any G-buffer that carries (tri_id, position,
     valid, albedo)."""
-    tri_id = gbuf["tri_id"]
-    tid = jnp.maximum(tri_id, 0)
-    layer = mesh.tri_tex[tid]
-    uv = interpolate_uv(mesh, tri_id, gbuf["position"])
+    if "uv" in gbuf and "tex_layer" in gbuf:
+        # The shade-table G-buffer already interpolated uv and carried the
+        # layer in its packed row — skip the per-pixel vertex/uv gathers.
+        uv = gbuf["uv"]
+        layer = gbuf["tex_layer"]
+    else:
+        tri_id = gbuf["tri_id"]
+        tid = jnp.maximum(tri_id, 0)
+        layer = mesh.tri_tex[tid]
+        uv = interpolate_uv(mesh, tri_id, gbuf["position"])
     tex = sample_atlas(mesh.tex_atlas, layer, uv, bilinear=bilinear)
     use_tex = (layer >= 0) & gbuf["valid"]
     return jnp.where(use_tex[..., None], tex, gbuf["albedo"])
