@@ -132,7 +132,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     log(f"gbuffer valid px: {valid}/{width*height}")
     gb_scalar = jax.jit(lambda a, mesh, cam, st: _gb_consume(
         _gb(a, mesh, cam, st)))
-    gb_ms = timed(lambda: gb_scalar(static_accel, mesh, cam, st0), 10) * 1e3
+    gb_ms = timed(lambda: gb_scalar(static_accel, mesh, cam, st0), 20) * 1e3
     log(f"gbuffer closest pass: {gb_ms:.2f} ms")
 
     shadow_rays = jax.jit(lambda gbuf, light, bvh: shadow_ray_batch(
@@ -154,7 +154,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     # LBVH build alone (binary) — diagnostic.
     build_scalar = jax.jit(lambda v, i: jnp.sum(build(v, i).nodes_box))
     build_ms = timed(lambda: build_scalar(mesh.vertices, mesh.indices),
-                     10) * 1e3
+                     40) * 1e3
     # Config-2 rebuild path: build + 8-wide collapse as ONE fused device
     # program (the wide pad is chosen once per scene, so per-frame rebuilds
     # have no host sync — tpurt/app.py _rebuild_fused).
@@ -166,7 +166,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
         rebuild = jax.jit(lambda v, i: jnp.sum(widen_lbvh(
             build_lbvh(v, i, leaf_size=leaf_size), nw_pad=nw_pad).nodes))
         rebuild_ms = timed(lambda: rebuild(mesh.vertices, mesh.indices),
-                           10) * 1e3
+                           40) * 1e3
         widen_ms = max(rebuild_ms - build_ms, 0.0)
     log(f"lbvh build: {build_ms:.2f} ms; fused rebuild (build+collapse): "
         f"{rebuild_ms:.2f} ms")
@@ -208,7 +208,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                         + jnp.sum(g["position"]) + jnp.sum(g["tri_id"])
                         + jnp.sum(jnp.where(g["valid"], 1.0, 0.0)))
             gbr_scalar = jax.jit(_gbr_all)
-            gbr_ms = timed(lambda: gbr_scalar(mesh, cam), 10) * 1e3
+            gbr_ms = timed(lambda: gbr_scalar(mesh, cam), 16) * 1e3
             log(f"gbuffer RASTER pass: {gbr_ms:.2f} ms (valid {rv})")
         except Exception as e:  # noqa: BLE001
             log(f"raster gbuffer failed: {type(e).__name__}: {str(e)[:200]}")
@@ -222,7 +222,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                                             shade_table_orig=sto)["image"]))
     key = jax.random.PRNGKey(0)
     frame_ms = timed(lambda: frame(static_accel, mesh, cam, (light,), key,
-                                   st, st_orig), 10) * 1e3
+                                   st, st_orig), 20) * 1e3
     log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
         f"build+trace: {rebuild_ms + shadow_s*1e3:.2f} ms")
     result = dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,
@@ -292,7 +292,7 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
                 lambda o, d, tm: trace_any(a, o, d, tm), g, sun, 8, k,
                 1e-3, scene_bounds=(b.root_min, b.root_max),
                 trace_soft=make_soft_tracer(cfg3, a) if f else None)))
-            t = timed(lambda: sp8(a3, gbuf, jax.random.PRNGKey(1)), 10)
+            t = timed(lambda: sp8(a3, gbuf, jax.random.PRNGKey(1)), 16)
             out[f"{key}_ms"] = round(t * 1e3, 2)
             out[f"{key}_mrays"] = round(valid * 8 / t / 1e6, 2)
             log(f"config 3 soft spp=8 ({name}): {out[f'{key}_ms']} ms "
@@ -317,7 +317,7 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
             crefit = jax.jit(lambda b, v: jnp.sum(refit_sbvh_wide(
                 cplan, b, None, None, None, vertices=v)[0].nodes))
             out["refit_ms"] = round(
-                timed(lambda: crefit(static_bvh, mesh.vertices), 10)
+                timed(lambda: crefit(static_bvh, mesh.vertices), 40)
                 * 1e3, 2)
             log(f"config 4 clip refit (fused refit+widen): "
                 f"{out['refit_ms']} ms")
@@ -335,7 +335,7 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
                 refit_lbvh(b, v, i).nodes_box))
         key = "refit_plain_ms" if "refit_ms" in out else "refit_ms"
         out[key] = round(
-            timed(lambda: refit(bvh, mesh.vertices, mesh.indices), 10)
+            timed(lambda: refit(bvh, mesh.vertices, mesh.indices), 40)
             * 1e3, 2)
         log(f"config 4 plain refit (incl. wide re-gather): {out[key]} ms")
     except Exception as e:  # noqa: BLE001

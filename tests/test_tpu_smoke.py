@@ -60,6 +60,26 @@ def test_shadow_throughput_floor():
     # fails while ~20% tunnel variance still passes.
     assert mrays > 80.0
 
+    # Production static accel (native SBVH, round 3): measured 250-255
+    # Mrays/s on this scene; floor 170 keeps ~30% headroom for tunnel
+    # variance while failing any real tree-quality or kernel regression.
+    from tpurt import native
+    if native.available():
+        from tpurt.bvh.sah import build_sah_lbvh
+        from tpurt.scenes import sponza_scene as _ss
+        host_mesh = _ss(260_000)
+        sbvh = build_wide(build_sah_lbvh(host_mesh, leaf_size=14),
+                          from_node_boxes=True)
+        float(shade(sbvh, so, sd, stm))  # warm + force
+        t0 = time.perf_counter()
+        for _ in range(40):
+            occ = shade(sbvh, so, sd, stm)
+        float(occ)
+        dt = (time.perf_counter() - t0) / 40
+        mrays_sbvh = valid / dt / 1e6
+        print(f"TPU shadow throughput (SBVH): {mrays_sbvh:.1f} Mrays/s")
+        assert mrays_sbvh > 170.0
+
 
 @requires_tpu
 def test_tpu_golden_teapot():
