@@ -164,7 +164,8 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
         from tpurt.bvh.wide import count_wide, round_up_bucket, widen_lbvh
         nw_pad = round_up_bucket(max(count_wide(bvh), 1))
         rebuild = jax.jit(lambda v, i: jnp.sum(widen_lbvh(
-            build_lbvh(v, i, leaf_size=leaf_size), nw_pad=nw_pad).nodes))
+            build_lbvh(v, i, leaf_size=leaf_size, boxes="defer"),
+            nw_pad=nw_pad).nodes))
         rebuild_ms = timed(lambda: rebuild(mesh.vertices, mesh.indices),
                            40) * 1e3
         widen_ms = max(rebuild_ms - build_ms, 0.0)
@@ -180,8 +181,8 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     if use_pallas and bvh_width == 8:
         try:
             kw = jax.jit(lambda v, i: widen_lbvh(
-                build_lbvh(v, i, leaf_size=leaf_size), nw_pad=nw_pad))(
-                    mesh.vertices, mesh.indices)
+                build_lbvh(v, i, leaf_size=leaf_size, boxes="defer"),
+                nw_pad=nw_pad))(mesh.vertices, mesh.indices)
             rebuilt_shadow_ms = timed(
                 lambda: shade(kw, so, sd, stm), 32) * 1e3
             log(f"rebuilt-tree (morton) shadow trace: "

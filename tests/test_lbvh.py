@@ -319,3 +319,31 @@ def test_builder_kernel_topology_exact_vs_scan():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_deferred_boxes_rebuild_bitexact():
+    """build_lbvh(boxes="defer") + widen_lbvh must produce the EXACT same
+    WideBVH as the full-box path: the deferred path answers every wide
+    node's box straight from the RMQ sparse table, and min/max are exact
+    in fp, so any mismatch is a real indexing bug."""
+    from tpurt.bvh.wide import count_wide, round_up_bucket, widen_lbvh
+    from tpurt.scenes import teapot_scene
+    mesh = teapot_scene(2000)
+    v = jnp.asarray(mesh.vertices)
+    i = jnp.asarray(mesh.indices)
+    full = build_lbvh(v, i, leaf_size=8)
+    nw_pad = round_up_bucket(max(count_wide(full), 1), bucket=128)
+    w_full = widen_lbvh(full, nw_pad=nw_pad)
+    defer = build_lbvh(v, i, leaf_size=8, boxes="defer")
+    assert defer.nodes_box is None
+    w_def = widen_lbvh(defer, nw_pad=nw_pad)
+    np.testing.assert_array_equal(np.asarray(w_full.nodes),
+                                  np.asarray(w_def.nodes))
+    np.testing.assert_array_equal(np.asarray(w_full.tris),
+                                  np.asarray(w_def.tris))
+    np.testing.assert_array_equal(np.asarray(w_full.tri_id),
+                                  np.asarray(w_def.tri_id))
+    np.testing.assert_array_equal(np.asarray(full.root_min),
+                                  np.asarray(defer.root_min))
+    np.testing.assert_array_equal(np.asarray(full.root_max),
+                                  np.asarray(defer.root_max))

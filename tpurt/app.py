@@ -105,7 +105,7 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int):
     device program — no host syncs. The wide-node count rides along as a
     device scalar so callers can check pad overflow opportunistically (XLA
     CSE merges it with the identical mask inside widen_lbvh)."""
-    bvh = build_lbvh(vertices, indices, leaf_size=leaf_size)
+    bvh = build_lbvh(vertices, indices, leaf_size=leaf_size, boxes="defer")
     wide = widen_lbvh(bvh, nw_pad=nw_pad)
     st = make_shade_table(bvh, mesh)
     st_orig = make_shade_table_orig(mesh)
@@ -446,8 +446,12 @@ class Renderer:
                     if overflow:
                         # Pad overflow: recount + re-plan (host sync) — the
                         # recovery path; rendering never sees the truncated
-                        # collapse.
-                        self.bvh = jax.block_until_ready(bvh)
+                        # collapse. Re-build with FULL boxes: _make_accel's
+                        # wide-plan path reads nodes_box, which the fused
+                        # (deferred-box) rebuild above doesn't materialize.
+                        self.bvh = jax.block_until_ready(
+                            self._build_jit(self.mesh.vertices,
+                                            self.mesh.indices))
                         self.accel = self._make_accel()
                     else:
                         self.bvh, self.accel = bvh, accel

@@ -348,14 +348,24 @@ def _floor_log2(x: jnp.ndarray) -> jnp.ndarray:
     return 31 - jax.lax.clz(x.astype(jnp.uint32)).astype(jnp.int32)
 
 
+# Sparse-table construction strategy for range_boxes:
+#   "gather" — per-level clipped-index gathers (two tables, min and max)
+#   "packed" — ONE min-only table over [leaf_min, -leaf_max] built with
+#              static shift-slices instead of gathers (fewer + cheaper ops;
+#              the build is op-overhead bound, probe r3s)
+RMQ_VARIANT = "packed"
+
+
 def range_boxes(leaf_min: jnp.ndarray, leaf_max: jnp.ndarray,
-                first: jnp.ndarray, last: jnp.ndarray
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                first: jnp.ndarray, last: jnp.ndarray,
+                variant: str = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """AABB over each inclusive leaf range [first, last] via a sparse table.
 
     leaf_min/max: f32[n, 3]; first/last: i32[Q]. Returns (f32[Q,3], f32[Q,3]).
     Build: log2(n) vectorized sweeps; query: two gathers per range.
     """
+    if (variant or RMQ_VARIANT) == "packed":
+        return _range_boxes_packed(leaf_min, leaf_max, first, last)
     n = int(leaf_min.shape[0])
     levels = max(1, n.bit_length())  # 2^(levels-1) <= n
     tmins = [leaf_min]
@@ -376,6 +386,33 @@ def range_boxes(leaf_min: jnp.ndarray, leaf_max: jnp.ndarray,
     out_min = jnp.minimum(tmin[k, a], tmin[k, b])
     out_max = jnp.maximum(tmax[k, a], tmax[k, b])
     return out_min, out_max
+
+
+def _range_boxes_packed(leaf_min, leaf_max, first, last):
+    """range_boxes via a single min-only table over [leaf_min, -leaf_max]
+    (negating max turns both reductions into one jnp.minimum) built with
+    static shift-slices: row i of level k is min over rows [i, i+2^k), with
+    out-of-range rows clamped to the last row — exactly the clipped-index
+    gather the "gather" variant uses, as a slice+concat instead."""
+    n = int(leaf_min.shape[0])
+    levels = max(1, n.bit_length())
+    t = jnp.concatenate([leaf_min, -leaf_max], axis=1)       # [n, 6]
+    tabs = [t]
+    for k in range(1, levels):
+        s = 1 << (k - 1)
+        t = tabs[-1]
+        shifted = jnp.concatenate(
+            [t[s:], jnp.broadcast_to(t[n - 1:n], (s, 6))])
+        tabs.append(jnp.minimum(t, shifted))
+    tab = jnp.stack(tabs)                                    # [levels, n, 6]
+
+    length = last - first + 1
+    k = jnp.clip(_floor_log2(length), 0, levels - 1)
+    p2 = (jnp.int32(1) << k)
+    a = first
+    b = jnp.maximum(last - p2 + 1, 0)
+    r = jnp.minimum(tab[k, a], tab[k, b])                    # [Q, 6]
+    return r[:, 0:3], -r[:, 3:6]
 
 
 def _assemble_node_boxes(leaf_min, leaf_max, child, first, last):
@@ -421,7 +458,7 @@ def _leaf_boxes(v0, e1, e2, leaf_size: int):
 
 def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                leaf_size: int = 4, morton_bits: int = 30,
-               builder: str = "auto") -> LBVH:
+               builder: str = "auto", boxes: str = "full") -> LBVH:
     """Full on-device build: sort + topology + boxes. jit-able; all shapes
     depend only on (num_triangles, leaf_size).
 
@@ -437,7 +474,15 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     (kernels/build.py — topology + boxes as ONE program; the XLA
     formulation is op-overhead bound at ~11 ms of the Sponza rebuild);
     "auto" = kernel on compiled TPU backends, search elsewhere (the
-    interpret-mode kernel is a slow serial emulation)."""
+    interpret-mode kernel is a slow serial emulation).
+
+    boxes: "full" materializes the per-node child boxes (``nodes_box``) —
+    required for binary traversal, refits, and the chunked/wide-plan
+    paths. "defer" leaves ``nodes_box = None``: the fused per-frame
+    rebuild (build + 8-wide collapse in one program) only ever reads the
+    ~Ni/7 wide nodes' boxes, which widen_lbvh then queries straight from
+    the RMQ sparse table — skipping the all-nodes box assembly (probe
+    r3s: ~1.9 ms of the Sponza rebuild)."""
     num_tris = int(indices.shape[0])
     tpad = _round_up(max(num_tris, 2 * leaf_size), leaf_size)
     pad = tpad - num_tris
@@ -447,14 +492,16 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
         [indices, jnp.broadcast_to(indices[-1:], (pad, 3))]) if pad else indices
 
     tri = idx.astype(jnp.int32)
-    v0 = vertices[tri[:, 0]]
-    v1 = vertices[tri[:, 1]]
-    v2 = vertices[tri[:, 2]]
+    # ONE flat row gather for all three corners (the gathers are op-latency
+    # bound on TPU; three separate [T]-row gathers cost ~3x one [3T] one).
+    v = vertices[tri.reshape(-1)].reshape(tpad, 3, 3)
+    v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
     tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
     tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
     centroid = (tmin + tmax) * 0.5
-    scene_min = tmin.min(axis=0)
-    scene_max = tmax.max(axis=0)
+    # Packed scene-bounds reduction: one min over [tmin, -tmax].
+    pb = jnp.concatenate([tmin, -tmax], axis=1).min(axis=0)
+    scene_min, scene_max = pb[:3], -pb[3:]
 
     # ONE key sort carrying ALL downstream per-triangle data as payload
     # operands: v0/e1/e2 (Möller–Trumbore), the vertex-id triple (refit)
@@ -500,6 +547,17 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
         child, first, last = topology_pallas(adjacent_deltas(leaf_codes))
     else:
         child, first, last = karras_topology(leaf_codes)
+    if boxes == "defer":
+        # Root box = reduction over the LEAF boxes (not the raw scene
+        # bounds: leaf boxes use reconstructed corners v0+e1/v0+e2, which
+        # round ~1 ulp from the originals — this keeps the deferred path
+        # bit-identical to the full path's RMQ root).
+        pb2 = jnp.concatenate([lmin, -lmax], axis=1).min(axis=0)
+        return LBVH(nodes_box=None, nodes_child=child, nodes_first=first,
+                    nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
+                    tri_sorted=tri_sorted, tri_id=tri_id,
+                    root_min=pb2[:3], root_max=-pb2[3:],
+                    leaf_size=leaf_size)
     nodes_box, root_min, root_max = _assemble_node_boxes(
         lmin, lmax, child, first, last)
 

@@ -161,36 +161,43 @@ def _expand(child, refs):
 
 def frontiers(child: jnp.ndarray) -> jnp.ndarray:
     """i32[Ni, 8]: each internal node's 3-level frontier (refs: internal
-    ids >= 0, leaves < 0 as -(leaf+1), EMPTY sentinel)."""
-    l1a, l1b = child[:, 0], child[:, 1]
-    slots2 = []
-    for r in (l1a, l1b):
-        slots2.extend(_expand(child, r))
-    slots3 = []
-    for r in slots2:
-        slots3.extend(_expand(child, r))
-    return jnp.stack(slots3, axis=1)  # [Ni, 8]
+    ids >= 0, leaves < 0 as -(leaf+1), EMPTY sentinel).
+
+    Each expansion level is ONE batched gather over all current slots (the
+    per-ref _expand formulation was 12 separate gathers; the collapse is
+    op-overhead bound — probe r3s)."""
+    ni = child.shape[0]
+    refs = child                                        # [Ni, 2]
+    for _ in range(2):                                  # levels 2 and 3
+        is_int = refs >= 0
+        safe = jnp.clip(refs, 0, ni - 1)
+        kids = child[safe]                              # [Ni, k, 2]
+        left = jnp.where(is_int, kids[..., 0], refs)
+        right = jnp.where(is_int, kids[..., 1], EMPTY)
+        refs = jnp.stack([left, right], axis=-1).reshape(ni, -1)
+    return refs                                         # [Ni, 8]
 
 
 def node_depths(child: jnp.ndarray) -> jnp.ndarray:
     """i32[Ni] depth of every internal node (root = 0), via parent pointers
-    + pointer doubling: O(log depth) gathers instead of per-level scatters."""
+    + pointer doubling: O(log depth) gathers instead of per-level scatters.
+    One scatter (both child sides at once) + one packed [depth, jump]
+    gather per doubling step."""
     ni = child.shape[0]
-    parent = jnp.zeros((ni,), jnp.int32)
-    for side in range(2):
-        ref = child[:, side]
-        is_int = ref >= 0
-        tgt = jnp.where(is_int, ref, 0)
-        parent = parent.at[tgt].max(
-            jnp.where(is_int, jnp.arange(ni, dtype=jnp.int32), 0))
+    ref = child.reshape(-1)                             # [2*Ni] row-major
+    is_int = ref >= 0
+    tgt = jnp.where(is_int, ref, 0)
+    own = jnp.repeat(jnp.arange(ni, dtype=jnp.int32), 2)
+    parent = jnp.zeros((ni,), jnp.int32).at[tgt].max(
+        jnp.where(is_int, own, 0))
     # parent[0] = 0 (root is its own parent) -- max over scatter keeps 0
     # correct because no node claims the root as a child.
     depth = jnp.where(jnp.arange(ni) == 0, 0, 1).astype(jnp.int32)
-    jump = parent
+    state = jnp.stack([depth, parent], axis=1)          # [Ni, 2]
     for _ in range(7):  # 2^7 = 128 > max Karras depth (~62)
-        depth = depth + depth[jump]
-        jump = jump[jump]
-    return depth
+        hop = state[state[:, 1]]
+        state = jnp.stack([state[:, 0] + hop[:, 0], hop[:, 1]], axis=1)
+    return state[:, 0]
 
 
 def wide_roots(child: jnp.ndarray, front: jnp.ndarray = None,
@@ -376,6 +383,82 @@ def leaf_boxes_from_nodes(bvh: LBVH):
     return lmin, lmax
 
 
+def _assemble_wide_nodes(refs, nodes_box, leaf_min, leaf_max,
+                         ids=None, wref=None):
+    """ONE-gather assembly of the f32[Nw, 128] wide node rows.
+
+    refs: i32[Nw, 8] frontier refs (binary ids >= 0, leaves < 0 as
+    -(leaf+1), EMPTY sentinel — pad rows must already be EMPTY).
+    A combined candidate table [Ni + Nl + 1, 6|7] holds every possible
+    child record (internal: union of stored child boxes; leaf: leaf box;
+    last row: inverted/unhittable), so the whole assembly is one row
+    gather instead of the 8-children x 4-gathers loop it replaces (the
+    collapse is op-overhead bound — probe r3s). When ``ids`` (dense wide
+    ids per binary node) is given the kernel ref rides the table as a 7th
+    channel; otherwise ``wref`` f32[Nw, 8] supplies pre-remapped refs.
+    """
+    ni = nodes_box.shape[0]
+    nl = leaf_min.shape[0]
+    nw = refs.shape[0]
+    int_min = jnp.minimum(nodes_box[:, 0:3], nodes_box[:, 6:9])
+    int_max = jnp.maximum(nodes_box[:, 3:6], nodes_box[:, 9:12])
+    cols = [
+        jnp.concatenate([jnp.concatenate([int_min, int_max], axis=1),
+                         jnp.concatenate([leaf_min, leaf_max], axis=1),
+                         jnp.concatenate(
+                             [jnp.full((1, 3), 3.4e38, jnp.float32),
+                              jnp.full((1, 3), -3.4e38, jnp.float32)],
+                             axis=1)]),
+    ]
+    if ids is not None:
+        # Kernel ref channel: internal -> dense wide id; leaf l -> -(l+1);
+        # EMPTY -> -1 (leaf 0 with an inverted box: unhittable, acyclic).
+        kref = jnp.concatenate(
+            [ids.astype(jnp.float32),
+             -(jnp.arange(nl, dtype=jnp.float32) + 1.0),
+             jnp.full((1,), -1.0, jnp.float32)])
+        cols.append(kref[:, None])
+    table = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+    row = jnp.where(refs >= 0, refs,
+                    jnp.where(refs == EMPTY, ni + nl, ni + (-refs - 1)))
+    rec = table[row.reshape(-1)]                       # [Nw*8, 6|7]
+    if ids is None:
+        rec = jnp.concatenate([rec, wref.reshape(-1, 1)], axis=1)
+    rec = jnp.concatenate(
+        [rec, jnp.zeros((nw * 8, 16 - rec.shape[1]), jnp.float32)], axis=1)
+    return rec.reshape(nw, 128)
+
+
+def _assemble_wide_nodes_deferred(refs, src, ids, bvh, leaf_min, leaf_max):
+    """One-gather assembly WITHOUT materialized binary node boxes (the
+    build_lbvh(boxes="defer") fused-rebuild path): the traversal only ever
+    reads WIDE nodes' boxes, and every wide node's box is a range query
+    over its leaf span, answered straight from the RMQ sparse table. The
+    candidate table is [Nw + Nl + 1, 6] indexed by DENSE wide id."""
+    from .lbvh import range_boxes
+    ni = bvh.nodes_child.shape[0]
+    nl = leaf_min.shape[0]
+    nw = refs.shape[0]
+    fl = jnp.stack([bvh.nodes_first, bvh.nodes_last], axis=1)[src]
+    wmin, wmax = range_boxes(leaf_min, leaf_max, fl[:, 0], fl[:, 1])
+    table = jnp.concatenate([
+        jnp.concatenate([wmin, wmax], axis=1),             # dense wide ids
+        jnp.concatenate([leaf_min, leaf_max], axis=1),
+        jnp.concatenate([jnp.full((1, 3), 3.4e38, jnp.float32),
+                         jnp.full((1, 3), -3.4e38, jnp.float32)], axis=1),
+    ])
+    dense = ids[jnp.clip(refs, 0, ni - 1)]                 # [Nw, 8]
+    row = jnp.where(refs >= 0, dense,
+                    jnp.where(refs == EMPTY, nw + nl, nw + (-refs - 1)))
+    rec = table[row.reshape(-1)]                           # [Nw*8, 6]
+    kref = jnp.where(refs >= 0, dense.astype(jnp.float32),
+                     jnp.where(refs == EMPTY, -1.0,
+                               refs.astype(jnp.float32)))
+    rec = jnp.concatenate([rec, kref.reshape(-1, 1),
+                           jnp.zeros((nw * 8, 9), jnp.float32)], axis=1)
+    return rec.reshape(nw, 128)
+
+
 def make_wide_plan(bvh: LBVH, nw_pad: int):
     """Topology-only collapse plan: per wide node, the 8 frontier refs (as
     binary/leaf ids, EMPTY-padded) plus their pre-remapped kernel refs.
@@ -400,30 +483,10 @@ def widen_from_plan(plan, bvh: LBVH, leaf_boxes=None) -> WideBVH:
     full-triangle leaf boxes (e.g. clipped boxes on SBVH topologies)."""
     refs, wref = plan
     nw_pad = refs.shape[0]
-    child = bvh.nodes_child
-    ni = child.shape[0]
     leaf_min, leaf_max = leaf_boxes if leaf_boxes is not None \
         else _leaf_boxes_from_tris(bvh)
-
-    lanes = []
-    for c in range(WIDE_FACTOR):
-        ref = refs[:, c]
-        is_int = ref >= 0
-        is_leaf = (ref < 0) & (ref != EMPTY)
-        bidx = jnp.clip(ref, 0, ni - 1)
-        box = bvh.nodes_box[bidx]
-        int_min = jnp.minimum(box[:, 0:3], box[:, 6:9])
-        int_max = jnp.maximum(box[:, 3:6], box[:, 9:12])
-        lidx = jnp.clip(-ref - 1, 0, leaf_min.shape[0] - 1)
-        bmin = jnp.where(is_int[:, None], int_min,
-                         jnp.where(is_leaf[:, None], leaf_min[lidx], 3.4e38))
-        bmax = jnp.where(is_int[:, None], int_max,
-                         jnp.where(is_leaf[:, None], leaf_max[lidx], -3.4e38))
-        lane = jnp.concatenate(
-            [bmin, bmax, wref[:, c:c + 1],
-             jnp.zeros((nw_pad, 9), jnp.float32)], axis=1)
-        lanes.append(lane)
-    nodes = jnp.concatenate(lanes, axis=1)
+    nodes = _assemble_wide_nodes(refs, bvh.nodes_box, leaf_min, leaf_max,
+                                 wref=wref)
 
     k = bvh.leaf_size
     tri9 = jnp.stack([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
@@ -451,41 +514,24 @@ def widen_lbvh(bvh: LBVH, nw_pad: int, from_node_boxes: bool = False
     rows_front = front[src]                                     # [Nw, 8]
     is_pad = jnp.arange(nw_pad) >= jnp.sum(wide)
 
-    leaf_min, leaf_max = leaf_boxes_from_nodes(bvh) if from_node_boxes \
-        else _leaf_boxes_from_tris(bvh)
-
-    # Child box per frontier ref: internal -> union of its stored child
-    # boxes; leaf -> leaf box; EMPTY/pad -> inverted (unhittable).
-    def ref_box(ref):
-        is_int = ref >= 0
-        is_leaf = (ref < 0) & (ref != EMPTY)
-        bidx = jnp.clip(ref, 0, ni - 1)
-        box = bvh.nodes_box[bidx]
-        int_min = jnp.minimum(box[:, 0:3], box[:, 6:9])
-        int_max = jnp.maximum(box[:, 3:6], box[:, 9:12])
-        lidx = jnp.clip(-ref - 1, 0, leaf_min.shape[0] - 1)
-        bmin = jnp.where(is_int[:, None], int_min,
-                         jnp.where(is_leaf[:, None], leaf_min[lidx], 3.4e38))
-        bmax = jnp.where(is_int[:, None], int_max,
-                         jnp.where(is_leaf[:, None], leaf_max[lidx], -3.4e38))
-        return bmin, bmax
-
-    lanes = []
-    for c in range(WIDE_FACTOR):
-        ref = jnp.where(is_pad, EMPTY, rows_front[:, c])
-        bmin, bmax = ref_box(ref)
-        # Remap internal refs to dense wide ids; leaves unchanged. EMPTY
-        # slots get leaf ref -1 (leaf 0): their inverted box never hits for
-        # finite slab products, and if +/-BIG overflows to inf (axis-parallel
-        # rays) the worst case is a harmless exact leaf test — an internal
-        # ref here (e.g. 0 = root) would create a traversal CYCLE.
-        wref = jnp.where(ref >= 0, ids[jnp.clip(ref, 0, ni - 1)],
-                         jnp.where(ref == EMPTY, -1, ref))
-        lane = jnp.concatenate(
-            [bmin, bmax, wref.astype(jnp.float32)[:, None],
-             jnp.zeros((nw_pad, 9), jnp.float32)], axis=1)  # [Nw, 16]
-        lanes.append(lane)
-    nodes = jnp.concatenate(lanes, axis=1)  # [Nw, 128]
+    # One-gather assembly over a combined candidate table. Internal refs
+    # remap to dense wide ids via the table's kernel-ref channel; EMPTY
+    # slots get leaf ref -1 (leaf 0): their inverted box never hits for
+    # finite slab products, and if +/-BIG overflows to inf (axis-parallel
+    # rays) the worst case is a harmless exact leaf test — an internal
+    # ref here (e.g. 0 = root) would create a traversal CYCLE.
+    refs = jnp.where(is_pad[:, None], EMPTY, rows_front)
+    if bvh.nodes_box is None:                 # build_lbvh(boxes="defer")
+        assert not from_node_boxes, \
+            "deferred-box builds have no stored node boxes"
+        leaf_min, leaf_max = _leaf_boxes_from_tris(bvh)
+        nodes = _assemble_wide_nodes_deferred(refs, src, ids, bvh,
+                                              leaf_min, leaf_max)
+    else:
+        leaf_min, leaf_max = leaf_boxes_from_nodes(bvh) if from_node_boxes \
+            else _leaf_boxes_from_tris(bvh)
+        nodes = _assemble_wide_nodes(refs, bvh.nodes_box, leaf_min, leaf_max,
+                                     ids=ids)
 
     # Leaf/tri rows: same packing as the binary kernel layout. leaf_size
     # > 14 cannot pack one leaf per 128-lane row — those accels are only

@@ -127,6 +127,10 @@ def _build_kernel(ni: int, with_boxes: bool, d_ref, lbox_ref, nbox_ref,
         nbox_ref[pl.ds(row_i, 1), :] = jnp.where(keep, old, rec)
 
     def push_body(g, sp):
+        # g's rc slot is first touched when a LATER gap claims g from the
+        # stack top, so initializing it here (g is pushed exactly once)
+        # replaces the separate init sweep — one serial pass instead of two.
+        rc_ref[g] = jnp.int32(_NONE)
         dg = d_ref[g]
 
         def cond(c):
@@ -151,12 +155,6 @@ def _build_kernel(ni: int, with_boxes: bool, d_ref, lbox_ref, nbox_ref,
         stack_ref[sp] = g
         return sp + 1
 
-    # init rc to NONE
-    def init_body(g, _):
-        rc_ref[g] = jnp.int32(_NONE)
-        return 0
-
-    jax.lax.fori_loop(0, ni, init_body, 0, unroll=False)
     sp = jax.lax.fori_loop(0, ni, push_body, jnp.int32(0), unroll=False)
 
     # Drain the right spine (top -> bottom is children-first).
