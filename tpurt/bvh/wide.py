@@ -24,6 +24,7 @@ hit. Cited against the reference's flat binary BVHNode array
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Tuple
 
 import jax
@@ -459,13 +460,13 @@ def _assemble_wide_nodes_deferred(refs, src, ids, bvh, leaf_min, leaf_max):
     return rec.reshape(nw, 128)
 
 
-def make_wide_plan(bvh: LBVH, nw_pad: int):
+def make_wide_plan(bvh: LBVH, nw_pad: int, mode: str = None):
     """Topology-only collapse plan: per wide node, the 8 frontier refs (as
     binary/leaf ids, EMPTY-padded) plus their pre-remapped kernel refs.
     Refits reuse the plan and only re-gather boxes (widen_from_plan)."""
     child = bvh.nodes_child
     ni = child.shape[0]
-    front, wide = _front_and_mask(child, bvh.nodes_box)
+    front, wide = _front_and_mask(child, bvh.nodes_box, mode=mode)
     ids = jnp.cumsum(wide.astype(jnp.int32)) - 1
     src = jnp.nonzero(wide, size=nw_pad, fill_value=ni - 1)[0]
     rows_front = front[src]
@@ -497,16 +498,17 @@ def widen_from_plan(plan, bvh: LBVH, leaf_boxes=None) -> WideBVH:
                    num_wide=nw_pad, leaf_size=k)
 
 
-def widen_lbvh(bvh: LBVH, nw_pad: int, from_node_boxes: bool = False
-                ) -> WideBVH:
+def widen_lbvh(bvh: LBVH, nw_pad: int, from_node_boxes: bool = False,
+               mode: str = None) -> WideBVH:
     """Collapse to 8-wide. ``nw_pad`` must be >= count_wide(bvh) (static;
     round up to a bucket to avoid recompiles across frames).
     ``from_node_boxes`` takes the leaf slots' boxes from the stored
     per-child node boxes (leaf_boxes_from_nodes) — strictly tighter on
-    SBVH topologies, identical on Karras/object trees."""
+    SBVH topologies, identical on Karras/object trees. ``mode`` overrides
+    the module FRONTIER_MODE (fixed/bfs/area)."""
     child = bvh.nodes_child
     ni = child.shape[0]
-    front, wide = _front_and_mask(child, bvh.nodes_box)
+    front, wide = _front_and_mask(child, bvh.nodes_box, mode=mode)
 
     # Dense id for every wide binary node (garbage elsewhere).
     ids = jnp.cumsum(wide.astype(jnp.int32)) - 1
@@ -608,12 +610,19 @@ def round_up_bucket(n: int, bucket: int = 1024) -> int:
 
 
 _widen_jit = jax.jit(widen_lbvh,
-                     static_argnames=("nw_pad", "from_node_boxes"))
+                     static_argnames=("nw_pad", "from_node_boxes", "mode"))
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def _wide_count_mode_fn(child, nodes_box, mode):
+    _, mask = _front_and_mask(child, nodes_box, mode=mode)
+    return jnp.sum(mask)
 
 
 def build_wide(bvh: LBVH, bucket: int = 1024,
-               from_node_boxes: bool = False) -> WideBVH:
+               from_node_boxes: bool = False, mode: str = None) -> WideBVH:
     """Convenience: count (host sync) + widen with bucketed padding."""
-    nw = count_wide(bvh)
+    nw = int(_wide_count_mode_fn(bvh.nodes_child, bvh.nodes_box,
+                                 mode or FRONTIER_MODE))
     return _widen_jit(bvh, nw_pad=round_up_bucket(max(nw, 1), bucket),
-                      from_node_boxes=from_node_boxes)
+                      from_node_boxes=from_node_boxes, mode=mode)
