@@ -213,6 +213,24 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             log(f"gbuffer RASTER pass: {gbr_ms:.2f} ms (valid {rv})")
         except Exception as e:  # noqa: BLE001
             log(f"raster gbuffer failed: {type(e).__name__}: {str(e)[:200]}")
+    gbrd_ms = None
+    if use_pallas:
+        try:
+            from tpurt.passes.gbuffer import gbuffer_raster_pass
+
+            def _gbrd_all(mesh, cam, sto):
+                g = gbuffer_raster_pass(mesh, cam, width, height, sto,
+                                        deferred=True)
+                return (jnp.sum(g["normal"]) + jnp.sum(g["albedo"])
+                        + jnp.sum(g["position"]) + jnp.sum(g["tri_id"])
+                        + jnp.sum(jnp.where(g["valid"], 1.0, 0.0)))
+            gbrd_scalar = jax.jit(_gbrd_all)
+            gbrd_ms = timed(lambda: gbrd_scalar(mesh, cam, st_orig),
+                            16) * 1e3
+            log(f"gbuffer RASTER-DEFERRED pass: {gbrd_ms:.2f} ms")
+        except Exception as e:  # noqa: BLE001
+            log(f"deferred raster gbuffer failed: "
+                f"{type(e).__name__}: {str(e)[:200]}")
 
     # Full frame: all passes on a static accel (config 1/2-style frame);
     # auto G-buffer strategy (raster on compiled TPU backends).
@@ -236,6 +254,8 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             rebuild_ms + rebuilt_shadow_ms, 2)
     if gbr_ms is not None:
         result["gbuffer_raster_ms"] = round(gbr_ms, 2)
+    if gbrd_ms is not None:
+        result["gbuffer_raster_deferred_ms"] = round(gbrd_ms, 2)
 
     # ---- BASELINE configs 3/4/5 (fault-tolerant: the headline metric above
     # must survive an extras failure) -------------------------------------

@@ -1,0 +1,18 @@
+#!/bin/bash
+# Chained TPU probes, cheapest/most-cached compiles first, new-kernel
+# compiles LAST (axon compile-service protocol: a Mosaic crash wedges the
+# service ~25 min, so suspects go last). Liveness-gated.
+set -u
+cd /root/repo
+for i in 1 2 3 4 5; do
+  timeout 300 python -c "import jax; print('alive', jax.devices())" && break
+  echo "liveness attempt $i failed; sleeping 120s"
+  sleep 120
+done
+echo "=== r3t (fused rebuild: deferred boxes + init-folded topology) ==="
+timeout 1200 python /root/repo/probes/probe_r3t.py
+echo "=== r3u (collapse frontier modes x child ordering) ==="
+timeout 1800 python /root/repo/probes/probe_r3u.py
+echo "=== r3v (deferred z16 raster vs v2 vs ray) — NEW KERNEL LAST ==="
+timeout 1800 python /root/repo/probes/probe_r3v.py
+echo "=== all probes done ==="

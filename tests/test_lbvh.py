@@ -321,6 +321,26 @@ def test_builder_kernel_topology_exact_vs_scan():
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+def test_morton_codes_kernel_bitexact():
+    """morton_codes_pallas must equal the XLA morton_of_points bit-for-bit
+    (same quantize clamp, same dilation) — it feeds the sort keys, so any
+    drift silently reshapes every tree."""
+    from tpurt.bvh.morton import morton_of_points
+    from tpurt.kernels.build import morton_codes_pallas
+    key = jax.random.PRNGKey(3)
+    p = jax.random.uniform(key, (1537, 3), minval=-11.0, maxval=4.0)
+    smin, smax = p.min(axis=0), p.max(axis=0)
+    a = np.asarray(morton_of_points(p, smin, smax))
+    b = np.asarray(morton_codes_pallas(p, smin, smax, interpret=True))
+    np.testing.assert_array_equal(a, b)
+    # Degenerate extent axis (flat scene) must not produce NaN-poisoned keys.
+    p2 = p.at[:, 1].set(0.25)
+    a2 = np.asarray(morton_of_points(p2, p2.min(axis=0), p2.max(axis=0)))
+    b2 = np.asarray(morton_codes_pallas(p2, p2.min(axis=0), p2.max(axis=0),
+                                        interpret=True))
+    np.testing.assert_array_equal(a2, b2)
+
+
 def test_deferred_boxes_rebuild_bitexact():
     """build_lbvh(boxes="defer") + widen_lbvh must produce the EXACT same
     WideBVH as the full-box path: the deferred path answers every wide

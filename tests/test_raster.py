@@ -29,18 +29,19 @@ def scene():
     return mesh, cam, bvh
 
 
-def _gbuffers(mesh, cam, bvh, width=W, height=H):
+def _gbuffers(mesh, cam, bvh, width=W, height=H, deferred=False):
     ray = gbuffer_pass(lambda o, d: jt.traverse(bvh, o, d, any_hit=False),
                        mesh, cam, width, height)
     st = jax.jit(make_shade_table_orig)(mesh)
     ras = jax.jit(lambda st: gbuffer_raster_pass(mesh, cam, width, height,
-                                                 st))(st)
+                                                 st, deferred=deferred))(st)
     return ray, ras
 
 
-def test_raster_matches_raycast_gbuffer(scene):
+@pytest.mark.parametrize("deferred", [False, True])
+def test_raster_matches_raycast_gbuffer(scene, deferred):
     mesh, cam, bvh = scene
-    ray, ras = _gbuffers(mesh, cam, bvh)
+    ray, ras = _gbuffers(mesh, cam, bvh, deferred=deferred)
     assert not bool(np.asarray(ras["raster_overflow"]))
     rv = np.asarray(ray["valid"])
     sv = np.asarray(ras["valid"])
@@ -59,7 +60,8 @@ def test_raster_matches_raycast_gbuffer(scene):
     assert np.percentile(dd, 99) < 0.05
 
 
-def test_raster_camera_inside_scene(scene):
+@pytest.mark.parametrize("deferred", [False, True])
+def test_raster_camera_inside_scene(scene, deferred):
     """Eye-plane-crossing triangles (big list / 2DH path): camera placed
     between geometry, looking out — must not crash, hallucinate
     behind-camera geometry, or drop foreground coverage."""
@@ -68,7 +70,7 @@ def test_raster_camera_inside_scene(scene):
     center = v.mean(axis=0)
     cam = Camera.look_at(center + [0.01, 0.05, 0.01], center + [1.2, 0.2, 0.4],
                          fov_y_deg=70)
-    ray, ras = _gbuffers(mesh, cam, bvh)
+    ray, ras = _gbuffers(mesh, cam, bvh, deferred=deferred)
     rv = np.asarray(ray["valid"])
     sv = np.asarray(ras["valid"])
     assert (rv != sv).mean() < 0.01

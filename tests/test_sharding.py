@@ -103,11 +103,13 @@ def test_sharded_soft_shadows_decorrelated(scene):
     assert len(distinct) > 1, "shards drew identical shadow jitter"
 
 
-def test_sharded_sponza_scale_production_paths(scene):
+@pytest.mark.parametrize("deferred", [False, True])
+def test_sharded_sponza_scale_production_paths(scene, deferred):
     """Round-3 (VERDICT r2 weak #8): sharded parity at realistic scale —
     procedural Sponza interior, two lights, the PRODUCTION Pallas kernels
     with the raster G-buffer + shade tables under the 8-device mesh (the
-    accel/paths actually used at scale), vs the unsharded frame."""
+    accel/paths actually used at scale), vs the unsharded frame. Covers
+    both raster record formats (self-shading v2 and deferred z16 v3)."""
     import jax.numpy as jnp
     from tpurt.bvh.wide import build_wide
     from tpurt.passes.shading import make_shade_table, make_shade_table_orig
@@ -118,7 +120,7 @@ def test_sharded_sponza_scale_production_paths(scene):
               Light.directional((-0.4, 0.8, -0.3), color=(0.7, 0.8, 1.0),
                                 intensity=0.5))
     cfg = RenderConfig(width=320, height=180, use_pallas=True, leaf_size=8,
-                      gbuffer="raster")
+                      gbuffer="raster", raster_deferred=deferred)
     bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
                      leaf_size=8)
     wide = build_wide(bvh)

@@ -156,7 +156,8 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
         from .passes.gbuffer import gbuffer_raster_pass
         gbuf = gbuffer_raster_pass(
             mesh, cam, cfg.width, cfg.height, shade_table_orig,
-            cap_pairs=cfg.raster_cap_pairs or None)
+            cap_pairs=cfg.raster_cap_pairs or None,
+            deferred=cfg.raster_deferred)
     else:
         from .bvh.chunked import ChunkedAccel
         gb_accel = bvh

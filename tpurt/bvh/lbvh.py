@@ -515,13 +515,23 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                e1[:, 0], e1[:, 1], e1[:, 2],
                e2[:, 0], e2[:, 1], e2[:, 2],
                tri[:, 0], tri[:, 1], tri[:, 2])
+    if builder == "auto":
+        from ..kernels.traverse import _compiled_backend
+        builder = "kernel" if _compiled_backend() else "search"
     if morton_bits == 60:
         chi, clo = morton_of_points_60(centroid, scene_min, scene_max)
         s = jax.lax.sort((chi, clo) + payload, num_keys=2)
         chs, cls, s = s[0], s[1], s[2:]
         leaf_codes = (chs[::leaf_size], cls[::leaf_size])
     else:
-        chi = morton_of_points(centroid, scene_min, scene_max)
+        if builder == "kernel":
+            # One-program quantize+interleave (bit-exact vs the XLA
+            # formulation; probe r3s measured the XLA chain at ~3.8 ms of
+            # pure op overhead for 287k tris).
+            from ..kernels.build import morton_codes_pallas
+            chi = morton_codes_pallas(centroid, scene_min, scene_max)
+        else:
+            chi = morton_of_points(centroid, scene_min, scene_max)
         s = jax.lax.sort((chi,) + payload, num_keys=1)
         chs, s = s[0], s[1:]
         leaf_codes = (chs[::leaf_size], None)
@@ -536,9 +546,6 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     tri_sorted = jnp.stack(s[10:13], axis=1)
     lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
 
-    if builder == "auto":
-        from ..kernels.traverse import _compiled_backend
-        builder = "kernel" if _compiled_backend() else "search"
     if builder == "kernel":
         # Scalar-core Cartesian-stack topology (kernels/build.py) + XLA
         # RMQ boxes — the measured-fastest split; the all-in-one kernel

@@ -263,3 +263,64 @@ def topology_and_boxes_pallas(d: jnp.ndarray, leaf_min: jnp.ndarray,
     root_min = jnp.minimum(nbox[0, 0:3], nbox[0, 6:9])
     root_max = jnp.maximum(nbox[0, 3:6], nbox[0, 9:12])
     return child, first, last, nbox, root_min, root_max
+
+
+# ---------------------------------------------------------------------------
+# Fused Morton-code kernel (quantize + bit interleave as ONE program)
+# ---------------------------------------------------------------------------
+
+def _codes_kernel(ux_ref, uy_ref, uz_ref, code_ref):
+    """unit-cube coords -> 30-bit Morton codes. The XLA formulation is ~20
+    separate integer ops (quantize + 5-step magic-number dilation per axis
+    + combine), each paying the measured ~0.1-0.3 ms op-overhead floor on
+    this platform (probe r3s: 'codes/encode-only' 3.8 ms for 287k tris of
+    trivially-fusible elementwise work). One Pallas program makes it one
+    op. Integer shifts/and/or only — known-good Mosaic lowerings."""
+    grid = jnp.float32(1023.0)
+
+    def expand(q):
+        v = q & jnp.uint32(0x3FF)
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    def quant(u_ref):
+        q = jnp.clip(u_ref[...] * (grid + 1.0), 0.0, grid)
+        return q.astype(jnp.uint32)
+
+    code = (expand(quant(ux_ref)) << 2) | (expand(quant(uy_ref)) << 1) \
+        | expand(quant(uz_ref))
+    code_ref[...] = code.astype(jnp.int32)
+
+
+def morton_codes_pallas(centroid: jnp.ndarray, scene_min, scene_max,
+                        interpret=None) -> jnp.ndarray:
+    """centroid f32[n, 3] + scene bounds -> uint32[n] 30-bit Morton codes.
+    Bit-exact drop-in for bvh.morton.morton_of_points (parity-tested).
+    Normalization to the unit cube stays in XLA (2 broadcast ops — the
+    scene bounds are traced scalars); the op-heavy quantize+interleave
+    chain runs as one kernel over [rows, 128] blocks."""
+    if interpret is None:
+        interpret = not _compiled_backend()
+    n = centroid.shape[0]
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    unit = (centroid - scene_min) / extent                  # [n, 3]
+    rows = -(-n // 128)
+    pad = rows * 128 - n
+    u = jnp.pad(unit, ((0, pad), (0, 0)))
+    ux = u[:, 0].reshape(rows, 128)
+    uy = u[:, 1].reshape(rows, 128)
+    uz = u[:, 2].reshape(rows, 128)
+    vma = getattr(jax.typeof(ux), "vma", None)
+    spec = pl.BlockSpec((rows, 128), lambda: (0, 0),
+                        memory_space=pltpu.VMEM)
+    code = pl.pallas_call(
+        _codes_kernel,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32, vma=vma),
+        interpret=interpret,
+    )(ux, uy, uz)
+    return code.reshape(-1)[:n].astype(jnp.uint32)

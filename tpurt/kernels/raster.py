@@ -313,6 +313,194 @@ def _raster_kernel32(wt: int, ntiles: int, width: int, height: int,
         attr_ref[b, 11] = jnp.where(hit, ab, z)
 
 
+# ---------------------------------------------------------------------------
+# v3: z-only 16-float records (deferred shading via the packed shade table)
+# ---------------------------------------------------------------------------
+
+def _eval_records16(read, row_ok, sx, sy, state, cull=None):
+    """Test the 8 z-only records of one 128-float v3 row
+    (raster/setup.py::_setup_records16 layout). 11 SMEM lane reads per
+    record vs the self-shading row's 27 — shading attributes are fetched
+    AFTER the kernel by one per-pixel shade-table gather, so the z-fight
+    carries only (1/w, d1, d2, dsum, tri)."""
+    from ..raster.setup import REC16, RECS16_PER_ROW
+
+    def eval_rec(b, st):
+        best, bd1, bd2, bsum, btri = st
+        d0 = read(b + 0) * sx + read(b + 1) * sy + read(b + 2)
+        d1 = read(b + 3) * sx + read(b + 4) * sy + read(b + 5)
+        d2 = read(b + 6) * sx + read(b + 7) * sy + read(b + 8)
+        dinv = read(b + 9)
+        tid_f = read(b + 10)
+        dsum = d0 + d1 + d2
+        cov = ((d0 >= 0.0) & (d1 >= 0.0) & (d2 >= 0.0)) | \
+              ((d0 <= 0.0) & (d1 <= 0.0) & (d2 <= 0.0))
+        invw = dsum * dinv
+        ok = cov & (invw > best) & (tid_f >= 0.0) & row_ok
+        return (jnp.where(ok, invw, best), jnp.where(ok, d1, bd1),
+                jnp.where(ok, d2, bd2), jnp.where(ok, dsum, bsum),
+                jnp.where(ok, tid_f.astype(jnp.int32), btri))
+
+    for r in range(RECS16_PER_ROW):
+        b = REC16 * r
+        if cull is None:
+            state = eval_rec(b, state)
+        else:
+            tx, ty = cull
+            txf = tx.astype(jnp.float32)
+            tyf = ty.astype(jnp.float32)
+            hitrect = ((read(b + 12) <= txf) & (txf <= read(b + 14))
+                       & (read(b + 13) <= tyf) & (tyf <= read(b + 15)))
+            state = jax.lax.cond(hitrect & row_ok,
+                                 lambda st, bb=b: eval_rec(bb, st),
+                                 lambda st: st, state)
+    return state
+
+
+def _raster_kernel16(wt: int, ntiles: int, width: int, height: int,
+                     b_tiles: int, chunk: int,
+                     starts_ref, counts_ref,
+                     meta_ref, pair_hbm_ref, big_hbm_ref,
+                     tri_ref, attr_ref, scratch_ref, sem_ref):
+    """z-only variant of _raster_kernel32: same streaming/binning machinery,
+    outputs per pixel (tri, u, v, 1/w) only."""
+    i = pl.program_id(0)
+
+    for b in range(b_tiles):
+        tile = i * b_tiles + b
+        tile = jnp.minimum(tile, ntiles - 1)
+        ty = tile // wt + meta_ref[1]
+        tx = tile % wt
+        pidx = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+        sx = ((tx * TILE + pidx % TILE).astype(jnp.float32)
+              - 0.5 * width) * (1.0 / width)
+        sy = ((ty * TILE + pidx // TILE).astype(jnp.float32)
+              - 0.5 * height) * (1.0 / height)
+
+        state = (jnp.zeros((8, 128), jnp.float32),   # best 1/w
+                 jnp.zeros((8, 128), jnp.float32),   # d1
+                 jnp.zeros((8, 128), jnp.float32),   # d2
+                 jnp.ones((8, 128), jnp.float32),    # dsum
+                 jnp.full((8, 128), -1, jnp.int32))  # tri
+
+        def stream(src_hbm, row_lo, row_hi, state, cull):
+            nchunks = (row_hi - row_lo + chunk - 1) // chunk
+
+            def get_dma(slot, ci):
+                return pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(row_lo + ci * chunk, chunk)],
+                    scratch_ref.at[slot],
+                    sem_ref.at[slot],
+                )
+
+            @pl.when(nchunks > 0)
+            def _():
+                get_dma(0, 0).start()
+
+            def chunk_body(ci, st):
+                slot = jax.lax.rem(ci, N_BUF)
+
+                @pl.when(ci + 1 < nchunks)
+                def _():
+                    get_dma(jax.lax.rem(ci + 1, N_BUF), ci + 1).start()
+
+                get_dma(slot, ci).wait()
+                for rr in range(chunk):
+                    g_row = row_lo + ci * chunk + rr
+
+                    def read(k, slot=slot, rr=rr):
+                        return scratch_ref[slot, rr, k]
+
+                    st = _eval_records16(read, g_row < row_hi, sx, sy, st,
+                                         cull=cull)
+                return st
+
+            return jax.lax.fori_loop(0, nchunks, chunk_body, state)
+
+        state = stream(big_hbm_ref, 0, meta_ref[0], state, (tx, ty))
+        start = starts_ref[tile]
+        state = stream(pair_hbm_ref, start, start + counts_ref[tile],
+                       state, None)
+
+        best, bd1, bd2, bsum, btri = state
+        hit = btri >= 0
+        safe = jnp.where(jnp.abs(bsum) > 1e-30, bsum, 1.0)
+        z = jnp.zeros((8, 128), jnp.float32)
+        tri_ref[b] = btri
+        attr_ref[b, 0] = jnp.where(hit, bd1 / safe, z)
+        attr_ref[b, 1] = jnp.where(hit, bd2 / safe, z)
+        attr_ref[b, 2] = jnp.where(hit, best, z)
+
+
+def rasterize_rows16(bins, width: int, height: int, interpret=None,
+                     ty_off: int = 0, full_height: int | None = None):
+    """Run the v3 z-only kernel over RasterRows bins (fmt="z16"). Returns
+    per-pixel (tri_id i32[H,W], u, v, invw f32[H,W]) — shading comes from
+    the packed shade table afterwards (passes/gbuffer.py deferred path)."""
+    from .traverse import from_packets
+    wt = -(-width // TILE)
+    ht = -(-height // TILE)
+    ntiles = wt * ht
+    fh = height if full_height is None else full_height
+    if interpret is None:
+        interpret = not _compiled_backend()
+    b_tiles = B_TILES_INTERP if interpret else B_TILES
+    chunk = CHUNK32_INTERP if interpret else CHUNK32
+    ngrid = -(-ntiles // b_tiles)
+    tpad = ngrid * b_tiles
+
+    def pad_rows(rows):
+        pad = jnp.zeros((chunk, 128), jnp.float32)
+        pad = pad.at[:, 10::16].set(-1.0)            # dead tri slots
+        return jnp.concatenate([rows, pad])
+
+    pair_rows = pad_rows(bins.pair_rows)
+    big_rows = pad_rows(bins.big_rows)
+    starts = jnp.pad(bins.row_starts, (0, tpad - ntiles))
+    counts = jnp.pad(bins.row_counts, (0, tpad - ntiles))
+
+    vma = getattr(jax.typeof(pair_rows), "vma", None)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ngrid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # pair rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # big rows (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((b_tiles, 8, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tiles, 3, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((N_BUF, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        functools.partial(_raster_kernel16, wt, ntiles, width, fh,
+                          b_tiles, chunk),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((tpad, 8, 128), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((tpad, 3, 8, 128), jnp.float32, vma=vma),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )
+    meta = jnp.stack([bins.big_nrows.astype(jnp.int32),
+                      jnp.asarray(ty_off, jnp.int32)])
+    tri, attr = fn(starts, counts, meta, pair_rows, big_rows)
+    tri_img = from_packets(tri[:ntiles], height, width)
+    u = from_packets(attr[:ntiles, 0], height, width)
+    v = from_packets(attr[:ntiles, 1], height, width)
+    invw = from_packets(attr[:ntiles, 2], height, width)
+    return tri_img, u, v, invw
+
+
 def rasterize_rows(bins, width: int, height: int, interpret=None,
                    ty_off: int = 0, full_height: int | None = None):
     """Run the v2 kernel over RasterRows bins. Returns per-pixel

@@ -72,7 +72,8 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
             tri_mesh, cam, cfg.width, cfg.height, shade_table_orig,
             cap_pairs=cfg.raster_cap_pairs or None,
             rays=(origins, dirs),
-            tile_rows=(idx * band_tiles, band_tiles))
+            tile_rows=(idx * band_tiles, band_tiles),
+            deferred=cfg.raster_deferred)
     else:
         from ..passes.gbuffer import gbuffer_pass
         gb_accel = bvh

@@ -70,7 +70,8 @@ def gbuffer_raster_pass(mesh: Mesh, cam: Camera, width: int, height: int,
                         cap_pairs: int | None = None,
                         interpret=None,
                         rays=None,
-                        tile_rows=None) -> Dict[str, jnp.ndarray]:
+                        tile_rows=None,
+                        deferred: bool = False) -> Dict[str, jnp.ndarray]:
     """Primary visibility by TILE RASTERIZATION (the reference's actual
     G-buffer strategy — Model.vert/Model.frag [RECALL]) instead of a
     closest-hit ray cast. Same output contract as gbuffer_pass.
@@ -91,7 +92,18 @@ def gbuffer_raster_pass(mesh: Mesh, cam: Camera, width: int, height: int,
     bins + rasters only the ``band`` 32-pixel tile rows starting at
     global tile row ``tr0`` (tr0 may be traced), and ``rays`` supplies
     the band's (origins, dirs) for position reconstruction; width/height
-    remain the FULL frame dims."""
+    remain the FULL frame dims.
+
+    deferred=True (requires shade_table_orig): v3 design — the kernel
+    streams HALF-width z-only records (11 lane reads per record instead
+    of 27) and emits just (tri, u, v, 1/w); shading attributes come from
+    ONE per-pixel gather of the packed shade table, the same merged-fetch
+    pattern the ray-cast G-buffer uses. Separates visibility (eval-bound
+    kernel) from shading (gather-bound post-pass)."""
+    if deferred and shade_table_orig is not None:
+        return _gbuffer_raster_deferred(mesh, cam, width, height,
+                                        shade_table_orig, cap_pairs,
+                                        interpret, rays, tile_rows)
     from ..kernels.raster import TILE, rasterize_rows
     from ..raster.setup import bin_rows, default_cap_rows
     if cap_pairs is None:
@@ -133,6 +145,67 @@ def gbuffer_raster_pass(mesh: Mesh, cam: Camera, width: int, height: int,
         "normal": smooth * flip,
         "gnormal": gnormal * flip,
         "albedo": albedo,
+        "depth": depth.astype(jnp.float32),
+        "t": t.astype(jnp.float32),
+        "tri_id": tri_id,
+        "valid": valid,
+        "view_dir": dirs,
+        "raster_overflow": bins.overflow,
+    }
+
+
+def _gbuffer_raster_deferred(mesh: Mesh, cam: Camera, width: int,
+                             height: int, shade_table_orig,
+                             cap_pairs, interpret, rays,
+                             tile_rows) -> Dict[str, jnp.ndarray]:
+    """v3 raster G-buffer: z-only kernel + one shade-table gather.
+
+    Position is reconstructed EXACTLY from the winning triangle's table row
+    (v0 + u*e1 + v*e2 with the kernel's perspective-correct barycentrics)
+    instead of from 1/w and the view ray — no depth/direction round trip."""
+    from ..kernels.raster import TILE, rasterize_rows16
+    from ..raster.setup import bin_rows, default_cap_rows
+    from .shading import shade_from_table_uv
+    if cap_pairs is None:
+        cap_pairs = default_cap_rows(mesh.num_triangles)
+    bins = bin_rows(cam, mesh, width, height, cap_pairs,
+                    tile_rows=tile_rows, fmt="z16")
+    if tile_rows is None:
+        tri_id, u, v, invw = rasterize_rows16(bins, width, height,
+                                              interpret=interpret)
+    else:
+        tr0, band = tile_rows
+        tri_id, u, v, invw = rasterize_rows16(
+            bins, width, int(band) * TILE, interpret=interpret,
+            ty_off=tr0, full_height=height)
+    valid = tri_id >= 0
+    if rays is None:
+        origins, dirs = generate_rays(cam, width, height)
+    else:
+        origins, dirs = rays
+        tri_id = tri_id[:origins.shape[0]]
+        u = u[:origins.shape[0]]
+        v = v[:origins.shape[0]]
+        invw = invw[:origins.shape[0]]
+        valid = valid[:origins.shape[0]]
+    rows = shade_table_orig[jnp.clip(tri_id, 0,
+                                     shade_table_orig.shape[0] - 1)]
+    attrs = shade_from_table_uv(rows, u, v, valid)
+    position = rows[..., 0:3] + u[..., None] * rows[..., 3:6] \
+        + v[..., None] * rows[..., 6:9]
+    position = jnp.where(valid[..., None], position, 0.0)
+    _, _, forward = camera_basis(cam)
+    depth = jnp.where(valid, 1.0 / jnp.maximum(invw, 1e-30), cam.zfar)
+    t = jnp.where(valid, depth / jnp.maximum(
+        jnp.einsum("...k,k->...", dirs, forward), 1e-6), jnp.inf)
+    facing = jnp.sign(-jnp.sum(attrs["gnormal"] * dirs, axis=-1,
+                               keepdims=True))
+    flip = jnp.where(facing == 0, 1.0, facing)
+    return {
+        "position": position,
+        "normal": attrs["normal"] * flip,
+        "gnormal": attrs["gnormal"] * flip,
+        "albedo": attrs["albedo"],
         "depth": depth.astype(jnp.float32),
         "t": t.astype(jnp.float32),
         "tri_id": tri_id,

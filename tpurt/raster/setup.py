@@ -221,6 +221,16 @@ def default_cap_pairs(num_tris: int) -> int:
 REC32 = 32          # floats per v2 record
 RECS32_PER_ROW = 4  # records per 128-lane row
 
+# v3 "z16" records: the deferred-shading variant. The kernel's z-fight only
+# needs edges + Dinv + id (11 floats); shading attributes move to the packed
+# per-triangle shade table (passes/shading.py make_shade_table_orig) fetched
+# by ONE per-pixel row gather after the kernel — the same merged-gather
+# design the ray-cast G-buffer uses. Half-width records double the records
+# per 128-lane row, so the eval loop reads ~2.5x fewer SMEM lanes per
+# incidence and the (row, tile) pair list shrinks.
+REC16 = 16          # floats per v3 record
+RECS16_PER_ROW = 8  # records per 128-lane row
+
 
 class RasterRows(NamedTuple):
     """v2 kernel-ready binning (all shapes static).
@@ -241,6 +251,52 @@ class RasterRows(NamedTuple):
     overflow: jnp.ndarray
 
 
+def _edges_centered(clip: jnp.ndarray, tri: jnp.ndarray, width: int,
+                    height: int):
+    """2DH edge vectors over CENTERED/unit-scaled screen coordinates:
+    pixel-scale coords make the cross products cancel catastrophically
+    (measured ~2e-3 relative depth error at 96x64); the d-ratios that
+    yield coverage, u/v and 1/w are invariant to this affine rescale.
+    Must match the (sx, sy) mapping in kernels/raster.py::_raster_kernel32
+    and ::_raster_kernel16. Returns (e0, e1, e2, dinv)."""
+    scale = jnp.asarray([1.0 / width, 1.0 / height, 1.0], jnp.float32)
+    off = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
+    cs = jnp.stack([(clip[:, 0] - off[0] * clip[:, 2]) * scale[0],
+                    (clip[:, 1] - off[1] * clip[:, 2]) * scale[1],
+                    clip[:, 2]], axis=-1)
+    c0 = cs[tri[:, 0]]
+    c1 = cs[tri[:, 1]]
+    c2 = cs[tri[:, 2]]
+    e0 = jnp.cross(c1, c2)
+    e1 = jnp.cross(c2, c0)
+    e2 = jnp.cross(c0, c1)
+    d = jnp.sum(e0 * c0, axis=-1)
+    dinv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 0.0)
+    return e0, e1, e2, dinv
+
+
+def _setup_records16(clip: jnp.ndarray, mesh: Mesh, width: int, height: int,
+                     tri_ids: jnp.ndarray, rect) -> jnp.ndarray:
+    """Deferred-shading (z-only) setup record f32[T, 16]:
+
+    [0:9]   E0, E1, E2 (2DH edge vectors, centered/unit-scaled coords)
+    [9]     Dinv
+    [10]    tri_id (-1 = dead slot)
+    [11]    pad
+    [12:16] tile-rect x0, y0, x1, y1 (f32; big-list per-tile culling)
+    """
+    tri = mesh.indices.astype(jnp.int32)
+    e0, e1, e2, dinv = _edges_centered(clip, tri, width, height)
+    tx0, ty0, tx1, ty1 = rect
+    return jnp.concatenate([
+        e0, e1, e2, dinv[:, None],
+        tri_ids.astype(jnp.float32)[:, None],
+        jnp.zeros((tri.shape[0], 1), jnp.float32),
+        tx0.astype(jnp.float32)[:, None], ty0.astype(jnp.float32)[:, None],
+        tx1.astype(jnp.float32)[:, None], ty1.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
 def _setup_records32(clip: jnp.ndarray, mesh: Mesh, width: int, height: int,
                      tri_ids: jnp.ndarray, rect) -> jnp.ndarray:
     """Self-shading setup record f32[T, 32]:
@@ -256,24 +312,7 @@ def _setup_records32(clip: jnp.ndarray, mesh: Mesh, width: int, height: int,
     [31]    pad
     """
     tri = mesh.indices.astype(jnp.int32)
-    # Centered/unit-scaled screen coordinates for the edge-vector build:
-    # pixel-scale coords make the cross products cancel catastrophically
-    # (measured ~2e-3 relative depth error at 96x64); the d-ratios that
-    # yield coverage, u/v and 1/w are invariant to this affine rescale.
-    # Must match the (sx, sy) mapping in kernels/raster.py::_raster_kernel32.
-    scale = jnp.asarray([1.0 / width, 1.0 / height, 1.0], jnp.float32)
-    off = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
-    cs = jnp.stack([(clip[:, 0] - off[0] * clip[:, 2]) * scale[0],
-                    (clip[:, 1] - off[1] * clip[:, 2]) * scale[1],
-                    clip[:, 2]], axis=-1)
-    c0 = cs[tri[:, 0]]
-    c1 = cs[tri[:, 1]]
-    c2 = cs[tri[:, 2]]
-    e0 = jnp.cross(c1, c2)
-    e1 = jnp.cross(c2, c0)
-    e2 = jnp.cross(c0, c1)
-    d = jnp.sum(e0 * c0, axis=-1)
-    dinv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 0.0)
+    e0, e1, e2, dinv = _edges_centered(clip, tri, width, height)
     n0 = mesh.normals[tri[:, 0]]
     n1 = mesh.normals[tri[:, 1]]
     n2 = mesh.normals[tri[:, 2]]
@@ -296,18 +335,20 @@ def _setup_records32(clip: jnp.ndarray, mesh: Mesh, width: int, height: int,
 
 
 def _pack_rows32(rec: jnp.ndarray) -> jnp.ndarray:
-    n = rec.shape[0]
-    npad = -(-n // RECS32_PER_ROW) * RECS32_PER_ROW
+    n, w = rec.shape
+    rpr = 128 // w
+    npad = -(-n // rpr) * rpr
     if npad != n:
-        pad = jnp.zeros((npad - n, REC32), jnp.float32)
+        pad = jnp.zeros((npad - n, w), jnp.float32)
         pad = pad.at[:, 10].set(-1.0)                 # dead slots
         rec = jnp.concatenate([rec, pad])
-    return rec.reshape(npad // RECS32_PER_ROW, 128)
+    return rec.reshape(npad // rpr, 128)
 
 
 def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
              cap_pairs: int, cap_big: int = 2048,
-             tile_rows: Tuple[int, int] | None = None) -> RasterRows:
+             tile_rows: Tuple[int, int] | None = None,
+             fmt: str = "full") -> RasterRows:
     """v2 binning: (table-row, tile) pairs, tile-sorted, rows gathered whole.
 
     cap_pairs: static (row, tile)-pair capacity (see default_cap_rows).
@@ -316,7 +357,12 @@ def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
     shard_map axis index): the per-shard viewport for sort-middle parallel
     rasterization (geometry replicated, each chip bins + rasters its own
     rows; SURVEY.md §2.4). Projection stays full-frame; tile ids are
-    local to the band."""
+    local to the band.
+    fmt: "full" = 32-float self-shading records (4/row, kernels/raster.py
+    rasterize_rows); "z16" = 16-float z-only records (8/row,
+    rasterize_rows16 + deferred shade-table shading)."""
+    setup_fn = {"full": _setup_records32, "z16": _setup_records16}[fmt]
+    rpr = {"full": RECS32_PER_ROW, "z16": RECS16_PER_ROW}[fmt]
     wt = -(-width // TILE)
     ht = -(-height // TILE)
     if tile_rows is None:
@@ -343,9 +389,9 @@ def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
     ty1 = jnp.clip(jnp.floor(mx[:, 1] / TILE), 0, ht - 1).astype(jnp.int32)
     onscreen = (mx[:, 0] >= 0) & (mx[:, 1] >= 0) & \
                (mn[:, 0] <= width - 1) & (mn[:, 1] <= height - 1)
-    rec = _setup_records32(clip, mesh, width, height,
-                           jnp.arange(t_count, dtype=jnp.int32),
-                           (jnp.where(w_ok, tx0, 0),
+    rec = setup_fn(clip, mesh, width, height,
+                   jnp.arange(t_count, dtype=jnp.int32),
+                   (jnp.where(w_ok, tx0, 0),
                             jnp.where(w_ok, ty0, 0),
                             jnp.where(w_ok, tx1, wt - 1),
                             jnp.where(w_ok, ty1, ht - 1)))
@@ -375,10 +421,10 @@ def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
     # Per-ROW tile rects: union over live (small) member triangles.
     def row_reduce(a, fill, op):
         n = a.shape[0]
-        npad = -(-n // RECS32_PER_ROW) * RECS32_PER_ROW
+        npad = -(-n // rpr) * rpr
         aa = jnp.full((npad,), fill, a.dtype)
         aa = aa.at[:n].set(jnp.where(small, a, fill))
-        return op(aa.reshape(-1, RECS32_PER_ROW), axis=1)
+        return op(aa.reshape(-1, rpr), axis=1)
 
     rx0 = row_reduce(tx0, jnp.int32(10 ** 6), jnp.min)
     ry0 = row_reduce(ty0, jnp.int32(10 ** 6), jnp.min)
@@ -423,7 +469,7 @@ def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
         jnp.where(big, jnp.arange(t_count, dtype=jnp.float32), -1.0))
     big_idx = jnp.nonzero(big, size=cap_big, fill_value=t_count)[0]
     n_big = jnp.sum(big.astype(jnp.int32))
-    dead = jnp.zeros((1, REC32), jnp.float32).at[0, 10].set(-1.0)
+    dead = jnp.zeros((1, rec.shape[1]), jnp.float32).at[0, 10].set(-1.0)
     big_all = jnp.concatenate([big_rec, dead])
     big_rows = _pack_rows32(big_all[big_idx])
 
@@ -431,7 +477,7 @@ def bin_rows(cam: Camera, mesh: Mesh, width: int, height: int,
     return RasterRows(
         pair_rows=pair_rows, row_starts=t_starts,
         row_counts=t_ends - t_starts, big_rows=big_rows,
-        big_nrows=-(-jnp.minimum(n_big, cap_big) // RECS32_PER_ROW),
+        big_nrows=-(-jnp.minimum(n_big, cap_big) // rpr),
         overflow=overflow)
 
 

@@ -223,6 +223,10 @@ class RenderConfig:
     # compiled TPU backends (interpret-mode CPU runs keep the ray cast).
     gbuffer: str = "auto"
     raster_cap_pairs: int = 0        # 0 = auto from triangle count
+    # Deferred raster shading (v3): z-only half-width setup records in the
+    # kernel + one per-pixel shade-table gather afterwards, instead of the
+    # self-shading 32-float records evaluated wholly in the kernel.
+    raster_deferred: bool = False
     # Two-pass seeded primary ray cast: a cheap first-hit pass supplies
     # per-ray conservative t bounds that cap the main closest pass from
     # iteration 0 (kernels/traverse.py trace_closest_pallas seeded=True).
