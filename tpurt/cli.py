@@ -123,6 +123,10 @@ def main(argv=None) -> int:
                    help="primary visibility: tile rasterizer (the "
                         "reference's strategy) or ray cast; auto picks "
                         "by accel type")
+    p.add_argument("--raster-deferred", action="store_true",
+                   help="raster G-buffer with z-only records + one "
+                        "shade-table gather (deferred shading) instead "
+                        "of self-shading 32-float records")
     p.add_argument("--no-sah", action="store_true",
                    help="skip the native host SAH build for static "
                         "scenes (use the on-device Morton LBVH)")
@@ -165,7 +169,8 @@ def main(argv=None) -> int:
                        sort_rays=opts.get("sort_rays", False),
                        accumulate=opts.get("accumulate", False),
                        leaf_size=leaf_size, seed=args.seed,
-                       gbuffer=args.gbuffer, sah=not args.no_sah)
+                       gbuffer=args.gbuffer, sah=not args.no_sah,
+                       raster_deferred=args.raster_deferred)
 
     from .app import Renderer
     r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"],
