@@ -83,6 +83,8 @@ def main():
         mesh, cam, st_orig)
     b = jax.jit(lambda m, c, s: gbuffer_raster_pass(
         m, c, W, H, s, deferred=True))(mesh, cam, st_orig)
+    log(f"overflow v2={bool(np.asarray(a['raster_overflow']))} "
+        f"v3={bool(np.asarray(b['raster_overflow']))}")
     av, bv = np.asarray(a["valid"]), np.asarray(b["valid"])
     log(f"valid v2={av.sum()} v3={bv.sum()} mismatch={(av != bv).mean():.2e}")
     both = av & bv

@@ -339,6 +339,13 @@ def test_morton_codes_kernel_bitexact():
     b2 = np.asarray(morton_codes_pallas(p2, p2.min(axis=0), p2.max(axis=0),
                                         interpret=True))
     np.testing.assert_array_equal(a2, b2)
+    # 60-bit two-word variant.
+    from tpurt.bvh.morton import morton_of_points_60
+    from tpurt.kernels.build import morton_codes60_pallas
+    h1, l1 = morton_of_points_60(p, smin, smax)
+    h2, l2 = morton_codes60_pallas(p, smin, smax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
 def test_deferred_boxes_rebuild_bitexact():

@@ -519,7 +519,11 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
         from ..kernels.traverse import _compiled_backend
         builder = "kernel" if _compiled_backend() else "search"
     if morton_bits == 60:
-        chi, clo = morton_of_points_60(centroid, scene_min, scene_max)
+        if builder == "kernel":
+            from ..kernels.build import morton_codes60_pallas
+            chi, clo = morton_codes60_pallas(centroid, scene_min, scene_max)
+        else:
+            chi, clo = morton_of_points_60(centroid, scene_min, scene_max)
         s = jax.lax.sort((chi, clo) + payload, num_keys=2)
         chs, cls, s = s[0], s[1], s[2:]
         leaf_codes = (chs[::leaf_size], cls[::leaf_size])

@@ -324,3 +324,58 @@ def morton_codes_pallas(centroid: jnp.ndarray, scene_min, scene_max,
         interpret=interpret,
     )(ux, uy, uz)
     return code.reshape(-1)[:n].astype(jnp.uint32)
+
+
+def _codes60_kernel(ux_ref, uy_ref, uz_ref, hi_ref, lo_ref):
+    """unit-cube coords -> 60-bit Morton keys as two 30-bit words
+    (bvh/morton.py morton_of_points_60 layout)."""
+    grid = jnp.float32(float((1 << 20) - 1))
+
+    def expand(q):
+        v = q & jnp.uint32(0x3FF)
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    def quant(u_ref):
+        q = jnp.clip(u_ref[...] * (grid + 1.0), 0.0, grid)
+        return q.astype(jnp.uint32)
+
+    qx, qy, qz = quant(ux_ref), quant(uy_ref), quant(uz_ref)
+    hi = (expand(qx >> 10) << 2) | (expand(qy >> 10) << 1) \
+        | expand(qz >> 10)
+    lo = (expand(qx) << 2) | (expand(qy) << 1) | expand(qz)
+    hi_ref[...] = hi.astype(jnp.int32)
+    lo_ref[...] = lo.astype(jnp.int32)
+
+
+def morton_codes60_pallas(centroid: jnp.ndarray, scene_min, scene_max,
+                          interpret=None):
+    """Fused 60-bit variant: (hi, lo) uint32[n] — bit-exact drop-in for
+    bvh.morton.morton_of_points_60."""
+    if interpret is None:
+        interpret = not _compiled_backend()
+    n = centroid.shape[0]
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    unit = (centroid - scene_min) / extent
+    rows = -(-n // 128)
+    pad = rows * 128 - n
+    u = jnp.pad(unit, ((0, pad), (0, 0)))
+    ux = u[:, 0].reshape(rows, 128)
+    uy = u[:, 1].reshape(rows, 128)
+    uz = u[:, 2].reshape(rows, 128)
+    vma = getattr(jax.typeof(ux), "vma", None)
+    spec = pl.BlockSpec((rows, 128), lambda: (0, 0),
+                        memory_space=pltpu.VMEM)
+    hi, lo = pl.pallas_call(
+        _codes60_kernel,
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((rows, 128), jnp.int32, vma=vma),
+                   jax.ShapeDtypeStruct((rows, 128), jnp.int32, vma=vma)),
+        interpret=interpret,
+    )(ux, uy, uz)
+    return (hi.reshape(-1)[:n].astype(jnp.uint32),
+            lo.reshape(-1)[:n].astype(jnp.uint32))
