@@ -9,10 +9,10 @@ for i in 1 2 3 4 5; do
   echo "liveness attempt $i failed; sleeping 120s"
   sleep 120
 done
-echo "=== r3t (fused rebuild: deferred boxes + init-folded topology) ==="
-timeout 1200 python /root/repo/probes/probe_r3t.py
-echo "=== r3u (collapse frontier modes x child ordering) ==="
+echo "=== r3u (collapse frontier modes x child ordering; cached kernels) ==="
 timeout 1800 python /root/repo/probes/probe_r3u.py
-echo "=== r3v (deferred z16 raster vs v2 vs ray) — NEW KERNEL LAST ==="
+echo "=== r3t (fused rebuild; NEW morton-codes kernel) ==="
+timeout 1200 python /root/repo/probes/probe_r3t.py
+echo "=== r3v (deferred z16 raster vs v2 vs ray; NEW raster16 kernel LAST) ==="
 timeout 1800 python /root/repo/probes/probe_r3v.py
 echo "=== all probes done ==="

@@ -274,6 +274,7 @@ def test_build_under_jit_and_grad_free():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_builder_kernel_matches_search():
     """build_lbvh(builder="kernel") — the Pallas Cartesian-stack topology
     (interpret mode here) — must produce a tree whose traversal results
@@ -297,6 +298,7 @@ def test_builder_kernel_matches_search():
     assert ok.all()
 
 
+@pytest.mark.slow
 def test_builder_kernel_topology_exact_vs_scan():
     """The kernel topology is the same Cartesian-tree construction as
     karras_topology_scan — child/first/last must be EXACTLY equal."""

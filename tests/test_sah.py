@@ -46,6 +46,7 @@ def test_sah_tree_invariants(scene):
     assert (first <= last).all()
 
 
+@pytest.mark.slow
 def test_sah_traversal_matches_oracle(scene):
     mesh, cam = scene
     bvh = build_sah_lbvh(mesh, leaf_size=8)

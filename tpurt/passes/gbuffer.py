@@ -179,10 +179,8 @@ def _gbuffer_raster_deferred(mesh: Mesh, cam: Camera, width: int,
             bins, width, int(band) * TILE, interpret=interpret,
             ty_off=tr0, full_height=height)
     valid = tri_id >= 0
-    if rays is None:
-        origins, dirs = generate_rays(cam, width, height)
-    else:
-        origins, dirs = rays
+    if rays is not None:
+        origins, _ = rays
         tri_id = tri_id[:origins.shape[0]]
         u = u[:origins.shape[0]]
         v = v[:origins.shape[0]]
@@ -194,11 +192,15 @@ def _gbuffer_raster_deferred(mesh: Mesh, cam: Camera, width: int,
     position = rows[..., 0:3] + u[..., None] * rows[..., 3:6] \
         + v[..., None] * rows[..., 6:9]
     position = jnp.where(valid[..., None], position, 0.0)
-    _, _, forward = camera_basis(cam)
     depth = jnp.where(valid, 1.0 / jnp.maximum(invw, 1e-30), cam.zfar)
-    t = jnp.where(valid, depth / jnp.maximum(
-        jnp.einsum("...k,k->...", dirs, forward), 1e-6), jnp.inf)
-    facing = jnp.sign(-jnp.sum(attrs["gnormal"] * dirs, axis=-1,
+    # View vector straight from the hit position: no per-pixel ray
+    # generation anywhere in this path (sign/normalization match the
+    # ray-based formulation on valid pixels; invalid pixels are masked),
+    # so fused frames that never read t/view_dir carry ZERO ray-gen work.
+    vview = position - cam.position
+    t = jnp.where(valid, jnp.linalg.norm(vview, axis=-1), jnp.inf)
+    view_dir = vview / jnp.maximum(t, 1e-20)[..., None]
+    facing = jnp.sign(-jnp.sum(attrs["gnormal"] * vview, axis=-1,
                                keepdims=True))
     flip = jnp.where(facing == 0, 1.0, facing)
     return {
@@ -210,7 +212,7 @@ def _gbuffer_raster_deferred(mesh: Mesh, cam: Camera, width: int,
         "t": t.astype(jnp.float32),
         "tri_id": tri_id,
         "valid": valid,
-        "view_dir": dirs,
+        "view_dir": view_dir,
         "raster_overflow": bins.overflow,
     }
 
