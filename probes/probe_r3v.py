@@ -92,6 +92,30 @@ def main():
     dn = np.abs(np.asarray(a["normal"]) - np.asarray(b["normal"])
                 ).max(axis=-1)[both]
     log(f"same tri {same.mean():.5f}; normal p99 {np.percentile(dn, 99):.2e}")
+    # Decode-cost isolation: how much of the G-buffer's post-kernel
+    # overhead is the XLA decode chain (oct decode + normalize + unpack
+    # + position fma) vs the row gather itself?
+    import jax.random as jr
+    tid = jr.randint(jr.PRNGKey(1), (H, W), 0, host_mesh.num_triangles)
+    u = jr.uniform(jr.PRNGKey(2), (H, W))
+    v = jr.uniform(jr.PRNGKey(3), (H, W)) * (1.0 - u)
+    valid = jnp.ones((H, W), bool)
+    gath = jax.jit(lambda st, tid: jnp.sum(st[tid]))
+    t = timed(lambda: gath(st_orig, tid))
+    log(f"shade-row gather alone (2M rows): {t*1e3:.2f} ms")
+    rows_g = jax.jit(lambda st, tid: st[tid])(st_orig, tid)
+
+    def decode(rows, u, v, valid):
+        from tpurt.passes.shading import shade_from_table_uv
+        at = shade_from_table_uv(rows, u, v, valid)
+        pos = rows[..., 0:3] + u[..., None] * rows[..., 3:6] \
+            + v[..., None] * rows[..., 6:9]
+        return (jnp.sum(at["normal"]) + jnp.sum(at["gnormal"])
+                + jnp.sum(at["albedo"]) + jnp.sum(pos))
+    dec = jax.jit(decode)
+    t = timed(lambda: dec(rows_g, u, v, valid))
+    log(f"decode chain alone: {t*1e3:.2f} ms")
+
     # Full-frame comparison: ray vs raster vs raster-deferred G-buffer
     # (static SBVH accel, one directional light — the config-1/2 frame).
     from tpurt.app import render_frame_fn
