@@ -54,6 +54,17 @@ def timed(fn, reps, batches=4):
     return best
 
 
+def gb_consume(g):
+    """Device-scalar reduction consuming EVERY G-buffer output the
+    downstream passes read — a valid-only reduction lets XLA dead-code-
+    eliminate the attribute gathers and understates the pass by ~25%
+    (probe r3q). THE one consume used by every timed G-buffer variant."""
+    import jax.numpy as jnp
+    return (jnp.sum(g["normal"]) + jnp.sum(g["albedo"])
+            + jnp.sum(g["position"]) + jnp.sum(g["tri_id"])
+            + jnp.sum(jnp.where(g["valid"], 1.0, 0.0)))
+
+
 def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                tris: int, bvh_width: int = 8):
     import jax
@@ -118,13 +129,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             tracer = lambda o, d: trace_closest(a, o, d)
         return gbuffer_pass(tracer, mesh, cam, width, height, shade_table=st)
 
-    def _gb_consume(g):
-        # Consume EVERY output the downstream passes read — a valid-only
-        # reduction lets XLA dead-code-eliminate the attribute gathers and
-        # understates the pass by ~25% (probe r3q).
-        return (jnp.sum(g["normal"]) + jnp.sum(g["albedo"])
-                + jnp.sum(g["position"]) + jnp.sum(g["tri_id"])
-                + jnp.sum(jnp.where(g["valid"], 1.0, 0.0)))
+    _gb_consume = gb_consume
 
     gb = jax.jit(_gb)
     gbuf = gb(static_accel, mesh, cam, st0)
@@ -204,10 +209,8 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                 mesh, cam, width, height))
             rv = int(np.asarray(gbr(mesh, cam)["valid"]).sum())
             def _gbr_all(mesh, cam):
-                g = gbuffer_raster_pass(mesh, cam, width, height)
-                return (jnp.sum(g["normal"]) + jnp.sum(g["albedo"])
-                        + jnp.sum(g["position"]) + jnp.sum(g["tri_id"])
-                        + jnp.sum(jnp.where(g["valid"], 1.0, 0.0)))
+                return gb_consume(gbuffer_raster_pass(mesh, cam, width,
+                                                      height))
             gbr_scalar = jax.jit(_gbr_all)
             gbr_ms = timed(lambda: gbr_scalar(mesh, cam), 16) * 1e3
             log(f"gbuffer RASTER pass: {gbr_ms:.2f} ms (valid {rv})")
@@ -219,11 +222,9 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             from tpurt.passes.gbuffer import gbuffer_raster_pass
 
             def _gbrd_all(mesh, cam, sto):
-                g = gbuffer_raster_pass(mesh, cam, width, height, sto,
-                                        deferred=True)
-                return (jnp.sum(g["normal"]) + jnp.sum(g["albedo"])
-                        + jnp.sum(g["position"]) + jnp.sum(g["tri_id"])
-                        + jnp.sum(jnp.where(g["valid"], 1.0, 0.0)))
+                return gb_consume(gbuffer_raster_pass(mesh, cam, width,
+                                                      height, sto,
+                                                      deferred=True))
             gbrd_scalar = jax.jit(_gbrd_all)
             gbrd_ms = timed(lambda: gbrd_scalar(mesh, cam, st_orig),
                             16) * 1e3
@@ -415,10 +416,7 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
                 lambda o, d: trace_closest(a, o, d), m, c, W4, H4))
     gbuf4 = gb4(gb_accel4, mesh, cam)
     valid4 = int(np.asarray(gbuf4["valid"]).sum())
-    gb4s = jax.jit(lambda a, m, c: (lambda g: (
-        jnp.sum(g["normal"]) + jnp.sum(g["albedo"]) + jnp.sum(g["position"])
-        + jnp.sum(g["tri_id"])
-        + jnp.sum(jnp.where(g["valid"], 1.0, 0.0))))(gb4(a, m, c)))
+    gb4s = jax.jit(lambda a, m, c: gb_consume(gb4(a, m, c)))
     out["gbuffer_4k_ms"] = round(
         timed(lambda: gb4s(gb_accel4, mesh, cam), 5) * 1e3, 2)
     lights5 = [Light.sun((0.25, 0.9, 0.2), angular_radius_deg=1.5),

@@ -143,10 +143,10 @@ def test_device_precompute_matches_host_oracle(sbvh_scene):
     from tpurt.bvh.wide import _leaf_boxes_from_tris
     _, sah, plan = sbvh_scene
     bmin, bmax = slot_boxes_from_nodes(sah)
-    bary_d = jax.jit(clip_slots_bary_device)(
+    bary_d, slack_d = jax.jit(clip_slots_bary_device)(
         sah.tri_v0, sah.tri_e1, sah.tri_e2, bmin, bmax)
     _, (dmin, dmax) = refit_sbvh(sah, bary_d, sah.tri_v0, sah.tri_e1,
-                                 sah.tri_e2)
+                                 sah.tri_e2, slack=slack_d)
     _, (hmin, hmax) = refit_sbvh(sah, plan.bary, sah.tri_v0, sah.tri_e1,
                                  sah.tri_e2)
     dmin, dmax = np.asarray(dmin), np.asarray(dmax)
@@ -186,3 +186,32 @@ def test_refit_sbvh_wide_is_jittable(sbvh_scene):
                                              vertices=v)[0])
     wide = f(sah, jnp.asarray(deform(mesh, 0.2)))
     assert np.isfinite(np.asarray(wide.nodes)).all()
+
+
+def test_dedup_merge_slack_keeps_box_conservative():
+    """Two distinct hull vertices closer than the dedup ball (2e-4 bary)
+    merge in the device precompute; the recorded per-slot slack, scaled
+    by the edge lengths at refit time, must re-cover the merged vertex —
+    the quantized-key version of this dedup could drop a vertex with only
+    a slot-extent pad, shrinking the box below the true clip polygon."""
+    from tpurt.bvh.clip_refit import clip_slots_bary_device
+
+    delta = 1e-5
+    sv0 = jnp.array([[0.0, 0.0, 0.0]])
+    se1 = jnp.array([[1.0, 0.0, 0.0]])
+    se2 = jnp.array([[0.0, 1.0, 0.0]])
+    # Box clips at x<=0.5 and y<=0.5+delta: the hypotenuse crossings
+    # (0.5, 0.5) and (0.5-delta, 0.5+delta) are ~1.4e-5 apart in bary.
+    bmin = jnp.array([[-1.0, -1.0, -1e-4]])
+    bmax = jnp.array([[0.5, 0.5 + delta, 1e-4]])
+    bary, slack = jax.jit(clip_slots_bary_device)(sv0, se1, se2, bmin, bmax)
+    b1, b2 = np.asarray(bary[0, :, 0]), np.asarray(bary[0, :, 1])
+    p = (np.asarray(sv0)[0] + b1[:, None] * np.asarray(se1)[0]
+         + b2[:, None] * np.asarray(se2)[0])
+    edge = (np.linalg.norm(np.asarray(se1)[0])
+            + np.linalg.norm(np.asarray(se2)[0]))
+    pad = float(slack[0]) * edge
+    # True clip polygon's AABB (f64): ymax = 0.5 + delta from the merged-
+    # away vertex; the padded kept-vertex AABB must still cover it.
+    assert p[:, 1].max() + pad >= 0.5 + delta - 1e-9
+    assert p[:, 0].max() + pad >= 0.5 - 1e-9

@@ -256,3 +256,23 @@ def test_renderer_rebuild_overflow_recovery(scene):
     want = np.asarray(r2.render_frame()["image"])
     np.testing.assert_allclose(np.asarray(out["image"]), want,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_soft_tracer_gated_to_wide_accels(scene, monkeypatch):
+    """The fused soft-shadow kernel exists only for the 8-wide accel;
+    make_soft_tracer must return None (-> XLA scan fallback) for binary/
+    packed/chunked accels even on a compiled backend — returning it there
+    crashed bvh_width=2 area-light frames with the kernel's isinstance
+    assert."""
+    import tpurt.kernels.traverse as T
+    from tpurt.app import make_soft_tracer
+    from tpurt.bvh.wide import build_wide
+    mesh, cam, light = scene
+    bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
+                     leaf_size=4)
+    monkeypatch.setattr(T, "_compiled_backend", lambda: True)
+    cfg = RenderConfig(use_pallas=True, bvh_width=2)
+    assert make_soft_tracer(cfg, bvh) is None
+    cfg8 = RenderConfig(use_pallas=True, bvh_width=8)
+    assert make_soft_tracer(cfg8, bvh) is None          # binary accel
+    assert make_soft_tracer(cfg8, build_wide(bvh)) is not None

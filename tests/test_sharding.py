@@ -218,3 +218,28 @@ def test_entry_compiles():
     img = jax.jit(fn)(*args)
     assert img.shape == (256, 256, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sharded_overflow_flags_surface(scene):
+    """Raster pair-capacity overflow must be reported per shard instead of
+    silently dropping triangles (single-chip Renderer retries on the same
+    flag). Ray-cast paths report all-False; a starved cap reports True."""
+    from tpurt.passes.shading import make_shade_table_orig
+    mesh, cam, light, bvh = scene
+    key = jax.random.PRNGKey(1)
+    # Ray-cast G-buffer: no raster, flags must be all-False.
+    cfg = RenderConfig(width=64, height=64, use_pallas=False)
+    _, ovf = render_frame_sharded(bvh, mesh, cam, (light,), key, cfg,
+                                  mesh=make_tile_mesh(),
+                                  return_overflow=True)
+    ovf = np.asarray(ovf)
+    assert ovf.shape == (8,) and not ovf.any()
+    # Raster G-buffer with a starved pair capacity: flags must fire.
+    sto = make_shade_table_orig(mesh)
+    cfg = RenderConfig(width=64, height=256, use_pallas=True,
+                       gbuffer="raster", raster_cap_pairs=64)
+    _, ovf = render_frame_sharded(bvh, mesh, cam, (light,), key, cfg,
+                                  mesh=make_tile_mesh(),
+                                  shade_table_orig=sto,
+                                  return_overflow=True)
+    assert np.asarray(ovf).any(), "starved raster cap did not report"

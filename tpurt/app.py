@@ -82,14 +82,16 @@ def make_tracers(cfg: RenderConfig):
 def make_soft_tracer(cfg: RenderConfig, bvh):
     """Fused in-kernel cone sampling for area-light soft shadows
     (kernels/traverse.trace_any_soft_pallas), or None where the scan-based
-    XLA path should run instead: pure-JAX configs, chunked (over-VMEM)
-    accels, and interpret-mode CPU runs (the TPU-interpret PRNG is a zero
-    stream — silently degrading penumbrae to hard shadows is worse than
-    the slower exact path)."""
-    from .bvh.chunked import ChunkedAccel
+    XLA path should run instead. The kernel exists only for the 8-wide
+    accel, so anything else — pure-JAX configs, binary/packed BVHs
+    (bvh_width=2), chunked (over-VMEM) accels — falls back, as do
+    interpret-mode CPU runs (the TPU-interpret PRNG is a zero stream —
+    silently degrading penumbrae to hard shadows is worse than the slower
+    exact path)."""
+    from .bvh.wide import WideBVH
     from .kernels.traverse import _compiled_backend, trace_any_soft_pallas
     if not cfg.use_pallas or not _compiled_backend() \
-            or isinstance(bvh, ChunkedAccel):
+            or not isinstance(bvh, WideBVH):
         return None
 
     def soft(origins, valid, axis_dir, cone_cos, spp, seed):
@@ -142,15 +144,14 @@ def use_raster_gbuffer(cfg: RenderConfig) -> bool:
     return cfg.use_pallas and _compiled_backend()
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
-                    lights: Sequence[Light], key: jax.Array,
-                    cfg: RenderConfig,
-                    shade_table=None,
-                    shade_table_orig=None) -> Dict[str, jnp.ndarray]:
-    """One fused frame: G-buffer -> per-light shadow batches -> composite."""
-    num_lights = len(lights)
-    trace_closest, trace_any = make_tracers(cfg)
+def gbuffer_production(bvh: LBVH, mesh: Mesh, cam: Camera,
+                       cfg: RenderConfig, shade_table=None,
+                       shade_table_orig=None) -> Dict[str, jnp.ndarray]:
+    """The production primary-visibility pass for this config/accel —
+    the single source of truth used by BOTH the fused frame
+    (render_frame_fn) and profile mode (Renderer._profile_passes), so the
+    profiled numbers always measure the code the frame actually runs."""
+    trace_closest, _ = make_tracers(cfg)
     from .bvh.wide import WideBVH, order_children_for_point
     if use_raster_gbuffer(cfg) and shade_table_orig is not None:
         from .passes.gbuffer import gbuffer_raster_pass
@@ -190,19 +191,41 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
         # so every primary-visibility strategy goes through it.
         from .passes.texture import apply_textures
         gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
+    return gbuf
+
+
+def shadow_production(bvh: LBVH, gbuf: Dict[str, jnp.ndarray], light: Light,
+                      key: jax.Array, cfg: RenderConfig) -> jnp.ndarray:
+    """The production shadow pass (fused soft kernel where available) —
+    shared by render_frame_fn and profile mode, see gbuffer_production.
+
+    NB: ordering children along the light direction was measured on-TPU
+    (round 2) at neutral-to-harmful for the any-hit trace (+dir doubled
+    the time; -dir was within noise of unordered), so the shadow accel is
+    used as-is. order_children_for_direction remains available for scenes
+    where it pays."""
+    _, trace_any = make_tracers(cfg)
+    return shadow_pass(
+        lambda o, d, tm: trace_any(bvh, o, d, tm),
+        gbuf, light, cfg.spp, key, cfg.shadow_bias,
+        scene_bounds=(bvh.root_min, bvh.root_max),
+        trace_soft=make_soft_tracer(cfg, bvh))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
+                    lights: Sequence[Light], key: jax.Array,
+                    cfg: RenderConfig,
+                    shade_table=None,
+                    shade_table_orig=None) -> Dict[str, jnp.ndarray]:
+    """One fused frame: G-buffer -> per-light shadow batches -> composite."""
+    num_lights = len(lights)
+    gbuf = gbuffer_production(bvh, mesh, cam, cfg, shade_table,
+                              shade_table_orig)
     shadows = []
     for li in range(num_lights):
         lkey = jax.random.fold_in(key, li)
-        # NB: ordering children along the light direction was measured
-        # on-TPU (round 2) at neutral-to-harmful for the any-hit trace
-        # (+dir doubled the time; -dir was within noise of unordered), so
-        # the shadow accel is used as-is. order_children_for_direction
-        # remains available for scenes where it pays.
-        shadows.append(shadow_pass(
-            lambda o, d, tm: trace_any(bvh, o, d, tm),
-            gbuf, lights[li], cfg.spp, lkey, cfg.shadow_bias,
-            scene_bounds=(bvh.root_min, bvh.root_max),
-            trace_soft=make_soft_tracer(cfg, bvh)))
+        shadows.append(shadow_production(bvh, gbuf, lights[li], lkey, cfg))
     # Composite: sum of per-light direct terms + one ambient term.
     img = composite_pass(gbuf, shadows[0], lights[0], cfg.ambient,
                          cfg.background)
@@ -382,9 +405,9 @@ class Renderer:
         from .bvh.clip_refit import (ClipRefitPlan, clip_slots_bary_device,
                                      slot_boxes_from_nodes)
         bmin, bmax = slot_boxes_from_nodes(self.bvh)
-        bary = jax.jit(clip_slots_bary_device)(
+        bary, slack = jax.jit(clip_slots_bary_device)(
             self.bvh.tri_v0, self.bvh.tri_e1, self.bvh.tri_e2, bmin, bmax)
-        return ClipRefitPlan(bary=bary, plan=self._wide_plan)
+        return ClipRefitPlan(bary=bary, plan=self._wide_plan, slack=slack)
 
     def _refit_accel(self):
         """Refit fast path: topology (and therefore the wide plan) is
@@ -583,25 +606,18 @@ class Renderer:
         return out
 
     def _profile_passes(self, key, timer: Timer) -> None:
+        """Per-pass timings via the SAME pass constructors the fused frame
+        uses (gbuffer_production/shadow_production) — a profile of any
+        other code path would misreport gbuffer_ms/shadow_ms and the
+        Mrays/s derived from them."""
         cfg = self.config
-        trace_closest, trace_any = make_tracers(cfg)
-        if use_raster_gbuffer(cfg):
-            from .passes.gbuffer import gbuffer_raster_pass
-            gb = jax.jit(lambda _bvh, mesh, cam, st: gbuffer_raster_pass(
-                mesh, cam, cfg.width, cfg.height, st,
-                cap_pairs=cfg.raster_cap_pairs or None))
-        else:
-            gb = jax.jit(lambda bvh, mesh, cam, _st: gbuffer_pass(
-                lambda o, d: trace_closest(bvh, o, d), mesh, cam, cfg.width,
-                cfg.height))
+        gb = jax.jit(partial(gbuffer_production, cfg=cfg))
         with timer.section("gbuffer"):
             gbuf = gb(self.accel, self.mesh, self.camera,
-                      self.shade_table_orig)
+                      shade_table=self.shade_table,
+                      shade_table_orig=self.shade_table_orig)
             jax.block_until_ready(gbuf["t"])
-        sp = jax.jit(lambda bvh, gbuf, light, k: shadow_pass(
-            lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf, light, cfg.spp,
-            k, cfg.shadow_bias,
-            scene_bounds=(bvh.root_min, bvh.root_max)))
+        sp = jax.jit(partial(shadow_production, cfg=cfg))
         with timer.section("shadow"):
             masks = []
             for li, light in enumerate(self.lights):

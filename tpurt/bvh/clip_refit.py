@@ -52,10 +52,17 @@ class ClipRefitPlan(NamedTuple):
             polygon's vertices per leaf slot, padded by repeating a valid
             vertex (padding never widens the AABB).
     plan  : wide-collapse plan (make_wide_plan) for the same topology.
+    slack : f32[S] — per-slot Chebyshev-barycentric radius covering every
+            candidate vertex the compaction dropped (dedup merges + top_k
+            crowding); refit_sbvh pads the slot box by
+            ``slack * (|e1| + |e2|)`` so the refit AABB stays conservative
+            even when a distinct hull vertex was merged away. Zero (the
+            common case) when nothing was dropped.
     """
 
     bary: Any
     plan: Any
+    slack: Any = None
 
 
 def _leaf_boxes_np(lbvh: LBVH) -> Tuple[np.ndarray, np.ndarray]:
@@ -174,10 +181,9 @@ def clip_slots_bary(lbvh: LBVH, rel_eps: float = 1e-5) -> np.ndarray:
         cb[none, 2] = (0.0, 1.0)
         ok[none, :3] = True
 
-    # Compact to MAX_PTS per slot: order valid-first, dedupe exact
-    # duplicates cheaply by preferring distinct quantized coords.
+    # Compact to MAX_PTS per slot: order valid-first (stable, so valid
+    # candidates keep construction order).
     key = np.where(ok, 0, 1)
-    # stable argsort: valid candidates keep construction order
     idx = np.argsort(key, axis=1, kind="stable")[:, :MAX_PTS]
     take = np.take_along_axis
     out = np.stack([take(cb[:, :, 0], idx, 1), take(cb[:, :, 1], idx, 1)],
@@ -185,7 +191,16 @@ def clip_slots_bary(lbvh: LBVH, rel_eps: float = 1e-5) -> np.ndarray:
     okk = take(ok, idx, 1)
     # Pad invalid tail with the first (always valid) vertex.
     out = np.where(okk[:, :, None], out, out[:, :1, :])
-    return np.ascontiguousarray(out.astype(np.float32))
+    # Compaction slack (same contract as the device twin): Chebyshev-
+    # barycentric distance from any valid candidate to the kept set —
+    # covers top_k crowding when > MAX_PTS candidates were valid.
+    dch = np.maximum(np.abs(cb[:, :, None, 0] - out[:, None, :, 0]),
+                     np.abs(cb[:, :, None, 1] - out[:, None, :, 1]))
+    dch = np.where(okk[:, None, :], dch, np.inf)
+    dnear = dch.min(axis=2)
+    slack = np.where(ok, dnear, 0.0).max(axis=1)
+    return (np.ascontiguousarray(out.astype(np.float32)),
+            slack.astype(np.float32))
 
 
 def clip_slots_bary_device(sv0, se1, se2, bmin, bmax,
@@ -296,14 +311,17 @@ def clip_slots_bary_device(sv0, se1, se2, bmin, bmax,
     none = ~ok.any(axis=1)
     ok = ok | (none[:, None] & (jnp.arange(ncand) < 3))
 
-    # Drop exact quantized duplicates (keep the first of each cluster) so
-    # top_k compaction cannot lose a distinct hull vertex to eps-dupes.
-    q = jnp.int32(2048)
-    key = (jnp.clip(cb1 * q, -q, 2 * q).astype(jnp.int32) * (4 * q)
-           + jnp.clip(cb2 * q, -q, 2 * q).astype(jnp.int32))
-    same = (key[:, :, None] == key[:, None, :])               # [S, C, C]
+    # Drop eps-ball duplicates (keep the first of each cluster) so the
+    # f32-noise/beps scatter around one hull vertex cannot crowd distinct
+    # vertices out of the MAX_PTS slots. A BALL test (not quantized keys)
+    # merges every near-duplicate pair regardless of where quantization
+    # boundaries fall; tau comfortably exceeds the beps validity scatter.
+    ok0 = ok                        # validity before dedup, for the slack
+    tau = jnp.float32(2e-4)
+    near = (jnp.abs(cb1[:, :, None] - cb1[:, None, :]) <= tau) \
+        & (jnp.abs(cb2[:, :, None] - cb2[:, None, :]) <= tau)  # [S, C, C]
     earlier = jnp.tril(jnp.ones((ncand, ncand), bool), k=-1)
-    dup = (same & earlier & ok[:, None, :]).any(axis=2)
+    dup = (near & earlier & ok[:, None, :]).any(axis=2)
     ok &= ~dup
 
     # Compact: top_k over (valid, construction order) — valid-first,
@@ -317,7 +335,18 @@ def clip_slots_bary_device(sv0, se1, se2, bmin, bmax,
     okk = take(ok, idx, axis=1)
     out1 = jnp.where(okk, out1, out1[:, :1])
     out2 = jnp.where(okk, out2, out2[:, :1])
-    return jnp.stack([out1, out2], axis=2)
+
+    # Exact per-slot compaction slack: the largest Chebyshev-barycentric
+    # distance from ANY valid candidate (pre-dedup) to the kept vertex
+    # set. Covers dedup merges AND top_k crowding; refit_sbvh turns it
+    # into a world-space pad of slack * (|e1| + |e2|). Zero when nothing
+    # was dropped.
+    dch = jnp.maximum(jnp.abs(cb1[:, :, None] - out1[:, None, :]),
+                      jnp.abs(cb2[:, :, None] - out2[:, None, :]))
+    dch = jnp.where(okk[:, None, :], dch, jnp.inf)            # [S, C, P]
+    dnear = dch.min(axis=2)                                   # [S, C]
+    slack = jnp.max(jnp.where(ok0, dnear, 0.0), axis=1)       # [S]
+    return jnp.stack([out1, out2], axis=2), slack
 
 
 def slot_boxes_from_nodes(lbvh: LBVH):
@@ -339,34 +368,43 @@ def make_clip_refit(lbvh: LBVH, nw_pad: int,
     import jax
     if device:
         bmin, bmax = slot_boxes_from_nodes(lbvh)
-        bary = jax.jit(clip_slots_bary_device)(
+        bary, slack = jax.jit(clip_slots_bary_device)(
             lbvh.tri_v0, lbvh.tri_e1, lbvh.tri_e2, bmin, bmax)
     else:
-        bary = jnp.asarray(clip_slots_bary(lbvh))
+        bary_np, slack_np = clip_slots_bary(lbvh)
+        bary, slack = jnp.asarray(bary_np), jnp.asarray(slack_np)
     plan = jax.jit(make_wide_plan, static_argnames=("nw_pad",))(
         lbvh, nw_pad=nw_pad)
-    return ClipRefitPlan(bary=bary, plan=plan)
+    return ClipRefitPlan(bary=bary, plan=plan, slack=slack)
 
 
 def refit_sbvh(lbvh: LBVH, bary: jnp.ndarray,
-               sv0: jnp.ndarray, se1: jnp.ndarray, se2: jnp.ndarray
+               sv0: jnp.ndarray, se1: jnp.ndarray, se2: jnp.ndarray,
+               slack: Optional[jnp.ndarray] = None
                ) -> Tuple[LBVH, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Refit the binary SBVH from deformed SLOT corners (sorted order).
 
     Returns the refit LBVH plus the clipped leaf boxes (for the wide
     assembly). ``sv0/se1/se2``: f32[S, 3] — the deformed triangle data in
     leaf-slot order (apply elementwise deforms directly to these; no
-    vertex gathers needed)."""
+    vertex gathers needed). ``slack``: optional f32[S] compaction radius
+    from the precompute (ClipRefitPlan.slack)."""
     b1 = bary[:, :, 0]                                    # [S, P]
     b2 = bary[:, :, 1]
     p = (sv0[:, None, :] + b1[:, :, None] * se1[:, None, :]
          + b2[:, :, None] * se2[:, None, :])              # [S, P, 3]
     smin = p.min(axis=1)
     smax = p.max(axis=1)
-    # Conservative pad: absorbs f32 rounding in the polygon eval and any
-    # sub-quantum shrink from duplicate-merging in the device precompute.
-    # 1e-4 of the slot extent is invisible to traversal cost.
+    # Conservative pad: absorbs f32 rounding in the polygon eval (1e-4 of
+    # the slot extent — invisible to traversal cost) plus, when the
+    # precompute dropped candidate vertices (dedup merge / top_k
+    # crowding), their exact barycentric slack scaled by the DEFORMED
+    # edge lengths: |Δp| <= |Δb1|·|e1| + |Δb2|·|e2| <= slack·(|e1|+|e2|).
     pad = 1e-4 * (smax - smin).max(axis=1, keepdims=True)
+    if slack is not None:
+        edge = (jnp.linalg.norm(se1, axis=-1)
+                + jnp.linalg.norm(se2, axis=-1))          # [S]
+        pad = pad + (slack * edge)[:, None]
     smin = smin - pad
     smax = smax + pad
     k = lbvh.leaf_size
@@ -393,6 +431,7 @@ def refit_sbvh_wide(plan: ClipRefitPlan, lbvh: LBVH,
         v0 = vertices[tri[:, 0]]
         sv0, se1, se2 = v0, vertices[tri[:, 1]] - v0, \
             vertices[tri[:, 2]] - v0
-    refit, leaf_boxes = refit_sbvh(lbvh, plan.bary, sv0, se1, se2)
+    refit, leaf_boxes = refit_sbvh(lbvh, plan.bary, sv0, se1, se2,
+                                   slack=plan.slack)
     wide = widen_from_plan(plan.plan, refit, leaf_boxes=leaf_boxes)
     return wide, refit

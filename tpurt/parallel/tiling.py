@@ -111,14 +111,20 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
             img = contrib
         else:
             img = jnp.where(gbuf["valid"][..., None], img + contrib, img)
-    return img
+    # Raster pair-capacity overflow for THIS shard's band (False on the
+    # ray-cast paths): surfaced so the caller can retry with a bigger cap
+    # instead of silently shipping a frame with dropped triangles.
+    ovf = gbuf.get("raster_overflow", False)
+    ovf = jnp.reshape(jnp.asarray(ovf, jnp.bool_), (1,))
+    return img, ovf
 
 
 def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
                          lights, key, cfg: RenderConfig,
                          mesh: Optional[Mesh] = None,
                          shade_table=None,
-                         shade_table_orig=None) -> jnp.ndarray:
+                         shade_table_orig=None,
+                         return_overflow: bool = False):
     """Render one frame with image rows sharded over the mesh's "tiles" axis.
 
     Returns the assembled f32[H, W, 3] image (sharded jax.Array; converting
@@ -127,6 +133,12 @@ def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
     passes/shading.make_shade_table) for the ray-cast G-buffer,
     ``shade_table_orig`` to enable the per-band tile rasterizer when
     cfg.gbuffer resolves to raster.
+
+    return_overflow=True additionally returns bool[n_shards] raster
+    pair-capacity overflow flags (all-False on ray-cast paths). A True
+    flag means that shard's band dropped triangles this frame — re-render
+    with a doubled cfg.raster_cap_pairs, exactly like Renderer's
+    single-chip retry (app.py render_frame).
     """
     from ..app import make_tracers, use_raster_gbuffer
     if mesh is None:
@@ -160,11 +172,13 @@ def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P("tiles"),
                   P("tiles")),
-        out_specs=P("tiles"),
+        out_specs=(P("tiles"), P("tiles")),
         check_vma=vma_check_enabled(cfg),  # see the helper's docstring
     )
-    img = fn(tri_mesh, cam, lights, key, bvh, shade_table,
-             shade_table_orig, origins, dirs)
+    img, overflow = fn(tri_mesh, cam, lights, key, bvh, shade_table,
+                       shade_table_orig, origins, dirs)
+    if return_overflow:
+        return img[:h], overflow
     return img[:h]
 
 

@@ -30,6 +30,7 @@ def shade_attributes(mesh: Mesh, tri_id: jnp.ndarray, position: jnp.ndarray,
     triangle (one gather per pixel — cheaper than carrying u/v through the
     traversal kernels).
     """
+    from .shading import barycentrics_from_position
     tid = jnp.maximum(tri_id, 0)
     tri = mesh.indices[tid]                       # [..., 3]
     v0 = mesh.vertices[tri[..., 0]]
@@ -37,18 +38,7 @@ def shade_attributes(mesh: Mesh, tri_id: jnp.ndarray, position: jnp.ndarray,
     v2 = mesh.vertices[tri[..., 2]]
     e1 = v1 - v0
     e2 = v2 - v0
-    # Solve p - v0 = u*e1 + v*e2 in the triangle plane (2x2 normal equations).
-    w = position - v0
-    d11 = jnp.sum(e1 * e1, axis=-1)
-    d12 = jnp.sum(e1 * e2, axis=-1)
-    d22 = jnp.sum(e2 * e2, axis=-1)
-    dw1 = jnp.sum(w * e1, axis=-1)
-    dw2 = jnp.sum(w * e2, axis=-1)
-    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
-    u = (d22 * dw1 - d12 * dw2) / det
-    v = (d11 * dw2 - d12 * dw1) / det
-    u = jnp.clip(u, 0.0, 1.0)
-    v = jnp.clip(v, 0.0, 1.0)
+    u, v = barycentrics_from_position(v0, e1, e2, position)
 
     n0 = mesh.normals[tri[..., 0]]
     n1 = mesh.normals[tri[..., 1]]

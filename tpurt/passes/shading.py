@@ -157,13 +157,13 @@ def shade_from_table_uv(rows: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     }
 
 
-def shade_from_table(rows: jnp.ndarray, position: jnp.ndarray,
-                     valid: jnp.ndarray):
-    """Gathered table rows [..., 16] + hit positions -> attribute dict
-    (same contract as passes.gbuffer.shade_attributes)."""
-    v0 = rows[..., 0:3]
-    e1 = rows[..., 3:6]
-    e2 = rows[..., 6:9]
+def barycentrics_from_position(v0: jnp.ndarray, e1: jnp.ndarray,
+                               e2: jnp.ndarray, position: jnp.ndarray):
+    """(u, v) of ``position`` against triangle (v0, e1, e2), clipped to the
+    triangle: the 2x2 normal-equations solve of p - v0 = u*e1 + v*e2 in
+    the triangle plane. THE shared solve — gbuffer.shade_attributes,
+    shade_from_table, and texture.interpolate_uv all interpolate with it,
+    so epsilon/clamping fixes apply to every consumer at once."""
     w = position - v0
     d11 = jnp.sum(e1 * e1, axis=-1)
     d12 = jnp.sum(e1 * e2, axis=-1)
@@ -173,6 +173,17 @@ def shade_from_table(rows: jnp.ndarray, position: jnp.ndarray,
     det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
     u = jnp.clip((d22 * dw1 - d12 * dw2) / det, 0.0, 1.0)
     v = jnp.clip((d11 * dw2 - d12 * dw1) / det, 0.0, 1.0)
+    return u, v
+
+
+def shade_from_table(rows: jnp.ndarray, position: jnp.ndarray,
+                     valid: jnp.ndarray):
+    """Gathered table rows [..., 16] + hit positions -> attribute dict
+    (same contract as passes.gbuffer.shade_attributes)."""
+    v0 = rows[..., 0:3]
+    e1 = rows[..., 3:6]
+    e2 = rows[..., 6:9]
+    u, v = barycentrics_from_position(v0, e1, e2, position)
     n0 = oct_decode(rows[..., 9:11])
     n1 = oct_decode(rows[..., 11:13])
     n2 = oct_decode(rows[..., 13:15])

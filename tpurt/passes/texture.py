@@ -62,20 +62,13 @@ def interpolate_uv(mesh: Mesh, tri_id: jnp.ndarray,
     """Per-pixel texture coordinates at hit points: barycentrics are
     recomputed from the hit position against the hit triangle (same
     normal-equations solve as gbuffer.shade_attributes)."""
+    from .shading import barycentrics_from_position
     tid = jnp.maximum(tri_id, 0)
     tri = mesh.indices[tid]
     v0 = mesh.vertices[tri[..., 0]]
     e1 = mesh.vertices[tri[..., 1]] - v0
     e2 = mesh.vertices[tri[..., 2]] - v0
-    w = position - v0
-    d11 = jnp.sum(e1 * e1, axis=-1)
-    d12 = jnp.sum(e1 * e2, axis=-1)
-    d22 = jnp.sum(e2 * e2, axis=-1)
-    dw1 = jnp.sum(w * e1, axis=-1)
-    dw2 = jnp.sum(w * e2, axis=-1)
-    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
-    u = jnp.clip((d22 * dw1 - d12 * dw2) / det, 0.0, 1.0)
-    v = jnp.clip((d11 * dw2 - d12 * dw1) / det, 0.0, 1.0)
+    u, v = barycentrics_from_position(v0, e1, e2, position)
     uv0 = mesh.uv[tri[..., 0]]
     uv1 = mesh.uv[tri[..., 1]]
     uv2 = mesh.uv[tri[..., 2]]
