@@ -243,3 +243,28 @@ def test_sharded_overflow_flags_surface(scene):
                                   shade_table_orig=sto,
                                   return_overflow=True)
     assert np.asarray(ovf).any(), "starved raster cap did not report"
+
+
+def test_cli_shard_flag(tmp_path):
+    """--shard N drives the SURVEY §2.4 data-parallel path from the CLI:
+    rows sharded over the fake 8-device mesh, PNG written, and the image
+    matches the unsharded CLI render of the same scene/seed."""
+    from tpurt.cli import main
+    from tpurt.io.image import read_png
+    a = str(tmp_path / "sharded.png")
+    b = str(tmp_path / "single.png")
+    base = ["--scene", "soup200", "--width", "64", "--height", "48",
+            "--no-pallas", "--no-sah", "--seed", "0"]
+    assert main(base + ["--shard", "8", "--out", a]) == 0
+    assert main(base + ["--out", b]) == 0
+    ia, ib = read_png(a), read_png(b)
+    assert ia.shape == ib.shape == (48, 64, 3)
+    np.testing.assert_allclose(ia.astype(np.float32),
+                               ib.astype(np.float32), atol=1.5)
+
+
+def test_cli_shard_rejects_nonstatic():
+    from tpurt.cli import main
+    with pytest.raises(SystemExit):
+        main(["--scene", "soup200", "--width", "32", "--height", "32",
+              "--no-pallas", "--shard", "8", "--mode", "refit"])

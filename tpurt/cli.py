@@ -130,6 +130,13 @@ def main(argv=None) -> int:
     p.add_argument("--no-sah", action="store_true",
                    help="skip the native host SAH build for static "
                         "scenes (use the on-device Morton LBVH)")
+    p.add_argument("--shard", type=int, default=0, metavar="N",
+                   help="shard image rows over the first N jax devices "
+                        "(jax.sharding.Mesh axis 'tiles' — the SURVEY "
+                        "§2.4 data-parallel path; static mode only). "
+                        "Try without a pod via JAX_PLATFORMS=cpu "
+                        "XLA_FLAGS=--xla_force_host_platform_device_"
+                        "count=8")
     args = p.parse_args(argv)
 
     if args.debug:
@@ -196,9 +203,42 @@ def main(argv=None) -> int:
     else:
         trace_ctx = contextlib.nullcontext()
 
+    shard_frame = None
+    if args.shard and args.shard > 1:
+        if opts["mode"] != "static" or opts.get("animate"):
+            p.error("--shard supports static scenes only (the per-frame "
+                    "rebuild/refit paths are single-chip; see "
+                    "tpurt/parallel/tiling.py)")
+        import jax
+
+        from .parallel.tiling import (device_put_replicated, make_tile_mesh,
+                                      render_frame_sharded)
+        devs = jax.devices()
+        if len(devs) < args.shard:
+            p.error(f"--shard {args.shard} but only {len(devs)} devices "
+                    f"visible ({devs[0].platform})")
+        dev_mesh = make_tile_mesh(devs[:args.shard])
+        accel_r = device_put_replicated(r.accel, dev_mesh)
+        mesh_r = device_put_replicated(r.mesh, dev_mesh)
+        st_r = device_put_replicated(r.shade_table, dev_mesh)
+        sto_r = device_put_replicated(r.shade_table_orig, dev_mesh)
+
+        def shard_frame(key):
+            return render_frame_sharded(
+                accel_r, mesh_r, cam, lights, key, cfg, mesh=dev_mesh,
+                shade_table=st_r, shade_table_orig=sto_r)
+        print(f"sharding rows over {args.shard} devices "
+              f"({devs[0].platform})", file=sys.stderr)
+
     out = None
     with trace_ctx:
         for f in range(args.frames):
+            if shard_frame is not None:
+                import jax
+                img = shard_frame(jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed), f))
+                out = {"image": jax.block_until_ready(img)}
+                continue
             if opts.get("animate"):
                 r.set_vertices(deform(mesh, time=f * 0.08))
             out = r.render_frame(profile=args.profile)
