@@ -500,7 +500,45 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
     return out
 
 
+def _await_platform(budget_s: float = 1200.0, probe_timeout_s: int = 240):
+    """Platform-outage guard: on the remote-TPU platform ``jax.devices()``
+    HANGS (not errors) while the tunnel is down — observed for multi-hour
+    stretches — which would hang this whole benchmark at the first jax op.
+    Probe device liveness in a SUBPROCESS with a hard timeout and retry
+    within a bounded budget, so an outage degrades to a late (or failed)
+    bench line instead of a wedged process."""
+    import subprocess
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if r.returncode == 0:
+                log(f"platform alive: {r.stdout.strip()} "
+                    f"(attempt {attempt})")
+                return True
+            log(f"liveness probe exit {r.returncode}: {r.stderr[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"liveness probe timed out ({probe_timeout_s}s), "
+                f"attempt {attempt}")
+        if time.time() > deadline:
+            log("platform liveness budget exhausted")
+            return False
+        time.sleep(60)
+
+
 def main() -> int:
+    if not _await_platform():
+        # Platform wedged: any jax op would hang forever — emit the
+        # failure line instead of wedging the caller.
+        print(json.dumps({"metric": "shadow_mrays_per_s", "value": 0.0,
+                          "unit": "Mrays/s", "vs_baseline": 0.0,
+                          "error": "device platform unreachable"}))
+        return 1
     import jax
     # Persistent compile cache: repeat runs skip the ~5 min of Mosaic/XLA
     # compiles (and reduce exposure to remote-compile-service flakiness).
