@@ -123,3 +123,26 @@ def test_render_config_static_hashable():
     assert hash(c) == hash(RenderConfig(width=64, height=32))
     assert c.num_pixels == 64 * 32
     assert c.packet_size == 1024
+
+
+def test_camera_orbit():
+    """orbit() rotates the eye around the up axis through the target:
+    distance and elevation are preserved, a full circle returns home, and
+    the target/fov are untouched (the CLI --orbit flythrough path)."""
+    import numpy as np
+    from tpurt.camera import orbit
+    from tpurt.types import Camera
+    cam = Camera.look_at((3.0, 2.0, 0.0), (1.0, 0.5, -0.5))
+    r0 = np.asarray(cam.position) - np.asarray(cam.target)
+    c = cam
+    for _ in range(5):
+        c = orbit(c, 2.0 * np.pi / 5.0)
+        r = np.asarray(c.position) - np.asarray(c.target)
+        assert abs(np.linalg.norm(r) - np.linalg.norm(r0)) < 1e-5
+        up = np.asarray(cam.up, np.float64)
+        up /= np.linalg.norm(up)
+        assert abs(np.dot(r, up) - np.dot(r0, up)) < 1e-5   # elevation
+    assert np.abs(np.asarray(c.position) - np.asarray(cam.position)).max() \
+        < 1e-5
+    np.testing.assert_array_equal(np.asarray(c.target),
+                                  np.asarray(cam.target))

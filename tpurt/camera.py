@@ -77,3 +77,20 @@ def view_depth(cam: Camera, positions: jnp.ndarray, valid: jnp.ndarray) -> jnp.n
     _, _, forward = camera_basis(cam)
     d = jnp.einsum("...k,k->...", positions - cam.position, forward)
     return jnp.where(valid, d, cam.zfar).astype(jnp.float32)
+
+
+def orbit(cam: Camera, angle) -> Camera:
+    """Eye rotated by ``angle`` radians around the camera's up axis through
+    the target — the headless analogue of the reference's interactive fly
+    camera (Rush CameraManipulator mouse-look [RECALL]): a deterministic
+    per-frame camera path for flythrough sequences (CLI --orbit).
+    jit-safe; target/up/fov are preserved."""
+    import dataclasses
+    u = normalize(jnp.asarray(cam.up, jnp.float32), axis=0)
+    r = jnp.asarray(cam.position, jnp.float32) \
+        - jnp.asarray(cam.target, jnp.float32)
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    # Rodrigues rotation of the eye offset about u.
+    r_rot = (r * c + jnp.cross(u, r) * s
+             + u * jnp.dot(u, r) * (1.0 - c))
+    return dataclasses.replace(cam, position=(cam.target + r_rot))

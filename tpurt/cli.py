@@ -102,6 +102,10 @@ def main(argv=None) -> int:
     p.add_argument("--accumulate", action="store_true")
     p.add_argument("--animate", action="store_true",
                    help="deform the mesh every frame (exercises refit)")
+    p.add_argument("--orbit", type=float, default=None, metavar="DEG",
+                   help="rotate the camera DEG degrees around its up axis "
+                        "each frame (headless flythrough — the reference's "
+                        "interactive fly-camera analogue)")
     p.add_argument("--leaf-size", type=int, default=None)
     p.add_argument("--out", default=None, help="output PNG path")
     p.add_argument("--profile", action="store_true",
@@ -205,9 +209,10 @@ def main(argv=None) -> int:
 
     shard_frame = None
     if args.shard and args.shard > 1:
-        if opts["mode"] != "static" or opts.get("animate"):
+        if opts["mode"] != "static" or opts.get("animate") \
+                or args.orbit is not None:
             p.error("--shard supports static scenes only (the per-frame "
-                    "rebuild/refit paths are single-chip; see "
+                    "rebuild/refit/camera-path loops are single-chip; see "
                     "tpurt/parallel/tiling.py)")
         import jax
 
@@ -241,6 +246,9 @@ def main(argv=None) -> int:
                 continue
             if opts.get("animate"):
                 r.set_vertices(deform(mesh, time=f * 0.08))
+            if args.orbit is not None and f:
+                from .camera import orbit
+                r.set_camera(orbit(r.camera, np.deg2rad(args.orbit)))
             out = r.render_frame(profile=args.profile)
             if args.stats_json:
                 print(json.dumps(r.stats.as_dict()))
