@@ -9,6 +9,8 @@ for i in 1 2 3 4 5; do
   echo "liveness attempt $i failed; sleeping 120s"
   sleep 120
 done
+echo "=== r3w (frame residual decomposition; all-cached kernel families) ==="
+timeout 1500 python /root/repo/probes/probe_r3w.py
 echo "=== r3u (collapse frontier modes x child ordering; cached kernels) ==="
 timeout 1800 python /root/repo/probes/probe_r3u.py
 echo "=== r3t (fused rebuild; NEW morton-codes kernel) ==="
