@@ -419,6 +419,21 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
     gb4s = jax.jit(lambda a, m, c: gb_consume(gb4(a, m, c)))
     out["gbuffer_4k_ms"] = round(
         timed(lambda: gb4s(gb_accel4, mesh, cam), 5) * 1e3, 2)
+    # Deferred (z16) raster at 4K — fault-tolerant comparison point; the
+    # winner becomes the 4K primary-visibility default once measured.
+    try:
+        from tpurt.kernels.traverse import _compiled_backend
+        from tpurt.passes.gbuffer import gbuffer_raster_pass
+        from tpurt.passes.shading import make_shade_table_orig
+        assert _compiled_backend()
+        st_orig4 = jax.jit(make_shade_table_orig)(mesh)
+        gb4d = jax.jit(lambda m, c, so: gb_consume(gbuffer_raster_pass(
+            m, c, W4, H4, so, deferred=True)))
+        out["gbuffer_4k_deferred_ms"] = round(
+            timed(lambda: gb4d(mesh, cam, st_orig4), 5) * 1e3, 2)
+        log(f"gbuffer 4K RASTER-DEFERRED: {out['gbuffer_4k_deferred_ms']} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"4K deferred raster failed: {type(e).__name__}: {str(e)[:160]}")
     lights5 = [Light.sun((0.25, 0.9, 0.2), angular_radius_deg=1.5),
                Light.directional((-0.4, 0.8, -0.3))]
     raw = lambda a, o, d, tm: trace_any(a, o, d, tm)
