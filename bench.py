@@ -16,6 +16,7 @@ publishes no numbers — see BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -546,13 +547,29 @@ def _await_platform(budget_s: float = 1200.0, probe_timeout_s: int = 240):
         time.sleep(60)
 
 
+_LASTGOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LASTGOOD.json")
+
+
+def _failure_line(error: str) -> str:
+    """Honest outage line: value 0 (nothing was measured THIS run), plus —
+    clearly labeled — the most recent successful bench payload so a
+    platform outage at bench time doesn't erase the round's real numbers."""
+    out = {"metric": "shadow_mrays_per_s", "value": 0.0,
+           "unit": "Mrays/s", "vs_baseline": 0.0, "error": error}
+    try:
+        with open(_LASTGOOD) as f:
+            out["last_good"] = json.load(f)
+    except Exception:  # noqa: BLE001 - no prior success recorded
+        pass
+    return json.dumps(out)
+
+
 def main() -> int:
     if not _await_platform():
         # Platform wedged: any jax op would hang forever — emit the
         # failure line instead of wedging the caller.
-        print(json.dumps({"metric": "shadow_mrays_per_s", "value": 0.0,
-                          "unit": "Mrays/s", "vs_baseline": 0.0,
-                          "error": "device platform unreachable"}))
+        print(_failure_line("device platform unreachable"))
         return 1
     import jax
     # Persistent compile cache: repeat runs skip the ~5 min of Mosaic/XLA
@@ -578,8 +595,7 @@ def main() -> int:
             log(f"bench attempt {attempt} failed: {type(e).__name__}: "
                 f"{str(e)[:300]}")
     if result is None:
-        print(json.dumps({"metric": "shadow_mrays_per_s", "value": 0.0,
-                          "unit": "Mrays/s", "vs_baseline": 0.0}))
+        print(_failure_line("all bench configs failed"))
         return 1
     extras = {k: v for k, v in result.items()
               if k not in ("mrays", "frame_ms", "build_ms", "widen_ms",
@@ -592,7 +608,7 @@ def main() -> int:
     refit_trace = None
     if "refit_ms" in result and "shadow_ms" in result:
         refit_trace = round(result["refit_ms"] + result["shadow_ms"], 2)
-    print(json.dumps({
+    payload = {
         "metric": "shadow_mrays_per_s",
         "value": round(result["mrays"], 2),
         "unit": "Mrays/s",
@@ -607,7 +623,14 @@ def main() -> int:
         "gbuffer_ms": round(result["gbuffer_ms"], 2),
         "shadow_ms": round(result["shadow_ms"], 2),
         "config": result["kw"],
-    }))
+    }
+    try:
+        with open(_LASTGOOD, "w") as f:
+            json.dump({**payload, "recorded_unix": round(time.time(), 1)},
+                      f, indent=1)
+    except Exception as e:  # noqa: BLE001 - recording must not fail bench
+        log(f"could not record last-good payload: {e}")
+    print(json.dumps(payload))
     return 0
 
 
