@@ -246,6 +246,25 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                                    st, st_orig), 20) * 1e3
     log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
         f"build+trace: {rebuild_ms + shadow_s*1e3:.2f} ms")
+    # Fused primary+shadow frame: light-0's hard shadow traced inside the
+    # closest-hit kernel (RenderConfig.fused_shadow). Fault-tolerant
+    # comparison point; the winner becomes the default once measured.
+    frame_fused_ms = None
+    if use_pallas and bvh_width == 8:
+        try:
+            import dataclasses as _dc
+            cfgf = _dc.replace(cfg, gbuffer="ray", fused_shadow=True)
+            framef = jax.jit(
+                lambda a, mesh, cam, lights, key, st, sto:
+                jnp.sum(render_frame_fn(a, mesh, cam, lights, key, cfgf,
+                                        shade_table=st,
+                                        shade_table_orig=sto)["image"]))
+            frame_fused_ms = timed(
+                lambda: framef(static_accel, mesh, cam, (light,), key,
+                               st, st_orig), 20) * 1e3
+            log(f"frame FUSED primary+shadow: {frame_fused_ms:.2f} ms")
+        except Exception as e:  # noqa: BLE001
+            log(f"fused frame failed: {type(e).__name__}: {str(e)[:200]}")
     result = dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,
                   widen_ms=widen_ms, gbuffer_ms=gb_ms,
                   shadow_ms=shadow_s * 1e3,
@@ -258,6 +277,8 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
         result["gbuffer_raster_ms"] = round(gbr_ms, 2)
     if gbrd_ms is not None:
         result["gbuffer_raster_deferred_ms"] = round(gbrd_ms, 2)
+    if frame_fused_ms is not None:
+        result["frame_fused_ms"] = round(frame_fused_ms, 2)
 
     # ---- BASELINE configs 3/4/5 (fault-tolerant: the headline metric above
     # must survive an extras failure) -------------------------------------

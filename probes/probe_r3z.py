@@ -1,0 +1,114 @@
+"""Round-3 probe Z: fused primary+shadow kernel on the real TPU.
+
+Measures, Sponza 1080p SBVH:
+  1. plain closest-hit kernel consume (phase-1 baseline, cached compile)
+  2. separate production sequence: gbuffer (merged shade fetch) +
+     shadow_production (raygen + any-hit)      [cached compiles]
+  3. frame[ray]                                 [cached]
+  4. fused kernel consume (NEW Mosaic compile — LAST per the axon
+     compile-service protocol)
+  5. frame[ray + fused_shadow]
+Decision: flip RenderConfig.fused_shadow's default / the auto G-buffer
+policy to whichever frame wins.
+"""
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def _force(r):
+    return np.asarray(r).ravel()[0]
+
+
+def timed(fn, reps=32, batches=4):
+    _force(fn())
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn()
+        _force(r)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpurt_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import dataclasses
+
+    from tpurt.app import render_frame_fn
+    from tpurt.bvh.sah import build_sah_lbvh
+    from tpurt.bvh.wide import build_wide, order_children_for_point
+    from tpurt.camera import generate_rays
+    from tpurt.kernels.traverse import (trace_closest_pallas,
+                                        trace_closest_shadow_pallas)
+    from tpurt.passes.shading import make_shade_table, make_shade_table_orig
+    from tpurt.scenes import sponza_interior_camera, sponza_scene
+    from tpurt.types import Light, RenderConfig
+
+    W, H = 1920, 1080
+    host_mesh = sponza_scene(260_000)
+    mesh = jax.device_put(host_mesh)
+    cam = sponza_interior_camera()
+    light = Light.directional((0.25, 0.9, 0.2))
+    sbvh = build_sah_lbvh(host_mesh, 14)
+    wide = jax.device_put(build_wide(sbvh))
+    acc = jax.jit(order_children_for_point)(wide, jnp.asarray(cam.position))
+    st = jax.jit(make_shade_table)(sbvh, mesh)
+    st_orig = jax.jit(make_shade_table_orig)(mesh)
+    key = jax.random.PRNGKey(0)
+    o, d = generate_rays(cam, W, H)
+
+    # 1. plain closest kernel (cached)
+    cl = jax.jit(lambda a, o, d: jnp.sum(jnp.where(jnp.isfinite(
+        trace_closest_pallas(a, o, d, return_sorted=True,
+                             gather_tri_id=False)[0]), 1.0, 0.0)))
+    t = timed(lambda: cl(acc, o, d), reps=16)
+    log(f"closest kernel consume: {t*1e3:.2f} ms")
+
+    # 3. frame[ray] (cached)
+    cfg = RenderConfig(width=W, height=H, leaf_size=14, gbuffer="ray")
+    fr = jax.jit(lambda a, m, c, k, s, so: jnp.sum(render_frame_fn(
+        a, m, c, (light,), k, cfg, shade_table=s,
+        shade_table_orig=so)["image"]))
+    t = timed(lambda: fr(wide, mesh, cam, key, st, st_orig), reps=16)
+    log(f"frame[ray]: {t*1e3:.2f} ms")
+
+    # 4. fused kernel alone (NEW compile — last kernel family)
+    fu = jax.jit(lambda a, o, d: jnp.sum(trace_closest_shadow_pallas(
+        a, o, d, jnp.asarray(light.direction, jnp.float32),
+        1e-3)[2].astype(jnp.int32)))
+    t = timed(lambda: fu(acc, o, d), reps=16)
+    log(f"fused closest+shadow kernel consume: {t*1e3:.2f} ms")
+
+    # 5. frame[ray + fused]
+    cfgf = dataclasses.replace(cfg, fused_shadow=True)
+    frf = jax.jit(lambda a, m, c, k, s, so: jnp.sum(render_frame_fn(
+        a, m, c, (light,), k, cfgf, shade_table=s,
+        shade_table_orig=so)["image"]))
+    t = timed(lambda: frf(wide, mesh, cam, key, st, st_orig), reps=16)
+    log(f"frame[ray+fused]: {t*1e3:.2f} ms")
+
+    # Parity spot check on hardware.
+    a_img = jax.jit(lambda: render_frame_fn(wide, mesh, cam, (light,), key,
+                                            cfg, shade_table=st,
+                                            shade_table_orig=st_orig)
+                    ["image"])()
+    b_img = jax.jit(lambda: render_frame_fn(wide, mesh, cam, (light,), key,
+                                            cfgf, shade_table=st,
+                                            shade_table_orig=st_orig)
+                    ["image"])()
+    diff = np.abs(np.asarray(a_img) - np.asarray(b_img)).max(axis=-1)
+    log(f"frame diff >1e-3: {(diff > 1e-3).mean():.2e}")
+    log("probe_r3z done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Fused primary+shadow kernel parity (kernels/traverse.py
+trace_closest_shadow_pallas; tpurt/app.py fused frame path).
+
+The fused kernel must (a) reproduce the plain closest-hit kernel's hit set
+exactly — phase 1 is the same walk — and (b) reproduce the production
+shadow pipeline (gbuffer gnormal flip -> normal-offset bias -> scene-exit
+cap -> any-hit trace) up to float-associativity noise at shadow-boundary
+pixels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.bvh.lbvh import build_lbvh
+from tpurt.bvh.wide import build_wide, order_children_for_point
+from tpurt.camera import generate_rays
+from tpurt.kernels.traverse import (trace_any_pallas, trace_closest_pallas,
+                                    trace_closest_shadow_pallas)
+from tpurt.passes.shading import make_shade_table, shade_from_table
+from tpurt.passes.shadow import shadow_ray_batch
+from tpurt.scenes import default_camera_for, teapot_scene
+from tpurt.types import Light, RenderConfig
+
+LIGHT = Light.directional((0.45, 0.8, 0.3))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    mesh = teapot_scene(1500)
+    bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
+                     leaf_size=8)
+    wide = build_wide(bvh)
+    cam = default_camera_for(mesh)
+    return mesh, bvh, wide, cam
+
+
+def test_fused_matches_separate_passes(scene):
+    mesh, bvh, wide, cam = scene
+    o, d = generate_rays(cam, 64, 48)
+    acc = jax.jit(order_children_for_point)(wide, jnp.asarray(cam.position))
+    t_f, sidx_f, occ_f = trace_closest_shadow_pallas(
+        acc, o, d, jnp.asarray(LIGHT.direction), 1e-3, interpret=True)
+    # Phase 1 must match the plain closest kernel bit-for-bit.
+    t_r, _tid, sidx_r = trace_closest_pallas(
+        acc, o, d, return_sorted=True, gather_tri_id=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sidx_f), np.asarray(sidx_r))
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_r))
+
+    # Phase 2 vs the production raygen + any-hit trace.
+    valid = sidx_r >= 0
+    st = jax.jit(make_shade_table)(bvh, mesh)
+    rows = st[jnp.clip(sidx_r, 0, st.shape[0] - 1)]
+    t_safe = jnp.where(valid, t_r, 0.0)
+    pos = o + d * t_safe[..., None]
+    attrs = shade_from_table(rows, pos, valid)
+    facing = jnp.sign(-jnp.sum(attrs["gnormal"] * d, axis=-1, keepdims=True))
+    gn = attrs["gnormal"] * jnp.where(facing == 0, 1.0, facing)
+    gbuf = {"position": pos, "gnormal": gn, "valid": valid}
+    so, sd, stm = shadow_ray_batch(gbuf, LIGHT, 1e-3, None,
+                                   scene_bounds=(bvh.root_min, bvh.root_max))
+    occ_ref = trace_any_pallas(wide, so, sd, stm, interpret=True)
+    validn = np.asarray(valid)
+    mism = (np.asarray(occ_f) != np.asarray(occ_ref)) & validn
+    # Bias-origin fp noise can flip pixels sitting exactly on a shadow
+    # boundary; anything beyond a trace amount is a real bug.
+    assert mism.mean() <= 1e-3, f"{mism.sum()} mismatched shadow pixels"
+    # Sky lanes must be unoccluded.
+    assert not np.asarray(occ_f)[~validn].any()
+
+
+def test_fused_frame_matches_unfused(scene):
+    mesh, bvh, wide, cam = scene
+    from tpurt.app import fused_shadow_applicable, render_frame_fn
+    st = jax.jit(make_shade_table)(bvh, mesh)
+    key = jax.random.PRNGKey(0)
+    imgs = {}
+    for fused in (False, True):
+        cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
+                           gbuffer="ray", fused_shadow=fused)
+        assert fused_shadow_applicable(cfg, wide, (LIGHT,)) == fused
+        out = render_frame_fn(wide, mesh, cam, (LIGHT,), key, cfg,
+                              shade_table=st)
+        imgs[fused] = np.asarray(out["image"])
+    diff = np.abs(imgs[True] - imgs[False]).max(axis=-1)
+    assert (diff > 1e-3).mean() <= 2e-3
+
+
+def test_fused_multi_light_only_fuses_light0(scene):
+    """Light 0 rides the fused kernel; extra lights keep the separate
+    shadow pass — the composite must match the fully-unfused frame."""
+    mesh, bvh, wide, cam = scene
+    from tpurt.app import render_frame_fn
+    st = jax.jit(make_shade_table)(bvh, mesh)
+    key = jax.random.PRNGKey(1)
+    lights = (LIGHT, Light.directional((-0.5, 0.7, 0.2),
+                                       color=(0.4, 0.4, 0.5)))
+    imgs = {}
+    for fused in (False, True):
+        cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
+                           gbuffer="ray", fused_shadow=fused)
+        out = render_frame_fn(wide, mesh, cam, lights, key, cfg,
+                              shade_table=st)
+        imgs[fused] = np.asarray(out["image"])
+    diff = np.abs(imgs[True] - imgs[False]).max(axis=-1)
+    assert (diff > 1e-3).mean() <= 2e-3

@@ -212,6 +212,47 @@ def shadow_production(bvh: LBVH, gbuf: Dict[str, jnp.ndarray], light: Light,
         trace_soft=make_soft_tracer(cfg, bvh))
 
 
+def fused_shadow_applicable(cfg: RenderConfig, bvh, lights) -> bool:
+    """Does the fused primary+shadow kernel path apply? Ray-cast G-buffer
+    on the batched 8-wide Pallas accel with a directional light 0
+    (RenderConfig.fused_shadow; kernels/traverse.py
+    trace_closest_shadow_pallas)."""
+    from .bvh.wide import WideBVH
+    from .types import LIGHT_DIRECTIONAL
+    return (cfg.fused_shadow and cfg.use_pallas
+            and not use_raster_gbuffer(cfg) and isinstance(bvh, WideBVH)
+            and len(lights) > 0 and lights[0].kind == LIGHT_DIRECTIONAL)
+
+
+def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
+                                    cfg: RenderConfig, light: Light,
+                                    shade_table):
+    """Fused twin of gbuffer_production + shadow_production for light 0
+    (hard directional): ONE kernel returns the hit set AND its shadow
+    occlusion, so the frame pays no shadow raygen, no packet re-layout,
+    and one dispatch less. Returns (gbuf, visibility)."""
+    from .bvh.wide import order_children_for_point
+    from .kernels.traverse import trace_closest_shadow_pallas
+    gb_accel = order_children_for_point(bvh, cam.position)
+    occ_out = {}
+
+    def tracer(o, d):
+        t, sidx, occ = trace_closest_shadow_pallas(
+            gb_accel, o, d, jnp.asarray(light.direction, jnp.float32),
+            cfg.shadow_bias)
+        occ_out["occ"] = occ
+        return t, None, sidx
+
+    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, cfg.height,
+                        shade_table=shade_table)
+    if mesh.textured:
+        from .passes.texture import apply_textures
+        gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
+    vis = jnp.where(gbuf["valid"],
+                    jnp.where(occ_out["occ"], 0.0, 1.0), 1.0)
+    return gbuf, vis
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
                     lights: Sequence[Light], key: jax.Array,
@@ -220,10 +261,19 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
                     shade_table_orig=None) -> Dict[str, jnp.ndarray]:
     """One fused frame: G-buffer -> per-light shadow batches -> composite."""
     num_lights = len(lights)
-    gbuf = gbuffer_production(bvh, mesh, cam, cfg, shade_table,
-                              shade_table_orig)
+    fused0 = (fused_shadow_applicable(cfg, bvh, lights)
+              and shade_table is not None)
+    if fused0:
+        gbuf, vis0 = gbuffer_shadow_fused_production(
+            bvh, mesh, cam, cfg, lights[0], shade_table)
+    else:
+        gbuf = gbuffer_production(bvh, mesh, cam, cfg, shade_table,
+                                  shade_table_orig)
     shadows = []
     for li in range(num_lights):
+        if li == 0 and fused0:
+            shadows.append(vis0)
+            continue
         lkey = jax.random.fold_in(key, li)
         shadows.append(shadow_production(bvh, gbuf, lights[li], lkey, cfg))
     # Composite: sum of per-light direct terms + one ambient term.

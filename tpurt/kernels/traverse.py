@@ -144,6 +144,43 @@ def _leaf_ts(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz, eps=1e-9):
     return ts
 
 
+def _leaf_ts_n(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz, eps=1e-9):
+    """_leaf_ts plus each triangle's (unnormalized) geometric normal
+    e1 x e2 as THREE SCALARS per triangle — the fused closest+shadow
+    kernel tracks the winning triangle's normal for the in-kernel
+    normal-offset shadow bias (passes/gbuffer.py flips gnormal toward the
+    viewer; the caller applies the same flip). Returns a list of
+    (t (8,128), nx, ny, nz) with the n components scalar."""
+    row = tr_ref[pl.ds(leaf_id, 1), :]                        # (1, 128)
+    out = []
+    for j in range(k):
+        b = 9 * j
+        v0x, v0y, v0z = row[0, b], row[0, b + 1], row[0, b + 2]
+        e1x, e1y, e1z = row[0, b + 3], row[0, b + 4], row[0, b + 5]
+        e2x, e2y, e2z = row[0, b + 6], row[0, b + 7], row[0, b + 8]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= eps
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        nx = e1y * e2z - e1z * e2y                            # scalars
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        out.append((jnp.where(ok, t, _BIG), nx, ny, nz))
+    return out
+
+
 def _leaf_occluded(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz, t_min, tmax,
                    eps=1e-9):
     """Division-free Möller–Trumbore occlusion: all comparisons scaled by
@@ -1164,6 +1201,119 @@ def _first_hit_kernel_w8_b(k: int, max_iters: int, nb: int, *refs):
     _closest_w8_b_impl(True, k, max_iters, nb, *refs)
 
 
+def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
+                                scal_ref, ns_ref, tr_ref, rays_ref,
+                                t_out_ref, idx_out_ref, occ_out_ref,
+                                stack_ref):
+    """Fused primary visibility + hard directional shadow: ONE program.
+
+    Phase 1 is the batched closest-hit walk, additionally tracking the
+    winning triangle's unnormalized geometric normal (three scalar selects
+    per leaf triangle — the triangle data is already in registers). Phase 2
+    derives light-0's shadow ray entirely in-kernel — origin = hit point
+    offset along the viewer-facing unit normal by the shadow bias (the
+    exact passes/gbuffer.py + passes/shadow.py raygen recipe), t capped at
+    the root-box exit — and runs the shared any-hit walk. This removes the
+    separate shadow pass's XLA raygen, the (o,d,inv,t) packet re-layout
+    round trip through HBM, and one kernel dispatch per frame.
+
+    scal_ref f32[13]: light dir(3), clamped 1/dir(3), bias, root box
+    min(3)/max(3). Outputs per packet: closest t, sorted hit index,
+    occluded i32 (0 for sky/inactive lanes).
+    """
+    t_min = tmin_ref[0]
+    ldx, ldy, ldz = scal_ref[0], scal_ref[1], scal_ref[2]
+    ilx, ily, ilz = scal_ref[3], scal_ref[4], scal_ref[5]
+    bias = scal_ref[6]
+    rx0, ry0, rz0 = scal_ref[7], scal_ref[8], scal_ref[9]
+    rx1, ry1, rz1 = scal_ref[10], scal_ref[11], scal_ref[12]
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
+        active0 = tmax > t_min
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_test(leaf_id, carry):
+            best_t, best_i, nx, ny, nz = carry
+            tn = _leaf_ts_n(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+            base = leaf_id * k
+            for j, (t, cnx, cny, cnz) in enumerate(tn):
+                better = (t > t_min) & (t < best_t) & active0
+                best_t = jnp.where(better, t, best_t)
+                best_i = jnp.where(better, base + j, best_i)
+                nx = jnp.where(better, cnx, nx)
+                ny = jnp.where(better, cny, ny)
+                nz = jnp.where(better, cnz, nz)
+            return best_t, best_i, nx, ny, nz
+
+        def cond(state):
+            it, sp = state[0], state[1]
+            return (sp > 0) & (it < max_iters)
+
+        def body(state):
+            it, sp, best_t, best_i, nx, ny, nz = state
+            sp = sp - 1
+            node = stack_ref[sp]
+            rec = ns_ref[pl.ds(node, 1), :]
+            cap = jnp.where(active0, best_t, -_BIG)
+            hits = []
+            refs = []
+            valids = []
+            for c in range(8):
+                bb, ref = _wide_child(rec, c)
+                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
+                                  cap))
+                refs.append(ref)
+                valids.append(rec[0, bb] <= rec[0, bb + 3])
+            anyhit = _child_anyhit8(hits, valids)
+            for c in range(8):
+                ref = refs[c]
+                is_leaf = ref < 0
+                best_t, best_i, nx, ny, nz = jax.lax.cond(
+                    anyhit[c] & is_leaf,
+                    lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0),
+                                                 car),
+                    lambda car: car, (best_t, best_i, nx, ny, nz))
+                push = anyhit[c] & (~is_leaf)
+                stack_ref[sp] = jnp.where(push, ref, 0)
+                sp = sp + push.astype(jnp.int32)
+            return it + 1, sp, best_t, best_i, nx, ny, nz
+
+        best_t0 = jnp.where(active0, tmax, -_BIG)
+        best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+        zero = jnp.zeros(ox.shape, jnp.float32)
+        _, _, best_t, best_i, nx, ny, nz = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(1), best_t0, best_i0,
+             zero, zero, zero))
+        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+        idx_out_ref[b] = best_i
+
+        # Phase 2: shadow ray per lane, derived in registers. The offset
+        # matches gbuffer_pass: unit gnormal flipped toward the viewer
+        # (sign(-dot(n, d)), zero -> +1), scaled by the bias.
+        hitm = best_i >= 0
+        rn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        flip = jnp.where(nx * dx + ny * dy + nz * dz > 0.0, -1.0, 1.0)
+        off = bias * rn * flip
+        sox = ox + best_t * dx + nx * off
+        soy = oy + best_t * dy + ny * off
+        soz = oz + best_t * dz + nz * off
+        # Root-box exit cap (shadow.scene_exit_t, in-kernel).
+        ex = jnp.minimum(
+            jnp.minimum(jnp.maximum((rx0 - sox) * ilx, (rx1 - sox) * ilx),
+                        jnp.maximum((ry0 - soy) * ily, (ry1 - soy) * ily)),
+            jnp.maximum((rz0 - soz) * ilz, (rz1 - soz) * ilz))
+        stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+        occ_out_ref[b] = _w8_anyhit_walk(
+            k, max_iters, ns_ref, tr_ref, stack_ref,
+            sox, soy, soz, ldx, ldy, ldz, ilx, ily, ilz, stmax, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
 # ---------------------------------------------------------------------------
 # w8t kernels: sublane-major (transposed) node/leaf layout
 # ---------------------------------------------------------------------------
@@ -1844,3 +1994,72 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
     if return_sorted:
         return t, tri_id, sidx
     return t, tri_id
+
+
+def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
+                                t_max=_BIG, t_min: float = 0.0,
+                                interpret: Optional[bool] = None):
+    """Fused primary visibility + hard directional shadow (ONE kernel).
+
+    Returns (t f32[H, W], sorted_idx i32[H, W], occluded bool[H, W]) —
+    miss = (inf, -1, False). Equivalent to trace_closest_pallas(...,
+    return_sorted=True, gather_tri_id=False) followed by the
+    gbuffer/shadow raygen (viewer-facing normal-offset bias, scene-exit
+    t cap) and trace_any_pallas toward ``light_dir``, but the shadow ray
+    never leaves the kernel: no XLA raygen, no second packet layout round
+    trip through HBM, no second dispatch (see _closest_shadow_kernel_w8_b).
+
+    light_dir: f32[3] direction TOWARD the light (Light.direction);
+    bias: the normal-offset shadow bias (RenderConfig.shadow_bias).
+    Batched 8-wide accel path only."""
+    from ..bvh.wide import WideBVH
+    packed = _as_packed(bvh)
+    assert isinstance(packed, WideBVH) and PACKETS_PER_STEP > 1, \
+        "fused closest+shadow needs the batched 8-wide accel path"
+    batch = PACKETS_PER_STEP
+    rays, p, meta = _ray_packets_packed(origins, dirs, t_max, batch)
+    pb = rays.shape[0]
+    ld = jnp.asarray(light_dir, jnp.float32)
+    inv = jnp.clip(1.0 / ld, -_BIG, _BIG)
+    scal = jnp.concatenate([
+        ld, inv, jnp.asarray(bias, jnp.float32).reshape(1),
+        packed.root_min.astype(jnp.float32),
+        packed.root_max.astype(jnp.float32)])              # f32[13]
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE
+    if interpret is None:
+        interpret = not _compiled_backend()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(pb // batch,),
+        in_specs=[const_spec(packed.nodes.shape),
+                  const_spec(packed.tris.shape), ray_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(_closest_shadow_kernel_w8_b, packed.leaf_size,
+                          iter_cap, batch),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    t, sidx, occ = fn(tmin_arr, scal, packed.nodes, packed.tris, rays)
+    t = _unpack(t[:p], meta)
+    sidx = _unpack(sidx[:p], meta)
+    occ = _unpack(occ[:p], meta)
+    t = jnp.where(sidx >= 0, t, jnp.inf)
+    return t, sidx, occ > 0

@@ -236,6 +236,13 @@ class RenderConfig:
     # available (the reference's own startup strategy; measured +17%
     # shadow and 2x closest-hit throughput vs the on-device Morton tree).
     sah: bool = True
+    # Fused primary+shadow kernel: when the ray-cast G-buffer runs on the
+    # batched 8-wide Pallas path and light 0 is directional, trace its
+    # hard shadow ray inside the closest-hit kernel (phase 2), skipping
+    # the XLA raygen + packet re-layout round trip
+    # (kernels/traverse.py trace_closest_shadow_pallas). Off until the
+    # on-TPU measurement lands (probe r3z).
+    fused_shadow: bool = False
 
     @property
     def num_pixels(self) -> int:
