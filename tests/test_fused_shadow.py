@@ -87,6 +87,40 @@ def test_fused_frame_matches_unfused(scene):
     assert (diff > 1e-3).mean() <= 2e-3
 
 
+def test_fused_point_light_matches_separate(scene):
+    """Hard point-light mode: per-lane directions and the light-distance
+    t cap derived in-kernel must match the production point path."""
+    mesh, bvh, wide, cam = scene
+    ctr = np.asarray(0.5 * (np.asarray(bvh.root_min)
+                            + np.asarray(bvh.root_max)))
+    lpos = ctr + np.float32([0.2, 1.5, 0.3]) * np.asarray(
+        np.asarray(bvh.root_max) - np.asarray(bvh.root_min))
+    plight = Light.point(lpos)
+    o, d = generate_rays(cam, 64, 48)
+    acc = jax.jit(order_children_for_point)(wide, jnp.asarray(cam.position))
+    t_f, sidx_f, occ_f = trace_closest_shadow_pallas(
+        acc, o, d, jnp.asarray(plight.direction), 1e-3,
+        light_pos=jnp.asarray(plight.position), interpret=True)
+    t_r, _tid, sidx_r = trace_closest_pallas(
+        acc, o, d, return_sorted=True, gather_tri_id=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sidx_f), np.asarray(sidx_r))
+    valid = sidx_r >= 0
+    st = jax.jit(make_shade_table)(bvh, mesh)
+    rows = st[jnp.clip(sidx_r, 0, st.shape[0] - 1)]
+    t_safe = jnp.where(valid, t_r, 0.0)
+    pos = o + d * t_safe[..., None]
+    attrs = shade_from_table(rows, pos, valid)
+    facing = jnp.sign(-jnp.sum(attrs["gnormal"] * d, axis=-1, keepdims=True))
+    gn = attrs["gnormal"] * jnp.where(facing == 0, 1.0, facing)
+    gbuf = {"position": pos, "gnormal": gn, "valid": valid}
+    so, sd, stm = shadow_ray_batch(gbuf, plight, 1e-3, None)
+    occ_ref = trace_any_pallas(wide, so, sd, stm, interpret=True)
+    validn = np.asarray(valid)
+    mism = (np.asarray(occ_f) != np.asarray(occ_ref)) & validn
+    assert mism.mean() <= 1e-3, f"{mism.sum()} mismatched shadow pixels"
+    assert not np.asarray(occ_f)[~validn].any()
+
+
 def test_fused_multi_light_only_fuses_light0(scene):
     """Light 0 rides the fused kernel; extra lights keep the separate
     shadow pass — the composite must match the fully-unfused frame."""

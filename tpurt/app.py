@@ -218,10 +218,16 @@ def fused_shadow_applicable(cfg: RenderConfig, bvh, lights) -> bool:
     (RenderConfig.fused_shadow; kernels/traverse.py
     trace_closest_shadow_pallas)."""
     from .bvh.wide import WideBVH
-    from .types import LIGHT_DIRECTIONAL
-    return (cfg.fused_shadow and cfg.use_pallas
+    from .types import LIGHT_DIRECTIONAL, LIGHT_POINT
+    if not (cfg.fused_shadow and cfg.use_pallas
             and not use_raster_gbuffer(cfg) and isinstance(bvh, WideBVH)
-            and len(lights) > 0 and lights[0].kind == LIGHT_DIRECTIONAL)
+            and len(lights) > 0):
+        return False
+    kind = lights[0].kind
+    # Directional lights are always hard; point lights are hard at spp=1
+    # (shadow_pass only jitters POINT/AREA when spp > 1).
+    return kind == LIGHT_DIRECTIONAL or (kind == LIGHT_POINT
+                                         and cfg.spp == 1)
 
 
 def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
@@ -233,13 +239,16 @@ def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     and one dispatch less. Returns (gbuf, visibility)."""
     from .bvh.wide import order_children_for_point
     from .kernels.traverse import trace_closest_shadow_pallas
+    from .types import LIGHT_POINT
     gb_accel = order_children_for_point(bvh, cam.position)
+    lpos = (jnp.asarray(light.position, jnp.float32)
+            if light.kind == LIGHT_POINT else None)
     occ_out = {}
 
     def tracer(o, d):
         t, sidx, occ = trace_closest_shadow_pallas(
             gb_accel, o, d, jnp.asarray(light.direction, jnp.float32),
-            cfg.shadow_bias)
+            cfg.shadow_bias, light_pos=lpos)
         occ_out["occ"] = occ
         return t, None, sidx
 

@@ -1201,11 +1201,11 @@ def _first_hit_kernel_w8_b(k: int, max_iters: int, nb: int, *refs):
     _closest_w8_b_impl(True, k, max_iters, nb, *refs)
 
 
-def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
-                                scal_ref, ns_ref, tr_ref, rays_ref,
+def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
+                                tmin_ref, scal_ref, ns_ref, tr_ref, rays_ref,
                                 t_out_ref, idx_out_ref, occ_out_ref,
                                 stack_ref):
-    """Fused primary visibility + hard directional shadow: ONE program.
+    """Fused primary visibility + hard shadow: ONE program.
 
     Phase 1 is the batched closest-hit walk, additionally tracking the
     winning triangle's unnormalized geometric normal (three scalar selects
@@ -1213,20 +1213,27 @@ def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
     derives light-0's shadow ray entirely in-kernel — origin = hit point
     offset along the viewer-facing unit normal by the shadow bias (the
     exact passes/gbuffer.py + passes/shadow.py raygen recipe), t capped at
-    the root-box exit — and runs the shared any-hit walk. This removes the
-    separate shadow pass's XLA raygen, the (o,d,inv,t) packet re-layout
-    round trip through HBM, and one kernel dispatch per frame.
+    the root-box exit (directional) or the light distance (point) — and
+    runs the shared any-hit walk. This removes the separate shadow pass's
+    XLA raygen, the (o,d,inv,t) packet re-layout round trip through HBM,
+    and one kernel dispatch per frame.
 
-    scal_ref f32[13]: light dir(3), clamped 1/dir(3), bias, root box
-    min(3)/max(3). Outputs per packet: closest t, sorted hit index,
+    point=False — scal_ref f32[13]: light dir(3), clamped 1/dir(3), bias,
+    root box min(3)/max(3). point=True — scal_ref f32[4]: light
+    position(3), bias; the per-lane direction, inverse and t cap are
+    derived in registers. Outputs per packet: closest t, sorted hit index,
     occluded i32 (0 for sky/inactive lanes).
     """
     t_min = tmin_ref[0]
-    ldx, ldy, ldz = scal_ref[0], scal_ref[1], scal_ref[2]
-    ilx, ily, ilz = scal_ref[3], scal_ref[4], scal_ref[5]
-    bias = scal_ref[6]
-    rx0, ry0, rz0 = scal_ref[7], scal_ref[8], scal_ref[9]
-    rx1, ry1, rz1 = scal_ref[10], scal_ref[11], scal_ref[12]
+    if point:
+        lpx, lpy, lpz = scal_ref[0], scal_ref[1], scal_ref[2]
+        bias = scal_ref[3]
+    else:
+        ldx, ldy, ldz = scal_ref[0], scal_ref[1], scal_ref[2]
+        ilx, ily, ilz = scal_ref[3], scal_ref[4], scal_ref[5]
+        bias = scal_ref[6]
+        rx0, ry0, rz0 = scal_ref[7], scal_ref[8], scal_ref[9]
+        rx1, ry1, rz1 = scal_ref[10], scal_ref[11], scal_ref[12]
 
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
@@ -1300,15 +1307,32 @@ def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
         sox = ox + best_t * dx + nx * off
         soy = oy + best_t * dy + ny * off
         soz = oz + best_t * dz + nz * off
-        # Root-box exit cap (shadow.scene_exit_t, in-kernel).
-        ex = jnp.minimum(
-            jnp.minimum(jnp.maximum((rx0 - sox) * ilx, (rx1 - sox) * ilx),
-                        jnp.maximum((ry0 - soy) * ily, (ry1 - soy) * ily)),
-            jnp.maximum((rz0 - soz) * ilz, (rz1 - soz) * ilz))
-        stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+        if point:
+            # Per-lane direction toward the light; t capped at the light
+            # distance (shadow_ray_batch's point path).
+            ex_ = lpx - sox
+            ey_ = lpy - soy
+            ez_ = lpz - soz
+            d2 = jnp.maximum(ex_ * ex_ + ey_ * ey_ + ez_ * ez_, 1e-24)
+            drn = jax.lax.rsqrt(d2)
+            sdx = ex_ * drn
+            sdy = ey_ * drn
+            sdz = ez_ * drn
+            six, siy, siz = _inv3(sdx, sdy, sdz)
+            stmax = jnp.where(hitm, d2 * drn * (1.0 - 1e-4), -_BIG)
+        else:
+            sdx, sdy, sdz = ldx, ldy, ldz
+            six, siy, siz = ilx, ily, ilz
+            # Root-box exit cap (shadow.scene_exit_t, in-kernel).
+            ex = jnp.minimum(
+                jnp.minimum(
+                    jnp.maximum((rx0 - sox) * ilx, (rx1 - sox) * ilx),
+                    jnp.maximum((ry0 - soy) * ily, (ry1 - soy) * ily)),
+                jnp.maximum((rz0 - soz) * ilz, (rz1 - soz) * ilz))
+            stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
         occ_out_ref[b] = _w8_anyhit_walk(
             k, max_iters, ns_ref, tr_ref, stack_ref,
-            sox, soy, soz, ldx, ldy, ldz, ilx, ily, ilz, stmax, 0.0)
+            sox, soy, soz, sdx, sdy, sdz, six, siy, siz, stmax, 0.0)
         return 0
 
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
@@ -1998,18 +2022,22 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
 
 def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
                                 t_max=_BIG, t_min: float = 0.0,
+                                light_pos=None,
                                 interpret: Optional[bool] = None):
-    """Fused primary visibility + hard directional shadow (ONE kernel).
+    """Fused primary visibility + hard shadow (ONE kernel).
 
     Returns (t f32[H, W], sorted_idx i32[H, W], occluded bool[H, W]) —
     miss = (inf, -1, False). Equivalent to trace_closest_pallas(...,
     return_sorted=True, gather_tri_id=False) followed by the
     gbuffer/shadow raygen (viewer-facing normal-offset bias, scene-exit
-    t cap) and trace_any_pallas toward ``light_dir``, but the shadow ray
-    never leaves the kernel: no XLA raygen, no second packet layout round
-    trip through HBM, no second dispatch (see _closest_shadow_kernel_w8_b).
+    or light-distance t cap) and trace_any_pallas toward the light, but
+    the shadow ray never leaves the kernel: no XLA raygen, no second
+    packet layout round trip through HBM, no second dispatch (see
+    _closest_shadow_kernel_w8_b).
 
-    light_dir: f32[3] direction TOWARD the light (Light.direction);
+    light_dir: f32[3] direction TOWARD the light (Light.direction), used
+    when ``light_pos`` is None; light_pos: f32[3] point-light position
+    (hard point shadows — per-lane directions derived in-kernel);
     bias: the normal-offset shadow bias (RenderConfig.shadow_bias).
     Batched 8-wide accel path only."""
     from ..bvh.wide import WideBVH
@@ -2019,12 +2047,18 @@ def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
     batch = PACKETS_PER_STEP
     rays, p, meta = _ray_packets_packed(origins, dirs, t_max, batch)
     pb = rays.shape[0]
-    ld = jnp.asarray(light_dir, jnp.float32)
-    inv = jnp.clip(1.0 / ld, -_BIG, _BIG)
-    scal = jnp.concatenate([
-        ld, inv, jnp.asarray(bias, jnp.float32).reshape(1),
-        packed.root_min.astype(jnp.float32),
-        packed.root_max.astype(jnp.float32)])              # f32[13]
+    point = light_pos is not None
+    if point:
+        scal = jnp.concatenate([
+            jnp.asarray(light_pos, jnp.float32),
+            jnp.asarray(bias, jnp.float32).reshape(1)])    # f32[4]
+    else:
+        ld = jnp.asarray(light_dir, jnp.float32)
+        inv = jnp.clip(1.0 / ld, -_BIG, _BIG)
+        scal = jnp.concatenate([
+            ld, inv, jnp.asarray(bias, jnp.float32).reshape(1),
+            packed.root_min.astype(jnp.float32),
+            packed.root_max.astype(jnp.float32)])          # f32[13]
     iter_cap = 2 * packed.num_wide + 64
     if _ITER_CAP_OVERRIDE is not None:
         iter_cap = _ITER_CAP_OVERRIDE
@@ -2047,7 +2081,7 @@ def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
     vma = getattr(jax.typeof(rays), "vma", None)
     fn = pl.pallas_call(
         functools.partial(_closest_shadow_kernel_w8_b, packed.leaf_size,
-                          iter_cap, batch),
+                          iter_cap, batch, point),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
                    jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
