@@ -96,6 +96,32 @@ def main():
     t = timed(lambda: frf(wide, mesh, cam, key, st, st_orig), reps=16)
     log(f"frame[ray+fused]: {t*1e3:.2f} ms")
 
+    # 6. fused closest+SOFT kernel (NEWEST compile — very last): the
+    # config-3 frame analogue. Compare against gbuffer + standalone soft
+    # kernel (soft_spp8 numbers in bench).
+    try:
+        from tpurt.kernels.traverse import trace_closest_soft_shadow_pallas
+        sun = Light.sun((0.25, 0.9, 0.2), angular_radius_deg=2.5)
+        fs = jax.jit(lambda a, o, d: jnp.sum(trace_closest_soft_shadow_pallas(
+            a, o, d, jnp.asarray(sun.direction, jnp.float32),
+            jnp.cos(sun.angular_radius), 8, 7, 1e-3)[2]))
+        t = timed(lambda: fs(acc, o, d), reps=8)
+        log(f"fused closest+soft(spp=8) kernel consume: {t*1e3:.2f} ms")
+        cfgs = dataclasses.replace(cfg, spp=8, fused_shadow=True)
+        frs = jax.jit(lambda a, m, c, k, s, so: jnp.sum(render_frame_fn(
+            a, m, c, (sun,), k, cfgs, shade_table=s,
+            shade_table_orig=so)["image"]))
+        t = timed(lambda: frs(wide, mesh, cam, key, st, st_orig), reps=8)
+        log(f"frame[soft spp=8, fused]: {t*1e3:.2f} ms")
+        cfgs0 = dataclasses.replace(cfg, spp=8)
+        frs0 = jax.jit(lambda a, m, c, k, s, so: jnp.sum(render_frame_fn(
+            a, m, c, (sun,), k, cfgs0, shade_table=s,
+            shade_table_orig=so)["image"]))
+        t = timed(lambda: frs0(wide, mesh, cam, key, st, st_orig), reps=8)
+        log(f"frame[soft spp=8, unfused]: {t*1e3:.2f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"fused soft FAILED: {type(e).__name__}: {str(e)[:200]}")
+
     # Parity spot check on hardware.
     a_img = jax.jit(lambda: render_frame_fn(wide, mesh, cam, (light,), key,
                                             cfg, shade_table=st,

@@ -121,6 +121,29 @@ def test_fused_point_light_matches_separate(scene):
     assert not np.asarray(occ_f)[~validn].any()
 
 
+@pytest.mark.slow
+def test_fused_soft_zero_rng_matches_hard(scene):
+    """Fused closest+soft kernel in TPU-interpret mode: the zero PRNG
+    stream degenerates every cone sample to the axis, so counts must be
+    exactly spp x the fused HARD kernel's occlusion, with an identical
+    phase-1 hit set."""
+    mesh, bvh, wide, cam = scene
+    from tpurt.kernels.traverse import trace_closest_soft_shadow_pallas
+    sun = Light.sun((0.45, 0.8, 0.3), angular_radius_deg=2.5)
+    o, d = generate_rays(cam, 64, 32)
+    acc = jax.jit(order_children_for_point)(wide, jnp.asarray(cam.position))
+    spp = 4
+    t_s, sidx_s, counts = trace_closest_soft_shadow_pallas(
+        acc, o, d, jnp.asarray(sun.direction), jnp.cos(sun.angular_radius),
+        spp, 7, 1e-3, interpret=True)
+    t_h, sidx_h, occ_h = trace_closest_shadow_pallas(
+        acc, o, d, jnp.asarray(sun.direction), 1e-3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sidx_s), np.asarray(sidx_h))
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_h))
+    np.testing.assert_array_equal(
+        np.asarray(counts), spp * np.asarray(occ_h).astype(np.int32))
+
+
 def test_fused_multi_light_only_fuses_light0(scene):
     """Light 0 rides the fused kernel; extra lights keep the separate
     shadow pass — the composite must match the fully-unfused frame."""

@@ -218,47 +218,72 @@ def fused_shadow_applicable(cfg: RenderConfig, bvh, lights) -> bool:
     (RenderConfig.fused_shadow; kernels/traverse.py
     trace_closest_shadow_pallas)."""
     from .bvh.wide import WideBVH
-    from .types import LIGHT_DIRECTIONAL, LIGHT_POINT
+    from .types import LIGHT_AREA_CONE, LIGHT_DIRECTIONAL, LIGHT_POINT
     if not (cfg.fused_shadow and cfg.use_pallas
             and not use_raster_gbuffer(cfg) and isinstance(bvh, WideBVH)
             and len(lights) > 0):
         return False
     kind = lights[0].kind
     # Directional lights are always hard; point lights are hard at spp=1
-    # (shadow_pass only jitters POINT/AREA when spp > 1).
-    return kind == LIGHT_DIRECTIONAL or (kind == LIGHT_POINT
-                                         and cfg.spp == 1)
+    # (shadow_pass only jitters POINT/AREA when spp > 1); area-cone
+    # lights take the fused SOFT kernel (in-kernel cone sampling) at
+    # spp > 1 — but only on a compiled backend: the interpret-mode PRNG
+    # is a zero stream, and silently degrading penumbrae to hard shadows
+    # is worse than the slower exact scan path (same policy as
+    # make_soft_tracer).
+    from .kernels.traverse import _compiled_backend
+    if kind == LIGHT_AREA_CONE:
+        return cfg.spp == 1 or _compiled_backend()
+    return (kind == LIGHT_DIRECTIONAL
+            or (kind == LIGHT_POINT and cfg.spp == 1))
 
 
 def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                                     cfg: RenderConfig, light: Light,
-                                    shade_table):
-    """Fused twin of gbuffer_production + shadow_production for light 0
-    (hard directional): ONE kernel returns the hit set AND its shadow
-    occlusion, so the frame pays no shadow raygen, no packet re-layout,
-    and one dispatch less. Returns (gbuf, visibility)."""
+                                    shade_table, key=None):
+    """Fused twin of gbuffer_production + shadow_production for light 0:
+    ONE kernel returns the hit set AND its shadow visibility (hard
+    directional/point, or in-kernel cone-sampled soft for area lights),
+    so the frame pays no shadow raygen, no packet re-layout, and one
+    dispatch less. Returns (gbuf, visibility)."""
     from .bvh.wide import order_children_for_point
-    from .kernels.traverse import trace_closest_shadow_pallas
-    from .types import LIGHT_POINT
+    from .kernels.traverse import (trace_closest_shadow_pallas,
+                                   trace_closest_soft_shadow_pallas)
+    from .types import LIGHT_AREA_CONE, LIGHT_POINT
     gb_accel = order_children_for_point(bvh, cam.position)
+    soft = light.kind == LIGHT_AREA_CONE and cfg.spp > 1
     lpos = (jnp.asarray(light.position, jnp.float32)
             if light.kind == LIGHT_POINT else None)
-    occ_out = {}
+    vis_out = {}
 
-    def tracer(o, d):
-        t, sidx, occ = trace_closest_shadow_pallas(
-            gb_accel, o, d, jnp.asarray(light.direction, jnp.float32),
-            cfg.shadow_bias, light_pos=lpos)
-        occ_out["occ"] = occ
-        return t, None, sidx
+    if soft:
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        kd = key if jnp.issubdtype(key.dtype, jnp.integer) \
+            else jax.random.key_data(key)
+        seed = kd.ravel()[-1].astype(jnp.int32)
+
+        def tracer(o, d):
+            t, sidx, counts = trace_closest_soft_shadow_pallas(
+                gb_accel, o, d, jnp.asarray(light.direction, jnp.float32),
+                jnp.cos(light.angular_radius), cfg.spp, seed,
+                cfg.shadow_bias)
+            vis_out["vis"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
+            return t, None, sidx
+    else:
+        def tracer(o, d):
+            t, sidx, occ = trace_closest_shadow_pallas(
+                gb_accel, o, d, jnp.asarray(light.direction, jnp.float32),
+                cfg.shadow_bias, light_pos=lpos)
+            vis_out["vis"] = jnp.where(occ, 0.0, 1.0)
+            return t, None, sidx
 
     gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, cfg.height,
                         shade_table=shade_table)
     if mesh.textured:
         from .passes.texture import apply_textures
         gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
-    vis = jnp.where(gbuf["valid"],
-                    jnp.where(occ_out["occ"], 0.0, 1.0), 1.0)
+    vis = jnp.where(gbuf["valid"], vis_out["vis"], 1.0)
     return gbuf, vis
 
 
@@ -274,7 +299,8 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
               and shade_table is not None)
     if fused0:
         gbuf, vis0 = gbuffer_shadow_fused_production(
-            bvh, mesh, cam, cfg, lights[0], shade_table)
+            bvh, mesh, cam, cfg, lights[0], shade_table,
+            key=jax.random.fold_in(key, 0))
     else:
         gbuf = gbuffer_production(bvh, mesh, cam, cfg, shade_table,
                                   shade_table_orig)
