@@ -144,6 +144,31 @@ def test_fused_soft_zero_rng_matches_hard(scene):
         np.asarray(counts), spp * np.asarray(occ_h).astype(np.int32))
 
 
+@pytest.mark.slow
+def test_fused_sharded_matches_unsharded(scene):
+    """--shard path: the fused kernel under shard_map on the fake
+    8-device mesh must match the single-device fused frame."""
+    mesh, bvh, wide, cam = scene
+    from tpurt.app import render_frame_fn
+    from tpurt.parallel.tiling import (device_put_replicated, make_tile_mesh,
+                                       render_frame_sharded)
+    st = jax.jit(make_shade_table)(bvh, mesh)
+    key = jax.random.PRNGKey(0)
+    cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
+                       gbuffer="ray", fused_shadow=True)
+    ref = np.asarray(render_frame_fn(wide, mesh, cam, (LIGHT,), key, cfg,
+                                     shade_table=st)["image"])
+    dev_mesh = make_tile_mesh(jax.devices()[:8])
+    widr = device_put_replicated(wide, dev_mesh)
+    meshr = device_put_replicated(mesh, dev_mesh)
+    str_ = device_put_replicated(st, dev_mesh)
+    img = np.asarray(render_frame_sharded(widr, meshr, cam, (LIGHT,), key,
+                                          cfg, mesh=dev_mesh,
+                                          shade_table=str_))
+    diff = np.abs(img - ref).max(axis=-1)
+    assert (diff > 1e-3).mean() <= 2e-3
+
+
 def test_fused_multi_light_only_fuses_light0(scene):
     """Light 0 rides the fused kernel; extra lights keep the separate
     shadow pass — the composite must match the fully-unfused frame."""

@@ -240,12 +240,16 @@ def fused_shadow_applicable(cfg: RenderConfig, bvh, lights) -> bool:
 
 def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                                     cfg: RenderConfig, light: Light,
-                                    shade_table, key=None):
+                                    shade_table, key=None, rays=None):
     """Fused twin of gbuffer_production + shadow_production for light 0:
     ONE kernel returns the hit set AND its shadow visibility (hard
     directional/point, or in-kernel cone-sampled soft for area lights),
     so the frame pays no shadow raygen, no packet re-layout, and one
-    dispatch less. Returns (gbuf, visibility)."""
+    dispatch less. Returns (gbuf, visibility).
+
+    rays: optional precomputed (origins, dirs) row-band — the sharded
+    path (parallel/tiling.py _local_frame) renders its shard through the
+    same fused kernel."""
     from .bvh.wide import order_children_for_point
     from .kernels.traverse import (trace_closest_shadow_pallas,
                                    trace_closest_soft_shadow_pallas)
@@ -278,8 +282,9 @@ def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
             vis_out["vis"] = jnp.where(occ, 0.0, 1.0)
             return t, None, sidx
 
-    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, cfg.height,
-                        shade_table=shade_table)
+    height = rays[0].shape[0] if rays is not None else cfg.height
+    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
+                        shade_table=shade_table, rays=rays)
     if mesh.textured:
         from .passes.texture import apply_textures
         gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}

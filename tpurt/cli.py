@@ -131,6 +131,10 @@ def main(argv=None) -> int:
                    help="raster G-buffer with z-only records + one "
                         "shade-table gather (deferred shading) instead "
                         "of self-shading 32-float records")
+    p.add_argument("--fused-shadow", action="store_true",
+                   help="trace light-0's shadow inside the closest-hit "
+                        "kernel (ray G-buffer path; "
+                        "kernels/traverse.py trace_closest_shadow_pallas)")
     p.add_argument("--no-sah", action="store_true",
                    help="skip the native host SAH build for static "
                         "scenes (use the on-device Morton LBVH)")
@@ -181,7 +185,8 @@ def main(argv=None) -> int:
                        accumulate=opts.get("accumulate", False),
                        leaf_size=leaf_size, seed=args.seed,
                        gbuffer=args.gbuffer, sah=not args.no_sah,
-                       raster_deferred=args.raster_deferred)
+                       raster_deferred=args.raster_deferred,
+                       fused_shadow=args.fused_shadow)
 
     from .app import Renderer
     r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"],

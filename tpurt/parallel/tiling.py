@@ -65,6 +65,7 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
     from ..bvh.wide import WideBVH, order_children_for_point
     idx = jax.lax.axis_index("tiles")
     key = jax.random.fold_in(key, idx)
+    vis0 = None                     # light-0 visibility from the fused path
     if use_raster_gbuffer(cfg) and shade_table_orig is not None \
             and band_tiles > 0:
         from ..passes.gbuffer import gbuffer_raster_pass
@@ -75,35 +76,50 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
             tile_rows=(idx * band_tiles, band_tiles),
             deferred=cfg.raster_deferred)
     else:
-        from ..passes.gbuffer import gbuffer_pass
-        gb_accel = bvh
-        if isinstance(bvh, WideBVH):
-            gb_accel = order_children_for_point(bvh, cam.position)
-        if shade_table is not None and cfg.use_pallas \
-                and not isinstance(bvh, ChunkedAccel):
-            from ..kernels.traverse import trace_closest_pallas
-
-            def tracer(o, d):
-                return trace_closest_pallas(gb_accel, o, d, cfg=cfg,
-                                            return_sorted=True,
-                                            gather_tri_id=False)
+        from ..app import (fused_shadow_applicable,
+                           gbuffer_shadow_fused_production)
+        if (shade_table is not None and not isinstance(bvh, ChunkedAccel)
+                and fused_shadow_applicable(cfg, bvh, lights)):
+            # Fused primary+shadow kernel for light 0 on this shard's
+            # band — the same production path as render_frame_fn.
+            gbuf, vis0 = gbuffer_shadow_fused_production(
+                bvh, tri_mesh, cam, cfg, lights[0], shade_table,
+                key=jax.random.fold_in(key, 0), rays=(origins, dirs))
         else:
-            def tracer(o, d):
-                return trace_closest(gb_accel, o, d)
-        gbuf = gbuffer_pass(tracer, tri_mesh, cam, cfg.width,
-                            origins.shape[0], rays=(origins, dirs),
-                            shade_table=shade_table if cfg.use_pallas
-                            else None)
-    if tri_mesh.textured:
+            from ..passes.gbuffer import gbuffer_pass
+            gb_accel = bvh
+            if isinstance(bvh, WideBVH):
+                gb_accel = order_children_for_point(bvh, cam.position)
+            if shade_table is not None and cfg.use_pallas \
+                    and not isinstance(bvh, ChunkedAccel):
+                from ..kernels.traverse import trace_closest_pallas
+
+                def tracer(o, d):
+                    return trace_closest_pallas(gb_accel, o, d, cfg=cfg,
+                                                return_sorted=True,
+                                                gather_tri_id=False)
+            else:
+                def tracer(o, d):
+                    return trace_closest(gb_accel, o, d)
+            gbuf = gbuffer_pass(tracer, tri_mesh, cam, cfg.width,
+                                origins.shape[0], rays=(origins, dirs),
+                                shade_table=shade_table if cfg.use_pallas
+                                else None)
+    if tri_mesh.textured and vis0 is None:
+        # (the fused helper already applied textures to its gbuf)
         from ..passes.texture import apply_textures
         gbuf = {**gbuf, "albedo": apply_textures(tri_mesh, gbuf)}
     img = None
     for li, light in enumerate(lights):
-        mask = shadow_pass(lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf,
-                           light, cfg.spp, jax.random.fold_in(key, li),
-                           cfg.shadow_bias,
-                           scene_bounds=(bvh.root_min, bvh.root_max),
-                           trace_soft=make_soft_tracer(cfg, bvh))
+        if li == 0 and vis0 is not None:
+            mask = vis0
+        else:
+            mask = shadow_pass(
+                lambda o, d, tm: trace_any(bvh, o, d, tm), gbuf,
+                light, cfg.spp, jax.random.fold_in(key, li),
+                cfg.shadow_bias,
+                scene_bounds=(bvh.root_min, bvh.root_max),
+                trace_soft=make_soft_tracer(cfg, bvh))
         contrib = composite_pass(gbuf, mask, light,
                                  cfg.ambient if li == 0 else 0.0,
                                  cfg.background if li == 0 else (0, 0, 0))
