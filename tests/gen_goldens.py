@@ -29,12 +29,14 @@ def golden_cases():
                               teapot_scene)
     from tpurt.types import Light, RenderConfig
 
-    def teapot(use_pallas=False):
+    def teapot(use_pallas=False, fused=False):
         mesh = teapot_scene(1500)
         r = Renderer(mesh, default_camera_for(mesh),
                      Light.directional((0.45, 0.8, 0.3)),
                      RenderConfig(width=128, height=96,
                                   use_pallas=use_pallas,
+                                  gbuffer="ray" if fused else "auto",
+                                  fused_shadow=fused,
                                   leaf_size=8 if use_pallas else 4, seed=0))
         return np.asarray(r.render_frame()["image"])
 

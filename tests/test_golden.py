@@ -32,9 +32,12 @@ def _check(name, img):
     assert frac_off < 0.005, f"{name}: {frac_off:.4%} pixels differ"
 
 
-@pytest.mark.parametrize("use_pallas", [False, True])
-def test_teapot_matches_golden(use_pallas):
-    _check("teapot_128x96", CASES["teapot_128x96"](use_pallas))
+@pytest.mark.parametrize("use_pallas,fused", [(False, False), (True, False),
+                                              (True, True)])
+def test_teapot_matches_golden(use_pallas, fused):
+    # The fused primary+shadow path must land on the SAME golden as the
+    # CPU oracle and the separate-pass Pallas render.
+    _check("teapot_128x96", CASES["teapot_128x96"](use_pallas, fused))
 
 
 @pytest.mark.parametrize("name", ["sponza_160x90", "soft_spp4_128x96",
