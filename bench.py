@@ -499,6 +499,33 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
         f"ms, sorted {out['multilight_4k_sorted_ms']} ms "
         f"({nrays/1e6:.1f} Mrays); gbuffer4k {out['gbuffer_4k_ms']} ms")
 
+    # Full-frame 4K 2-light through render_frame_fn, unfused vs the
+    # N-light fused kernel (fused_multi_applicable): one dispatch serves
+    # primary visibility plus BOTH hard shadows. Fault-tolerant — the
+    # multi kernel is the newest Mosaic compile in this file.
+    try:
+        import dataclasses as _dc2
+
+        from tpurt.app import render_frame_fn as _rff
+        st4 = st0
+        l2 = (lights5[1], Light.directional((0.25, 0.9, 0.2)))
+        k4 = jax.random.PRNGKey(0)
+        cfg4 = RenderConfig(width=W4, height=H4, leaf_size=leaf_size,
+                            gbuffer="ray")
+        fr4 = jax.jit(lambda a, m, c, k, s: jnp.sum(_rff(
+            a, m, c, l2, k, cfg4, shade_table=s)["image"]))
+        out["frame_4k_2light_ms"] = round(timed(
+            lambda: fr4(static_accel, mesh, cam, k4, st4), 5) * 1e3, 2)
+        cfg4f = _dc2.replace(cfg4, fused_shadow=True)
+        fr4f = jax.jit(lambda a, m, c, k, s: jnp.sum(_rff(
+            a, m, c, l2, k, cfg4f, shade_table=s)["image"]))
+        out["frame_4k_2light_fused_ms"] = round(timed(
+            lambda: fr4f(static_accel, mesh, cam, k4, st4), 5) * 1e3, 2)
+        log(f"frame 4K 2-light: unfused {out['frame_4k_2light_ms']} ms, "
+            f"multi-fused {out['frame_4k_2light_fused_ms']} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"4K 2-light frame failed: {type(e).__name__}: {str(e)[:160]}")
+
     # The INCOHERENT workload (VERDICT r2 item 3): an interior point light
     # with a large source radius at spp=4 — per-pixel directions fan out
     # toward the light and jitter across its disk, the least coherent ray

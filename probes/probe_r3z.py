@@ -122,6 +122,40 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"fused soft FAILED: {type(e).__name__}: {str(e)[:200]}")
 
+    # 7. multi-light fused kernel (NEWEST compile — after soft): 4K
+    # 2-directional-light workload, fused N-shadow frame vs the unfused
+    # and light0-only-fused frames (the bench multi_light_4k analogue).
+    try:
+        W4, H4 = 3840, 2160
+        o4, d4 = generate_rays(cam, W4, H4)
+        lights2 = (light, Light.directional((-0.4, 0.8, 0.3),
+                                            color=(0.4, 0.4, 0.5)))
+        cfg4 = dataclasses.replace(cfg, width=W4, height=H4)
+        fr2 = jax.jit(lambda a, m, c, k, s, so: jnp.sum(render_frame_fn(
+            a, m, c, lights2, k, cfg4, shade_table=s,
+            shade_table_orig=so)["image"]))
+        t = timed(lambda: fr2(wide, mesh, cam, key, st, st_orig), reps=8)
+        log(f"frame[4k 2-light, unfused]: {t*1e3:.2f} ms")
+        cfg4f = dataclasses.replace(cfg4, fused_shadow=True)
+        fr2f = jax.jit(lambda a, m, c, k, s, so: jnp.sum(render_frame_fn(
+            a, m, c, lights2, k, cfg4f, shade_table=s,
+            shade_table_orig=so)["image"]))
+        t = timed(lambda: fr2f(wide, mesh, cam, key, st, st_orig), reps=8)
+        log(f"frame[4k 2-light, multi-fused]: {t*1e3:.2f} ms")
+        a4 = jax.jit(lambda: render_frame_fn(wide, mesh, cam, lights2, key,
+                                             cfg4, shade_table=st,
+                                             shade_table_orig=st_orig)
+                     ["image"])()
+        b4 = jax.jit(lambda: render_frame_fn(wide, mesh, cam, lights2, key,
+                                             cfg4f, shade_table=st,
+                                             shade_table_orig=st_orig)
+                     ["image"])()
+        diff4 = np.abs(np.asarray(a4) - np.asarray(b4)).max(axis=-1)
+        log(f"4k 2-light multi-fused diff >1e-3: {(diff4 > 1e-3).mean():.2e}")
+        del a4, b4, o4, d4
+    except Exception as e:  # noqa: BLE001
+        log(f"multi-light fused FAILED: {type(e).__name__}: {str(e)[:200]}")
+
     # Parity spot check on hardware.
     a_img = jax.jit(lambda: render_frame_fn(wide, mesh, cam, (light,), key,
                                             cfg, shade_table=st,

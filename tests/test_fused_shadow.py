@@ -169,21 +169,88 @@ def test_fused_sharded_matches_unsharded(scene):
     assert (diff > 1e-3).mean() <= 2e-3
 
 
-def test_fused_multi_light_only_fuses_light0(scene):
-    """Light 0 rides the fused kernel; extra lights keep the separate
-    shadow pass — the composite must match the fully-unfused frame."""
+def test_fused_multi_light_frame_matches_unfused(scene):
+    """An all-hard multi-light set takes the N-light fused kernel
+    (fused_multi_applicable); the composite must match the fully-unfused
+    frame."""
     mesh, bvh, wide, cam = scene
-    from tpurt.app import render_frame_fn
+    from tpurt.app import fused_multi_applicable, render_frame_fn
     st = jax.jit(make_shade_table)(bvh, mesh)
     key = jax.random.PRNGKey(1)
-    lights = (LIGHT, Light.directional((-0.5, 0.7, 0.2),
-                                       color=(0.4, 0.4, 0.5)))
+    ctr = 0.5 * (np.asarray(bvh.root_min) + np.asarray(bvh.root_max))
+    lpos = ctr + np.float32([0.2, 1.5, 0.3]) * (
+        np.asarray(bvh.root_max) - np.asarray(bvh.root_min))
+    lights = (LIGHT,
+              Light.directional((-0.5, 0.7, 0.2), color=(0.4, 0.4, 0.5)),
+              Light.point(lpos, color=(0.3, 0.25, 0.2)))
     imgs = {}
     for fused in (False, True):
         cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
                            gbuffer="ray", fused_shadow=fused)
+        assert fused_multi_applicable(cfg, wide, lights) == fused
         out = render_frame_fn(wide, mesh, cam, lights, key, cfg,
                               shade_table=st)
         imgs[fused] = np.asarray(out["image"])
     diff = np.abs(imgs[True] - imgs[False]).max(axis=-1)
+    assert (diff > 1e-3).mean() <= 2e-3
+
+
+def test_multi_kernel_matches_single_fused_per_light(scene):
+    """The N-light kernel must reproduce the single-light fused kernel
+    bit-for-bit per light: identical phase-1 hit set, and each occ bit
+    equal to the corresponding single-light run (same in-register raygen
+    recipe, so no tolerance needed)."""
+    mesh, bvh, wide, cam = scene
+    from tpurt.kernels.traverse import trace_closest_multi_shadow_pallas
+    ctr = 0.5 * (np.asarray(bvh.root_min) + np.asarray(bvh.root_max))
+    lpos = jnp.asarray(ctr + np.float32([0.2, 1.5, 0.3]) * (
+        np.asarray(bvh.root_max) - np.asarray(bvh.root_min)), jnp.float32)
+    ld0 = jnp.asarray(LIGHT.direction, jnp.float32)
+    ld1 = jnp.asarray(Light.directional((-0.5, 0.7, 0.2)).direction,
+                      jnp.float32)
+    o, d = generate_rays(cam, 64, 48)
+    acc = jax.jit(order_children_for_point)(wide, jnp.asarray(cam.position))
+    t_m, sidx_m, occm = trace_closest_multi_shadow_pallas(
+        acc, o, d, [(ld0, None), (ld1, None), (None, lpos)], 1e-3,
+        interpret=True)
+    singles = [
+        trace_closest_shadow_pallas(acc, o, d, ld0, 1e-3, interpret=True),
+        trace_closest_shadow_pallas(acc, o, d, ld1, 1e-3, interpret=True),
+        trace_closest_shadow_pallas(acc, o, d, ld0, 1e-3, light_pos=lpos,
+                                    interpret=True),
+    ]
+    np.testing.assert_array_equal(np.asarray(sidx_m),
+                                  np.asarray(singles[0][1]))
+    np.testing.assert_array_equal(np.asarray(t_m), np.asarray(singles[0][0]))
+    occm = np.asarray(occm)
+    for li, (_, _, occ_s) in enumerate(singles):
+        np.testing.assert_array_equal((occm >> li) & 1,
+                                      np.asarray(occ_s).astype(np.int32),
+                                      err_msg=f"light {li}")
+
+
+@pytest.mark.slow
+def test_fused_multi_sharded_matches_unsharded(scene):
+    """--shard path with an all-hard 2-light set: the N-light fused
+    kernel under shard_map must match the single-device fused frame."""
+    mesh, bvh, wide, cam = scene
+    from tpurt.app import render_frame_fn
+    from tpurt.parallel.tiling import (device_put_replicated, make_tile_mesh,
+                                       render_frame_sharded)
+    st = jax.jit(make_shade_table)(bvh, mesh)
+    key = jax.random.PRNGKey(0)
+    lights = (LIGHT, Light.directional((-0.5, 0.7, 0.2),
+                                       color=(0.4, 0.4, 0.5)))
+    cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
+                       gbuffer="ray", fused_shadow=True)
+    ref = np.asarray(render_frame_fn(wide, mesh, cam, lights, key, cfg,
+                                     shade_table=st)["image"])
+    dev_mesh = make_tile_mesh(jax.devices()[:8])
+    widr = device_put_replicated(wide, dev_mesh)
+    meshr = device_put_replicated(mesh, dev_mesh)
+    str_ = device_put_replicated(st, dev_mesh)
+    img = np.asarray(render_frame_sharded(widr, meshr, cam, lights, key,
+                                          cfg, mesh=dev_mesh,
+                                          shade_table=str_))
+    diff = np.abs(img - ref).max(axis=-1)
     assert (diff > 1e-3).mean() <= 2e-3

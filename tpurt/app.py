@@ -238,6 +238,69 @@ def fused_shadow_applicable(cfg: RenderConfig, bvh, lights) -> bool:
             or (kind == LIGHT_POINT and cfg.spp == 1))
 
 
+def fused_multi_applicable(cfg: RenderConfig, bvh, lights) -> bool:
+    """Does the fused primary + N-hard-shadow kernel path apply? Every
+    light must be hard (directional at any spp; point/area-cone at
+    spp=1 — the same set shadow_pass traces unjittered), on the batched
+    8-wide ray-cast G-buffer path (trace_closest_multi_shadow_pallas)."""
+    from .bvh.wide import WideBVH
+    from .types import LIGHT_AREA_CONE, LIGHT_DIRECTIONAL, LIGHT_POINT
+    if not (cfg.fused_shadow and cfg.use_pallas
+            and not use_raster_gbuffer(cfg) and isinstance(bvh, WideBVH)
+            and len(lights) >= 2):
+        return False
+    for l in lights:
+        if l.kind == LIGHT_DIRECTIONAL:
+            continue
+        if l.kind in (LIGHT_POINT, LIGHT_AREA_CONE) and cfg.spp == 1:
+            continue
+        return False
+    return True
+
+
+def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
+                                          cfg: RenderConfig, lights,
+                                          shade_table, rays=None):
+    """Fused twin of gbuffer_production + EVERY light's shadow_production
+    for all-hard light sets: one kernel returns the hit set and a
+    per-light occlusion bitmask, so an N-light frame pays a single
+    dispatch with no per-light raygen or packet re-layout. Returns
+    (gbuf, [visibility per light]).
+
+    rays: optional precomputed (origins, dirs) row-band for the sharded
+    path (parallel/tiling.py _local_frame)."""
+    from .bvh.wide import order_children_for_point
+    from .kernels.traverse import trace_closest_multi_shadow_pallas
+    from .types import LIGHT_POINT
+    gb_accel = order_children_for_point(bvh, cam.position)
+    spec = []
+    for l in lights:
+        if l.kind == LIGHT_POINT:
+            spec.append((None, jnp.asarray(l.position, jnp.float32)))
+        else:
+            spec.append((jnp.asarray(l.direction, jnp.float32), None))
+    vis_out = {}
+
+    def tracer(o, d):
+        t, sidx, occm = trace_closest_multi_shadow_pallas(
+            gb_accel, o, d, spec, cfg.shadow_bias)
+        vis_out["occm"] = occm
+        return t, None, sidx
+
+    height = rays[0].shape[0] if rays is not None else cfg.height
+    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
+                        shade_table=shade_table, rays=rays)
+    if mesh.textured:
+        from .passes.texture import apply_textures
+        gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
+    occm = vis_out["occm"]
+    vises = []
+    for li in range(len(lights)):
+        v = jnp.where(((occm >> li) & 1) > 0, 0.0, 1.0)
+        vises.append(jnp.where(gbuf["valid"], v, 1.0))
+    return gbuf, vises
+
+
 def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                                     cfg: RenderConfig, light: Light,
                                     shade_table, key=None, rays=None):
@@ -300,22 +363,29 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
                     shade_table_orig=None) -> Dict[str, jnp.ndarray]:
     """One fused frame: G-buffer -> per-light shadow batches -> composite."""
     num_lights = len(lights)
-    fused0 = (fused_shadow_applicable(cfg, bvh, lights)
+    fusedN = (fused_multi_applicable(cfg, bvh, lights)
               and shade_table is not None)
-    if fused0:
-        gbuf, vis0 = gbuffer_shadow_fused_production(
-            bvh, mesh, cam, cfg, lights[0], shade_table,
-            key=jax.random.fold_in(key, 0))
+    fused0 = (not fusedN and shade_table is not None
+              and fused_shadow_applicable(cfg, bvh, lights))
+    if fusedN:
+        gbuf, shadows = gbuffer_multi_shadow_fused_production(
+            bvh, mesh, cam, cfg, lights, shade_table)
     else:
-        gbuf = gbuffer_production(bvh, mesh, cam, cfg, shade_table,
-                                  shade_table_orig)
-    shadows = []
-    for li in range(num_lights):
-        if li == 0 and fused0:
-            shadows.append(vis0)
-            continue
-        lkey = jax.random.fold_in(key, li)
-        shadows.append(shadow_production(bvh, gbuf, lights[li], lkey, cfg))
+        if fused0:
+            gbuf, vis0 = gbuffer_shadow_fused_production(
+                bvh, mesh, cam, cfg, lights[0], shade_table,
+                key=jax.random.fold_in(key, 0))
+        else:
+            gbuf = gbuffer_production(bvh, mesh, cam, cfg, shade_table,
+                                      shade_table_orig)
+        shadows = []
+        for li in range(num_lights):
+            if li == 0 and fused0:
+                shadows.append(vis0)
+                continue
+            lkey = jax.random.fold_in(key, li)
+            shadows.append(shadow_production(bvh, gbuf, lights[li], lkey,
+                                             cfg))
     # Composite: sum of per-light direct terms + one ambient term.
     img = composite_pass(gbuf, shadows[0], lights[0], cfg.ambient,
                          cfg.background)

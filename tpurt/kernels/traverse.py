@@ -1485,6 +1485,137 @@ def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
 
 
+def _closest_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
+                                      points, tmin_ref, scal_ref, ns_ref,
+                                      tr_ref, rays_ref, t_out_ref,
+                                      idx_out_ref, occ_out_ref, stack_ref):
+    """Fused primary visibility + N hard shadows: ONE program.
+
+    The multi-light generalization of _closest_shadow_kernel_w8_b: phase 1
+    is the same closest-hit walk tracking the winner's geometric normal;
+    phase 2 statically unrolls over ``points`` (a tuple of per-light
+    is-point flags), deriving each light's shadow ray in registers from
+    the SAME biased hit point and running the shared any-hit walk once per
+    light. The frame pays ONE primary dispatch for the whole light set —
+    no per-light raygen, packet re-layout, or extra kernel launches.
+
+    scal_ref layout: [bias, root_min(3), root_max(3)] then per light —
+    directional: toward-light dir(3) + clamped 1/dir(3); point:
+    position(3). Output occ i32 bitmask: bit l set = light l occluded.
+    """
+    t_min = tmin_ref[0]
+    bias = scal_ref[0]
+    rx0, ry0, rz0 = scal_ref[1], scal_ref[2], scal_ref[3]
+    rx1, ry1, rz1 = scal_ref[4], scal_ref[5], scal_ref[6]
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
+        active0 = tmax > t_min
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_test(leaf_id, carry):
+            best_t, best_i, nx, ny, nz = carry
+            tn = _leaf_ts_n(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+            base = leaf_id * k
+            for j, (t, cnx, cny, cnz) in enumerate(tn):
+                better = (t > t_min) & (t < best_t) & active0
+                best_t = jnp.where(better, t, best_t)
+                best_i = jnp.where(better, base + j, best_i)
+                nx = jnp.where(better, cnx, nx)
+                ny = jnp.where(better, cny, ny)
+                nz = jnp.where(better, cnz, nz)
+            return best_t, best_i, nx, ny, nz
+
+        def cond(state):
+            it, sp = state[0], state[1]
+            return (sp > 0) & (it < max_iters)
+
+        def body(state):
+            it, sp, best_t, best_i, nx, ny, nz = state
+            sp = sp - 1
+            node = stack_ref[sp]
+            rec = ns_ref[pl.ds(node, 1), :]
+            cap = jnp.where(active0, best_t, -_BIG)
+            hits = []
+            refs = []
+            valids = []
+            for c in range(8):
+                bb, ref = _wide_child(rec, c)
+                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
+                                  cap))
+                refs.append(ref)
+                valids.append(rec[0, bb] <= rec[0, bb + 3])
+            anyhit = _child_anyhit8(hits, valids)
+            for c in range(8):
+                ref = refs[c]
+                is_leaf = ref < 0
+                best_t, best_i, nx, ny, nz = jax.lax.cond(
+                    anyhit[c] & is_leaf,
+                    lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0),
+                                                 car),
+                    lambda car: car, (best_t, best_i, nx, ny, nz))
+                push = anyhit[c] & (~is_leaf)
+                stack_ref[sp] = jnp.where(push, ref, 0)
+                sp = sp + push.astype(jnp.int32)
+            return it + 1, sp, best_t, best_i, nx, ny, nz
+
+        best_t0 = jnp.where(active0, tmax, -_BIG)
+        best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+        zero = jnp.zeros(ox.shape, jnp.float32)
+        _, _, best_t, best_i, nx, ny, nz = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(1), best_t0, best_i0,
+             zero, zero, zero))
+        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+        idx_out_ref[b] = best_i
+
+        # Phase 2: one shadow walk per light from the shared biased hit
+        # point (the _closest_shadow_kernel_w8_b raygen recipe).
+        hitm = best_i >= 0
+        rn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        flip = jnp.where(nx * dx + ny * dy + nz * dz > 0.0, -1.0, 1.0)
+        off = bias * rn * flip
+        sox = ox + best_t * dx + nx * off
+        soy = oy + best_t * dy + ny * off
+        soz = oz + best_t * dz + nz * off
+        occm = jnp.zeros(ox.shape, jnp.int32)
+        s = 7
+        for li, is_point in enumerate(points):
+            if is_point:
+                lpx, lpy, lpz = scal_ref[s], scal_ref[s + 1], scal_ref[s + 2]
+                s += 3
+                ex_ = lpx - sox
+                ey_ = lpy - soy
+                ez_ = lpz - soz
+                d2 = jnp.maximum(ex_ * ex_ + ey_ * ey_ + ez_ * ez_, 1e-24)
+                drn = jax.lax.rsqrt(d2)
+                sdx = ex_ * drn
+                sdy = ey_ * drn
+                sdz = ez_ * drn
+                six, siy, siz = _inv3(sdx, sdy, sdz)
+                stmax = jnp.where(hitm, d2 * drn * (1.0 - 1e-4), -_BIG)
+            else:
+                sdx, sdy, sdz = scal_ref[s], scal_ref[s + 1], scal_ref[s + 2]
+                six, siy, siz = (scal_ref[s + 3], scal_ref[s + 4],
+                                 scal_ref[s + 5])
+                s += 6
+                ex = jnp.minimum(
+                    jnp.minimum(
+                        jnp.maximum((rx0 - sox) * six, (rx1 - sox) * six),
+                        jnp.maximum((ry0 - soy) * siy, (ry1 - soy) * siy)),
+                    jnp.maximum((rz0 - soz) * siz, (rz1 - soz) * siz))
+                stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+            occ = _w8_anyhit_walk(
+                k, max_iters, ns_ref, tr_ref, stack_ref,
+                sox, soy, soz, sdx, sdy, sdz, six, siy, siz, stmax, 0.0)
+            occm = occm | jnp.where(occ > 0, jnp.int32(1 << li), 0)
+        occ_out_ref[b] = occm
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
 # ---------------------------------------------------------------------------
 # w8t kernels: sublane-major (transposed) node/leaf layout
 # ---------------------------------------------------------------------------
@@ -2244,6 +2375,81 @@ def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
     occ = _unpack(occ[:p], meta)
     t = jnp.where(sidx >= 0, t, jnp.inf)
     return t, sidx, occ > 0
+
+
+def trace_closest_multi_shadow_pallas(bvh, origins, dirs, lights, bias,
+                                      t_max=_BIG, t_min: float = 0.0,
+                                      interpret: Optional[bool] = None):
+    """Fused primary visibility + N hard shadows (ONE kernel).
+
+    lights: sequence of (light_dir, light_pos) pairs, exactly one of each
+    pair non-None — directional lights pass a toward-light direction,
+    point lights a position. Returns (t f32[H, W], sorted_idx i32[H, W],
+    occ_mask i32[H, W]): bit l of occ_mask set = light l occluded at that
+    pixel. Equivalent to trace_closest_shadow_pallas per light but the
+    whole light set shares one primary walk and one dispatch
+    (_closest_multi_shadow_kernel_w8_b). Batched 8-wide accel path only.
+    """
+    from ..bvh.wide import WideBVH
+    packed = _as_packed(bvh)
+    assert isinstance(packed, WideBVH) and PACKETS_PER_STEP > 1, \
+        "fused closest+multi-shadow needs the batched 8-wide accel path"
+    assert len(lights) >= 1
+    batch = PACKETS_PER_STEP
+    rays, p, meta = _ray_packets_packed(origins, dirs, t_max, batch)
+    pb = rays.shape[0]
+    blocks = [jnp.asarray(bias, jnp.float32).reshape(1),
+              packed.root_min.astype(jnp.float32),
+              packed.root_max.astype(jnp.float32)]
+    points = []
+    for ld, lp in lights:
+        if lp is not None:
+            points.append(True)
+            blocks.append(jnp.asarray(lp, jnp.float32))
+        else:
+            points.append(False)
+            d = jnp.asarray(ld, jnp.float32)
+            blocks.append(d)
+            blocks.append(jnp.clip(1.0 / d, -_BIG, _BIG))
+    scal = jnp.concatenate(blocks)
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE
+    if interpret is None:
+        interpret = not _compiled_backend()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(pb // batch,),
+        in_specs=[const_spec(packed.nodes.shape),
+                  const_spec(packed.tris.shape), ray_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(_closest_multi_shadow_kernel_w8_b,
+                          packed.leaf_size, iter_cap, batch, tuple(points)),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    t, sidx, occm = fn(tmin_arr, scal, packed.nodes, packed.tris, rays)
+    t = _unpack(t[:p], meta)
+    sidx = _unpack(sidx[:p], meta)
+    occm = _unpack(occm[:p], meta)
+    t = jnp.where(sidx >= 0, t, jnp.inf)
+    return t, sidx, occm
 
 
 def trace_closest_soft_shadow_pallas(bvh, origins, dirs, axis_dir, cone_cos,

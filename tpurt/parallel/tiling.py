@@ -66,6 +66,7 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
     idx = jax.lax.axis_index("tiles")
     key = jax.random.fold_in(key, idx)
     vis0 = None                     # light-0 visibility from the fused path
+    vis_all = None                  # all-hard-lights fused visibilities
     if use_raster_gbuffer(cfg) and shade_table_orig is not None \
             and band_tiles > 0:
         from ..passes.gbuffer import gbuffer_raster_pass
@@ -76,9 +77,17 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
             tile_rows=(idx * band_tiles, band_tiles),
             deferred=cfg.raster_deferred)
     else:
-        from ..app import (fused_shadow_applicable,
+        from ..app import (fused_multi_applicable, fused_shadow_applicable,
+                           gbuffer_multi_shadow_fused_production,
                            gbuffer_shadow_fused_production)
         if (shade_table is not None and not isinstance(bvh, ChunkedAccel)
+                and fused_multi_applicable(cfg, bvh, lights)):
+            # All-hard light set: one kernel yields every light's shadow
+            # for this shard's band (same path as render_frame_fn).
+            gbuf, vis_all = gbuffer_multi_shadow_fused_production(
+                bvh, tri_mesh, cam, cfg, lights, shade_table,
+                rays=(origins, dirs))
+        elif (shade_table is not None and not isinstance(bvh, ChunkedAccel)
                 and fused_shadow_applicable(cfg, bvh, lights)):
             # Fused primary+shadow kernel for light 0 on this shard's
             # band — the same production path as render_frame_fn.
@@ -105,13 +114,15 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
                                 origins.shape[0], rays=(origins, dirs),
                                 shade_table=shade_table if cfg.use_pallas
                                 else None)
-    if tri_mesh.textured and vis0 is None:
+    if tri_mesh.textured and vis0 is None and vis_all is None:
         # (the fused helper already applied textures to its gbuf)
         from ..passes.texture import apply_textures
         gbuf = {**gbuf, "albedo": apply_textures(tri_mesh, gbuf)}
     img = None
     for li, light in enumerate(lights):
-        if li == 0 and vis0 is not None:
+        if vis_all is not None:
+            mask = vis_all[li]
+        elif li == 0 and vis0 is not None:
             mask = vis0
         else:
             mask = shadow_pass(
