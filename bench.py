@@ -559,6 +559,28 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
         log(f"config 5 INCOHERENT point-penumbra 4K spp={spp}: unsorted "
             f"{out['penumbra_4k_spp4_unsorted_ms']} ms, sorted "
             f"{out['penumbra_4k_spp4_sorted_ms']} ms")
+
+        # In-kernel jittered-disk sampling (trace_any_point_soft_pallas):
+        # the fusion answer to this workload — per-sample raygen and the
+        # packet re-layout never reach HBM. Newest Mosaic compile in the
+        # config-5 section, so it sits last and fault-tolerant.
+        from tpurt.kernels.traverse import trace_any_point_soft_pallas
+
+        def psoft():
+            def run(a, g):
+                o = g["position"] + g["gnormal"] * 1e-3
+                counts = trace_any_point_soft_pallas(
+                    a, o, g["valid"],
+                    jnp2.asarray(plight.position, jnp2.float32),
+                    jnp2.asarray(plight.radius, jnp2.float32), spp, 5)
+                return jnp2.sum(counts)
+            fn = jax.jit(run)
+            return lambda: fn(static_accel, gbuf4)
+
+        t_pk = timed(psoft(), 4)
+        out["penumbra_4k_spp4_kernel_ms"] = round(t_pk * 1e3, 2)
+        log(f"config 5 INCOHERENT point-penumbra 4K spp={spp} IN-KERNEL: "
+            f"{out['penumbra_4k_spp4_kernel_ms']} ms")
     except Exception as e:  # noqa: BLE001
         log(f"penumbra probe failed: {type(e).__name__}: {str(e)[:160]}")
     return out

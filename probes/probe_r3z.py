@@ -156,6 +156,52 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"multi-light fused FAILED: {type(e).__name__}: {str(e)[:200]}")
 
+    # 8. point-light penumbra in-kernel disk sampling (VERY LAST — newest
+    # Mosaic compile): the incoherent-workload fusion answer. 1080p spp=4
+    # kernel vs the XLA scan (shadow_pass fallback).
+    try:
+        from tpurt.kernels.traverse import trace_any_point_soft_pallas
+        from tpurt.passes.shadow import shadow_pass, shadow_ray_batch
+        ctr = 0.5 * (np.asarray(sbvh.root_min) + np.asarray(sbvh.root_max))
+        plight = Light.point(ctr + np.float32([0.0, 4.0, 0.0]), radius=1.5)
+        # Build a gbuf once via the plain closest kernel.
+        tt, _tid, ss = trace_closest_pallas(acc, o, d, return_sorted=True,
+                                            gather_tri_id=False)
+        valid = ss >= 0
+        pos = o + d * jnp.where(valid, tt, 0.0)[..., None]
+        up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+        gbuf = {"position": pos,
+                "gnormal": jnp.broadcast_to(up, pos.shape), "valid": valid}
+        gbuf = jax.device_put(jax.tree.map(np.asarray, gbuf))
+        spp = 4
+
+        def scan_run(g, key):
+            def sample(acc_, s):
+                u = jax.random.uniform(jax.random.fold_in(key, s),
+                                       (g["valid"].shape[0],
+                                        g["valid"].shape[1], 2))
+                so, sd, stm = shadow_ray_batch(g, plight, 1e-3, u)
+                from tpurt.kernels.traverse import trace_any_pallas
+                occ = trace_any_pallas(acc, so, sd, stm)
+                return acc_ + jnp.sum(occ.astype(jnp.int32)), None
+            a2, _ = jax.lax.scan(sample, jnp.int32(0), jnp.arange(spp))
+            return a2
+        fscan = jax.jit(scan_run)
+        t = timed(lambda: fscan(gbuf, jax.random.PRNGKey(5)), reps=4)
+        log(f"penumbra 1080p spp=4 XLA scan: {t*1e3:.2f} ms")
+
+        def krun(g):
+            o2 = g["position"] + g["gnormal"] * 1e-3
+            return jnp.sum(trace_any_point_soft_pallas(
+                acc, o2, g["valid"],
+                jnp.asarray(plight.position, jnp.float32),
+                jnp.asarray(plight.radius, jnp.float32), spp, 5))
+        fk = jax.jit(krun)
+        t = timed(lambda: fk(gbuf), reps=4)
+        log(f"penumbra 1080p spp=4 IN-KERNEL: {t*1e3:.2f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"point-soft FAILED: {type(e).__name__}: {str(e)[:200]}")
+
     # Parity spot check on hardware.
     a_img = jax.jit(lambda: render_frame_fn(wide, mesh, cam, (light,), key,
                                             cfg, shade_table=st,

@@ -269,3 +269,47 @@ def test_soft_kernel_zero_rng_matches_hard():
     assert set(np.unique(c[v])) <= {0, 4}
     assert (c[v] == 4 * np.asarray(occ_hard)[v]).all()
     assert (c[~v] == 0).all()
+
+
+@pytest.mark.slow
+def test_point_soft_kernel_zero_rng_matches_hard():
+    """trace_any_point_soft_pallas in TPU-interpret mode: the zero PRNG
+    stream puts every disk sample at the light center, so counts must
+    equal spp x the hard point-shadow occlusion (shadow_ray_batch's
+    unjittered point path) up to boundary fp noise — the per-lane Duff
+    basis and target derivation cancel exactly at r=0 only in exact
+    arithmetic, so a trace amount of t-cap boundary flips is allowed."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpurt.bvh.wide import build_wide
+    from tpurt.camera import generate_rays
+    from tpurt.kernels.traverse import trace_any_point_soft_pallas
+    from tpurt.passes.shadow import shadow_ray_batch
+    from tpurt.scenes import default_camera_for
+
+    mesh = teapot_scene(1200)
+    wide = build_wide(_build(mesh, leaf_size=8))
+    cam = default_camera_for(mesh)
+    o, d = generate_rays(cam, 64, 64)
+    t, tid = trace_closest_pallas(wide, o, d, interpret=True)
+    valid = tid >= 0
+    ctr = 0.5 * (np.asarray(wide.root_min) + np.asarray(wide.root_max))
+    lpos = jnp.asarray(ctr + np.float32([0.1, 1.2, 0.2]) * (
+        np.asarray(wide.root_max) - np.asarray(wide.root_min)), jnp.float32)
+    up = jnp.asarray([0.0, 1.0, 0.0])
+    origins = (o + d * jnp.where(valid, t, 0.0)[..., None]) + 1e-3 * up
+    gbuf = {"position": origins - 1e-3 * up,
+            "gnormal": jnp.broadcast_to(up, origins.shape),
+            "valid": valid}
+    from tpurt.types import Light
+    plight = Light.point(np.asarray(lpos), radius=0.5)
+    so, sd, stm = shadow_ray_batch(gbuf, plight, 1e-3, None)
+    occ_hard = trace_any_pallas(wide, so, sd, stm, interpret=True)
+    counts = trace_any_point_soft_pallas(
+        wide, so, valid, lpos, jnp.float32(0.5), 4, 7,
+        interpret=pltpu.InterpretParams())
+    c = np.asarray(counts)
+    v = np.asarray(valid)
+    assert set(np.unique(c[v])) <= {0, 4}
+    mism = (c[v] != 4 * np.asarray(occ_hard)[v].astype(np.int32))
+    assert mism.mean() <= 1e-3, f"{mism.sum()} mismatched pixels"
+    assert (c[~v] == 0).all()

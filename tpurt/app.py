@@ -101,6 +101,25 @@ def make_soft_tracer(cfg: RenderConfig, bvh):
     return soft
 
 
+def make_point_soft_tracer(cfg: RenderConfig, bvh):
+    """Fused in-kernel jittered-disk sampling for point-light penumbrae
+    (kernels/traverse.trace_any_point_soft_pallas), or None where the
+    scan-based XLA path should run instead — same gating as
+    make_soft_tracer (8-wide accel, compiled backend only)."""
+    from .bvh.wide import WideBVH
+    from .kernels.traverse import (_compiled_backend,
+                                   trace_any_point_soft_pallas)
+    if not cfg.use_pallas or not _compiled_backend() \
+            or not isinstance(bvh, WideBVH):
+        return None
+
+    def soft(origins, valid, light_pos, radius, spp, seed):
+        return trace_any_point_soft_pallas(bvh, origins, valid, light_pos,
+                                           radius, spp, seed)
+
+    return soft
+
+
 @partial(jax.jit, static_argnames=("leaf_size", "nw_pad"))
 def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int):
     """Config-2 hot path: LBVH build + 8-wide collapse + shading table as ONE
@@ -209,7 +228,8 @@ def shadow_production(bvh: LBVH, gbuf: Dict[str, jnp.ndarray], light: Light,
         lambda o, d, tm: trace_any(bvh, o, d, tm),
         gbuf, light, cfg.spp, key, cfg.shadow_bias,
         scene_bounds=(bvh.root_min, bvh.root_max),
-        trace_soft=make_soft_tracer(cfg, bvh))
+        trace_soft=make_soft_tracer(cfg, bvh),
+        trace_soft_point=make_point_soft_tracer(cfg, bvh))
 
 
 def fused_shadow_applicable(cfg: RenderConfig, bvh, lights) -> bool:

@@ -1112,6 +1112,103 @@ def _any_hit_kernel_w8_soft(k: int, max_iters: int, nb: int, spp: int,
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
 
 
+def _any_hit_kernel_w8_psoft(k: int, max_iters: int, nb: int, spp: int,
+                             tmin_ref, seed_ref, scal_ref, ns_ref, tr_ref,
+                             rays_ref, out_ref, stack_ref):
+    """Fused point-light penumbra: disk sampling INSIDE the traversal
+    kernel — the LIGHT_POINT twin of _any_hit_kernel_w8_soft and the
+    least-coherent workload this renderer produces (per-pixel directions
+    fan out toward the light AND jitter across its disk; the measurement
+    that retired full-resolution ray sorting).
+
+    Per lane: axis = normalize(light_pos - origin), a branchless Duff
+    orthonormal basis AROUND THAT PER-LANE AXIS (vector registers — the
+    cone kernel's basis is a scalar broadcast), then per sample
+    target = light_pos + t0*(r cos phi) + t1*(r sin phi) with
+    r = sqrt(u1)*radius, phi = 2 pi u2 — exactly shadow_ray_batch's
+    jittered-disk recipe — and t capped at the target distance.
+
+    rays_ref: (B, 4, 8, 128) = biased origins xyz + valid flag.
+    scal_ref: f32[4] = light position(3), source radius.
+    """
+    t_min = tmin_ref[0]
+    lpx, lpy, lpz = scal_ref[0], scal_ref[1], scal_ref[2]
+    radius = scal_ref[3]
+
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    def _sincos_2pi(t):
+        """See _any_hit_kernel_w8_soft: Taylor half-angle + double-angle
+        (Mosaic has no sin/cos lowering)."""
+        psi = 3.14159265 * (t - 0.5)
+        p2 = psi * psi
+        s1 = psi * (1.0 + p2 * (-1.0 / 6.0 + p2 * (1.0 / 120.0
+                                                   + p2 * (-1.0 / 5040.0))))
+        c1 = 1.0 + p2 * (-0.5 + p2 * (1.0 / 24.0 + p2 * (-1.0 / 720.0)))
+        return 2.0 * s1 * c1, 1.0 - 2.0 * s1 * s1
+
+    def per_packet(b, _):
+        ox = rays_ref[b, 0]
+        oy = rays_ref[b, 1]
+        oz = rays_ref[b, 2]
+        valid = rays_ref[b, 3] > 0.0
+
+        # Per-lane unit axis toward the light + Duff ONB (elementwise).
+        ex0 = lpx - ox
+        ey0 = lpy - oy
+        ez0 = lpz - oz
+        arn = jax.lax.rsqrt(jnp.maximum(ex0 * ex0 + ey0 * ey0 + ez0 * ez0,
+                                        1e-24))
+        ax = ex0 * arn
+        ay = ey0 * arn
+        az = ez0 * arn
+        sgn = jnp.where(az >= 0.0, 1.0, -1.0)
+        aa = -1.0 / (sgn + az)
+        bb = ax * ay * aa
+        t0x = 1.0 + sgn * ax * ax * aa
+        t0y = sgn * bb
+        t0z = -sgn * ax
+        t1x = bb
+        t1y = sgn + ay * ay * aa
+        t1z = -ay
+
+        def uniform01():
+            bits = pltpu.bitcast(pltpu.prng_random_bits(ox.shape),
+                                 jnp.uint32)
+            m = (bits >> 9) | jnp.uint32(0x3F800000)
+            return pltpu.bitcast(m, jnp.float32) - 1.0
+
+        def per_sample(s, count):
+            u1 = uniform01()
+            u2 = uniform01()
+            r = jnp.sqrt(u1) * radius
+            sphi, cphi = _sincos_2pi(u2)
+            rc = r * cphi
+            rs = r * sphi
+            ddx = ex0 + t0x * rc + t1x * rs
+            ddy = ey0 + t0y * rc + t1y * rs
+            ddz = ez0 + t0z * rc + t1z * rs
+            d2 = jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-24)
+            drn = jax.lax.rsqrt(d2)
+            dx = ddx * drn
+            dy = ddy * drn
+            dz = ddz * drn
+            ix, iy, iz = _inv3(dx, dy, dz)
+            tmax = jnp.where(valid, d2 * drn * (1.0 - 1e-4), -_BIG)
+            occ = _w8_anyhit_walk(k, max_iters, ns_ref, tr_ref, stack_ref,
+                                  ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                  tmax, t_min)
+            return count + occ
+
+        count = jax.lax.fori_loop(0, spp, per_sample,
+                                  jnp.zeros(ox.shape, jnp.int32),
+                                  unroll=False)
+        out_ref[b] = count
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
 def _closest_soft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
                                      spp: int, tmin_ref, seed_ref, scal_ref,
                                      ns_ref, tr_ref, rays_ref, t_out_ref,
@@ -2214,6 +2311,90 @@ def trace_any_soft_pallas(bvh, origins, valid, axis_dir, cone_cos, spp: int,
     vma = getattr(jax.typeof(rays), "vma", None)
     fn = pl.pallas_call(
         functools.partial(_any_hit_kernel_w8_soft, packed.leaf_size,
+                          iter_cap, batch, spp),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    (counts,) = fn(tmin_arr, seed_arr, scal, packed.nodes, packed.tris, rays)
+    return _unpack(counts[:p], meta)
+
+
+def trace_any_point_soft_pallas(bvh, origins, valid, light_pos, radius,
+                                spp: int, seed, t_min: float = 0.0,
+                                interpret=None) -> jnp.ndarray:
+    """Point-light penumbra with in-kernel disk sampling: occlusion COUNTS
+    i32[H, W] in [0, spp] (visibility = 1 - counts/spp).
+
+    origins: f32[H, W, 3] biased shadow origins; valid: bool[H, W];
+    light_pos: f32[3]; radius: scalar source radius (Light.radius);
+    seed: int32 scalar. The LIGHT_POINT twin of trace_any_soft_pallas —
+    same PRNG/stream semantics (TPU-interpret mode is a zero bit stream:
+    every sample degenerates to the disk center == hard point shadow,
+    which tests exploit for deterministic parity). Replaces shadow_pass's
+    scan for the least-coherent workload family (the one that retired ray
+    sorting); per-sample HBM traffic: zero."""
+    from ..bvh.wide import WideBVH
+    packed = _as_packed(bvh)
+    assert isinstance(packed, WideBVH), "psoft kernel needs the 8-wide accel"
+    batch = PACKETS_PER_STEP
+    if origins.ndim == 3:
+        h, w = origins.shape[:2]
+        comps = [to_packets(origins[..., c]) for c in range(3)]
+        comps.append(to_packets(valid.astype(jnp.float32)))
+        meta = ("img", h, w)
+    else:
+        n = origins.shape[0]
+        npad = -(-n // 1024) * 1024
+
+        def flat(x, fill):
+            x = jnp.concatenate(
+                [x, jnp.full((npad - n,), fill, x.dtype)]) if npad != n else x
+            return x.reshape(-1, 8, 128)
+
+        comps = [flat(origins[:, c], 0.0) for c in range(3)]
+        comps.append(flat(valid.astype(jnp.float32), 0.0))
+        meta = ("flat", n, npad)
+    rays = jnp.stack(comps, axis=1)                   # (P, 4, 8, 128)
+    p = rays.shape[0]
+    pb = -(-p // batch) * batch
+    if pb != p:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((pb - p, 4, 8, 128), rays.dtype)])
+
+    scal = jnp.concatenate([
+        jnp.asarray(light_pos, jnp.float32),
+        jnp.asarray(radius, jnp.float32).reshape(1)])  # f32[4]
+
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE
+    if interpret is None:
+        interpret = not _compiled_backend()
+    if interpret is True:
+        # prng_seed needs the TPU-semantics interpreter (zero bit stream).
+        interpret = pltpu.InterpretParams()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 4, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pb // batch,),
+        in_specs=[const_spec(packed.nodes.shape),
+                  const_spec(packed.tris.shape), ray_spec],
+        out_specs=(out_spec,),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(_any_hit_kernel_w8_psoft, packed.leaf_size,
                           iter_cap, batch, spp),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),),

@@ -60,7 +60,8 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
     bins + rasters its own band of tile rows), shade-table ray cast, or
     plain ray cast (also the chunked-accel route via make_tracers) — and
     the fused soft-shadow kernel where available."""
-    from ..app import make_soft_tracer, use_raster_gbuffer
+    from ..app import (make_point_soft_tracer, make_soft_tracer,
+                       use_raster_gbuffer)
     from ..bvh.chunked import ChunkedAccel
     from ..bvh.wide import WideBVH, order_children_for_point
     idx = jax.lax.axis_index("tiles")
@@ -130,7 +131,8 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
                 light, cfg.spp, jax.random.fold_in(key, li),
                 cfg.shadow_bias,
                 scene_bounds=(bvh.root_min, bvh.root_max),
-                trace_soft=make_soft_tracer(cfg, bvh))
+                trace_soft=make_soft_tracer(cfg, bvh),
+                trace_soft_point=make_point_soft_tracer(cfg, bvh))
         contrib = composite_pass(gbuf, mask, light,
                                  cfg.ambient if li == 0 else 0.0,
                                  cfg.background if li == 0 else (0, 0, 0))

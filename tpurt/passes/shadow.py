@@ -108,7 +108,8 @@ def shadow_ray_batch(gbuf: Dict[str, jnp.ndarray], light: Light,
 def shadow_pass(trace_any: Callable, gbuf: Dict[str, jnp.ndarray],
                 light: Light, spp: int, key: jax.Array,
                 bias: float, scene_bounds=None,
-                trace_soft: Callable | None = None) -> jnp.ndarray:
+                trace_soft: Callable | None = None,
+                trace_soft_point: Callable | None = None) -> jnp.ndarray:
     """Shadow visibility in [0, 1] per pixel (1 = fully lit).
 
     trace_any(origins, dirs, t_max) -> occluded bool[...]. spp rays are
@@ -121,6 +122,11 @@ def shadow_pass(trace_any: Callable, gbuf: Dict[str, jnp.ndarray],
     below pays ~5 ms/sample of XLA ray generation at 1080p, which the
     in-kernel hardware PRNG eliminates. Used for area-cone lights when the
     caller provides it (compiled-TPU Pallas path only).
+
+    trace_soft_point(origins, valid, light_pos, radius, spp, seed) -> the
+    same, for point-light penumbrae: in-kernel jittered-disk sampling
+    (kernels/traverse.trace_any_point_soft_pallas) replacing the scan for
+    the least-coherent workload family.
     """
     soft = light.kind in (LIGHT_AREA_CONE, LIGHT_POINT) and spp > 1
     h, w = gbuf["valid"].shape
@@ -130,7 +136,10 @@ def shadow_pass(trace_any: Callable, gbuf: Dict[str, jnp.ndarray],
         occluded = trace_any(origins, dirs, t_max)
         return jnp.where(gbuf["valid"], jnp.where(occluded, 0.0, 1.0), 1.0)
 
-    if trace_soft is not None and light.kind == LIGHT_AREA_CONE:
+    fused_cone = trace_soft is not None and light.kind == LIGHT_AREA_CONE
+    fused_point = (trace_soft_point is not None
+                   and light.kind == LIGHT_POINT)
+    if fused_cone or fused_point:
         origins = gbuf["position"] + gbuf["gnormal"] * bias
         # Any 32 bits of the key decorrelate frames/lights; the kernel
         # further folds in (grid step, packet). Handles both typed and
@@ -138,9 +147,15 @@ def shadow_pass(trace_any: Callable, gbuf: Dict[str, jnp.ndarray],
         kd = key if jnp.issubdtype(key.dtype, jnp.integer) \
             else jax.random.key_data(key)
         seed = kd.ravel()[-1].astype(jnp.int32)
-        counts = trace_soft(origins, gbuf["valid"],
-                            jnp.asarray(light.direction, jnp.float32),
-                            jnp.cos(light.angular_radius), spp, seed)
+        if fused_cone:
+            counts = trace_soft(origins, gbuf["valid"],
+                                jnp.asarray(light.direction, jnp.float32),
+                                jnp.cos(light.angular_radius), spp, seed)
+        else:
+            counts = trace_soft_point(
+                origins, gbuf["valid"],
+                jnp.asarray(light.position, jnp.float32),
+                jnp.asarray(light.radius, jnp.float32), spp, seed)
         vis = 1.0 - counts.astype(jnp.float32) / spp
         return jnp.where(gbuf["valid"], vis, 1.0)
 
