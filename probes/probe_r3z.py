@@ -199,6 +199,20 @@ def main():
         fk = jax.jit(krun)
         t = timed(lambda: fk(gbuf), reps=4)
         log(f"penumbra 1080p spp=4 IN-KERNEL: {t*1e3:.2f} ms")
+
+        # Fused closest+psoft frame (newest compile of all).
+        cfgp = dataclasses.replace(cfg, spp=spp)
+        frp0 = jax.jit(lambda a, m, c, k2, s, so: jnp.sum(render_frame_fn(
+            a, m, c, (plight,), k2, cfgp, shade_table=s,
+            shade_table_orig=so)["image"]))
+        t = timed(lambda: frp0(wide, mesh, cam, key, st, st_orig), reps=4)
+        log(f"frame[point spp=4, unfused]: {t*1e3:.2f} ms")
+        cfgpf = dataclasses.replace(cfgp, fused_shadow=True)
+        frpf = jax.jit(lambda a, m, c, k2, s, so: jnp.sum(render_frame_fn(
+            a, m, c, (plight,), k2, cfgpf, shade_table=s,
+            shade_table_orig=so)["image"]))
+        t = timed(lambda: frpf(wide, mesh, cam, key, st, st_orig), reps=4)
+        log(f"frame[point spp=4, FUSED psoft]: {t*1e3:.2f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"point-soft FAILED: {type(e).__name__}: {str(e)[:200]}")
 

@@ -254,3 +254,44 @@ def test_fused_multi_sharded_matches_unsharded(scene):
                                           shade_table=str_))
     diff = np.abs(img - ref).max(axis=-1)
     assert (diff > 1e-3).mean() <= 2e-3
+
+
+@pytest.mark.slow
+def test_fused_point_soft_zero_rng_matches_hard(scene):
+    """Fused closest+point-penumbra kernel in TPU-interpret mode: the zero
+    PRNG stream puts every disk sample at the light center, so counts must
+    equal spp x the fused HARD point kernel's occlusion (same in-register
+    raygen, so bit-exact), with an identical phase-1 hit set."""
+    mesh, bvh, wide, cam = scene
+    from tpurt.kernels.traverse import trace_closest_point_soft_shadow_pallas
+    ctr = 0.5 * (np.asarray(bvh.root_min) + np.asarray(bvh.root_max))
+    lpos = jnp.asarray(ctr + np.float32([0.2, 1.5, 0.3]) * (
+        np.asarray(bvh.root_max) - np.asarray(bvh.root_min)), jnp.float32)
+    o, d = generate_rays(cam, 64, 32)
+    acc = jax.jit(order_children_for_point)(wide, jnp.asarray(cam.position))
+    spp = 4
+    t_s, sidx_s, counts = trace_closest_point_soft_shadow_pallas(
+        acc, o, d, lpos, jnp.float32(0.4), spp, 7, 1e-3, interpret=True)
+    t_h, sidx_h, occ_h = trace_closest_shadow_pallas(
+        acc, o, d, jnp.asarray(LIGHT.direction), 1e-3, light_pos=lpos,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(sidx_s), np.asarray(sidx_h))
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_h))
+    np.testing.assert_array_equal(
+        np.asarray(counts), spp * np.asarray(occ_h).astype(np.int32))
+
+
+def test_fused_point_soft_frame_matches_scan(scene):
+    """Point light at spp>1 takes the fused psoft path when fused_shadow
+    is on; on CPU-interpret the applicability gate must REJECT it (zero
+    PRNG stream), so both configs render the exact scan path."""
+    mesh, bvh, wide, cam = scene
+    from tpurt.app import fused_shadow_applicable
+    ctr = 0.5 * (np.asarray(bvh.root_min) + np.asarray(bvh.root_max))
+    lpos = ctr + np.float32([0.2, 1.5, 0.3]) * (
+        np.asarray(bvh.root_max) - np.asarray(bvh.root_min))
+    plight = Light.point(lpos, radius=0.4)
+    cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
+                       gbuffer="ray", fused_shadow=True, spp=4)
+    # On this CPU box the compiled-backend gate must reject psoft fusion.
+    assert not fused_shadow_applicable(cfg, wide, (plight,))

@@ -245,17 +245,16 @@ def fused_shadow_applicable(cfg: RenderConfig, bvh, lights) -> bool:
         return False
     kind = lights[0].kind
     # Directional lights are always hard; point lights are hard at spp=1
-    # (shadow_pass only jitters POINT/AREA when spp > 1); area-cone
-    # lights take the fused SOFT kernel (in-kernel cone sampling) at
-    # spp > 1 — but only on a compiled backend: the interpret-mode PRNG
-    # is a zero stream, and silently degrading penumbrae to hard shadows
-    # is worse than the slower exact scan path (same policy as
-    # make_soft_tracer).
+    # (shadow_pass only jitters POINT/AREA when spp > 1); area-cone and
+    # point lights take the fused SOFT kernels (in-kernel cone/disk
+    # sampling) at spp > 1 — but only on a compiled backend: the
+    # interpret-mode PRNG is a zero stream, and silently degrading
+    # penumbrae to hard shadows is worse than the slower exact scan path
+    # (same policy as make_soft_tracer).
     from .kernels.traverse import _compiled_backend
-    if kind == LIGHT_AREA_CONE:
+    if kind in (LIGHT_AREA_CONE, LIGHT_POINT):
         return cfg.spp == 1 or _compiled_backend()
-    return (kind == LIGHT_DIRECTIONAL
-            or (kind == LIGHT_POINT and cfg.spp == 1))
+    return kind == LIGHT_DIRECTIONAL
 
 
 def fused_multi_applicable(cfg: RenderConfig, bvh, lights) -> bool:
@@ -326,37 +325,50 @@ def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                                     shade_table, key=None, rays=None):
     """Fused twin of gbuffer_production + shadow_production for light 0:
     ONE kernel returns the hit set AND its shadow visibility (hard
-    directional/point, or in-kernel cone-sampled soft for area lights),
-    so the frame pays no shadow raygen, no packet re-layout, and one
-    dispatch less. Returns (gbuf, visibility).
+    directional/point, in-kernel cone-sampled soft for area lights, or
+    in-kernel disk-sampled penumbra for point lights at spp>1), so the
+    frame pays no shadow raygen, no packet re-layout, and one dispatch
+    less. Returns (gbuf, visibility).
 
     rays: optional precomputed (origins, dirs) row-band — the sharded
     path (parallel/tiling.py _local_frame) renders its shard through the
     same fused kernel."""
     from .bvh.wide import order_children_for_point
-    from .kernels.traverse import (trace_closest_shadow_pallas,
+    from .kernels.traverse import (trace_closest_point_soft_shadow_pallas,
+                                   trace_closest_shadow_pallas,
                                    trace_closest_soft_shadow_pallas)
     from .types import LIGHT_AREA_CONE, LIGHT_POINT
     gb_accel = order_children_for_point(bvh, cam.position)
     soft = light.kind == LIGHT_AREA_CONE and cfg.spp > 1
+    psoft = light.kind == LIGHT_POINT and cfg.spp > 1
     lpos = (jnp.asarray(light.position, jnp.float32)
             if light.kind == LIGHT_POINT else None)
     vis_out = {}
 
-    if soft:
+    if soft or psoft:
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         kd = key if jnp.issubdtype(key.dtype, jnp.integer) \
             else jax.random.key_data(key)
         seed = kd.ravel()[-1].astype(jnp.int32)
 
-        def tracer(o, d):
-            t, sidx, counts = trace_closest_soft_shadow_pallas(
-                gb_accel, o, d, jnp.asarray(light.direction, jnp.float32),
-                jnp.cos(light.angular_radius), cfg.spp, seed,
-                cfg.shadow_bias)
-            vis_out["vis"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
-            return t, None, sidx
+        if psoft:
+            def tracer(o, d):
+                t, sidx, counts = trace_closest_point_soft_shadow_pallas(
+                    gb_accel, o, d, lpos,
+                    jnp.asarray(light.radius, jnp.float32), cfg.spp, seed,
+                    cfg.shadow_bias)
+                vis_out["vis"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
+                return t, None, sidx
+        else:
+            def tracer(o, d):
+                t, sidx, counts = trace_closest_soft_shadow_pallas(
+                    gb_accel, o, d,
+                    jnp.asarray(light.direction, jnp.float32),
+                    jnp.cos(light.angular_radius), cfg.spp, seed,
+                    cfg.shadow_bias)
+                vis_out["vis"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
+                return t, None, sidx
     else:
         def tracer(o, d):
             t, sidx, occ = trace_closest_shadow_pallas(

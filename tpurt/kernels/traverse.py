@@ -1356,6 +1356,164 @@ def _closest_soft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
 
 
+def _closest_psoft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
+                                      spp: int, tmin_ref, seed_ref,
+                                      scal_ref, ns_ref, tr_ref, rays_ref,
+                                      t_out_ref, idx_out_ref, cnt_out_ref,
+                                      stack_ref):
+    """Fused primary visibility + point-light PENUMBRA: ONE program.
+
+    Phase 1 = the closest-hit walk with geometric-normal tracking
+    (_closest_shadow_kernel_w8_b); phase 2 = the in-kernel jittered-disk
+    occlusion loop (_any_hit_kernel_w8_psoft) fed from registers — the
+    per-lane axis toward the light and its Duff basis derive from the
+    phase-1 hit point, so the least-coherent workload family never
+    materializes a shadow ray in HBM.
+
+    scal_ref f32[5]: light position(3), source radius, bias. Outputs:
+    closest t, sorted hit index, occlusion counts i32 in [0, spp].
+    """
+    t_min = tmin_ref[0]
+    lpx, lpy, lpz = scal_ref[0], scal_ref[1], scal_ref[2]
+    radius = scal_ref[3]
+    bias = scal_ref[4]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    def _sincos_2pi(t):
+        # Same polynomial as _any_hit_kernel_w8_soft (no Mosaic sin/cos).
+        psi = 3.14159265 * (t - 0.5)
+        p2 = psi * psi
+        s1 = psi * (1.0 + p2 * (-1.0 / 6.0 + p2 * (1.0 / 120.0
+                                                   + p2 * (-1.0 / 5040.0))))
+        c1 = 1.0 + p2 * (-0.5 + p2 * (1.0 / 24.0 + p2 * (-1.0 / 720.0)))
+        return 2.0 * s1 * c1, 1.0 - 2.0 * s1 * s1
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
+        active0 = tmax > t_min
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_test(leaf_id, carry):
+            best_t, best_i, nx, ny, nz = carry
+            tn = _leaf_ts_n(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+            base = leaf_id * k
+            for j, (t, cnx, cny, cnz) in enumerate(tn):
+                better = (t > t_min) & (t < best_t) & active0
+                best_t = jnp.where(better, t, best_t)
+                best_i = jnp.where(better, base + j, best_i)
+                nx = jnp.where(better, cnx, nx)
+                ny = jnp.where(better, cny, ny)
+                nz = jnp.where(better, cnz, nz)
+            return best_t, best_i, nx, ny, nz
+
+        def cond(state):
+            it, sp = state[0], state[1]
+            return (sp > 0) & (it < max_iters)
+
+        def body(state):
+            it, sp, best_t, best_i, nx, ny, nz = state
+            sp = sp - 1
+            node = stack_ref[sp]
+            rec = ns_ref[pl.ds(node, 1), :]
+            cap = jnp.where(active0, best_t, -_BIG)
+            hits = []
+            refs = []
+            valids = []
+            for c in range(8):
+                bb, ref = _wide_child(rec, c)
+                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
+                                  cap))
+                refs.append(ref)
+                valids.append(rec[0, bb] <= rec[0, bb + 3])
+            anyhit = _child_anyhit8(hits, valids)
+            for c in range(8):
+                ref = refs[c]
+                is_leaf = ref < 0
+                best_t, best_i, nx, ny, nz = jax.lax.cond(
+                    anyhit[c] & is_leaf,
+                    lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0),
+                                                 car),
+                    lambda car: car, (best_t, best_i, nx, ny, nz))
+                push = anyhit[c] & (~is_leaf)
+                stack_ref[sp] = jnp.where(push, ref, 0)
+                sp = sp + push.astype(jnp.int32)
+            return it + 1, sp, best_t, best_i, nx, ny, nz
+
+        best_t0 = jnp.where(active0, tmax, -_BIG)
+        best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+        zero = jnp.zeros(ox.shape, jnp.float32)
+        _, _, best_t, best_i, nx, ny, nz = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(1), best_t0, best_i0,
+             zero, zero, zero))
+        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+        idx_out_ref[b] = best_i
+
+        hitm = best_i >= 0
+        rn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        flip = jnp.where(nx * dx + ny * dy + nz * dz > 0.0, -1.0, 1.0)
+        off = bias * rn * flip
+        sox = ox + best_t * dx + nx * off
+        soy = oy + best_t * dy + ny * off
+        soz = oz + best_t * dz + nz * off
+
+        # Per-lane axis toward the light + Duff ONB (see
+        # _any_hit_kernel_w8_psoft).
+        ex0 = lpx - sox
+        ey0 = lpy - soy
+        ez0 = lpz - soz
+        arn = jax.lax.rsqrt(jnp.maximum(ex0 * ex0 + ey0 * ey0 + ez0 * ez0,
+                                        1e-24))
+        ax = ex0 * arn
+        ay = ey0 * arn
+        az = ez0 * arn
+        sgn = jnp.where(az >= 0.0, 1.0, -1.0)
+        aa = -1.0 / (sgn + az)
+        bb2 = ax * ay * aa
+        t0x = 1.0 + sgn * ax * ax * aa
+        t0y = sgn * bb2
+        t0z = -sgn * ax
+        t1x = bb2
+        t1y = sgn + ay * ay * aa
+        t1z = -ay
+
+        def uniform01():
+            bits = pltpu.bitcast(pltpu.prng_random_bits(ox.shape),
+                                 jnp.uint32)
+            m = (bits >> 9) | jnp.uint32(0x3F800000)
+            return pltpu.bitcast(m, jnp.float32) - 1.0
+
+        def per_sample(s, count):
+            u1 = uniform01()
+            u2 = uniform01()
+            r = jnp.sqrt(u1) * radius
+            sphi, cphi = _sincos_2pi(u2)
+            rc = r * cphi
+            rs = r * sphi
+            ddx = ex0 + t0x * rc + t1x * rs
+            ddy = ey0 + t0y * rc + t1y * rs
+            ddz = ez0 + t0z * rc + t1z * rs
+            d2 = jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-24)
+            drn = jax.lax.rsqrt(d2)
+            sdx = ddx * drn
+            sdy = ddy * drn
+            sdz = ddz * drn
+            six, siy, siz = _inv3(sdx, sdy, sdz)
+            stmax = jnp.where(hitm, d2 * drn * (1.0 - 1e-4), -_BIG)
+            occ = _w8_anyhit_walk(k, max_iters, ns_ref, tr_ref, stack_ref,
+                                  sox, soy, soz, sdx, sdy, sdz,
+                                  six, siy, siz, stmax, 0.0)
+            return count + occ
+
+        cnt_out_ref[b] = jax.lax.fori_loop(
+            0, spp, per_sample, jnp.zeros(ox.shape, jnp.int32),
+            unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
 def _closest_w8_b_impl(first_hit: bool, k: int, max_iters: int, nb: int,
                        tmin_ref, ns_ref, tr_ref, rays_ref, t_out_ref,
                        idx_out_ref, stack_ref):
@@ -2322,6 +2480,75 @@ def trace_any_soft_pallas(bvh, origins, valid, axis_dir, cone_cos, spp: int,
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     (counts,) = fn(tmin_arr, seed_arr, scal, packed.nodes, packed.tris, rays)
     return _unpack(counts[:p], meta)
+
+
+def trace_closest_point_soft_shadow_pallas(bvh, origins, dirs, light_pos,
+                                           radius, spp: int, seed, bias,
+                                           t_max=_BIG, t_min: float = 0.0,
+                                           interpret=None):
+    """Fused primary visibility + point-light penumbra (ONE kernel).
+
+    Returns (t f32[H, W], sorted_idx i32[H, W], counts i32[H, W] in
+    [0, spp]) — the closest hit per camera ray plus the in-kernel
+    jittered-disk occlusion count from its biased hit point
+    (_closest_psoft_shadow_kernel_w8_b); visibility = 1 - counts/spp.
+    The LIGHT_POINT spp>1 analogue of trace_closest_soft_shadow_pallas;
+    same zero-stream interpret semantics (every sample degenerates to the
+    disk center == hard point shadow). Batched 8-wide accel path only."""
+    from ..bvh.wide import WideBVH
+    packed = _as_packed(bvh)
+    assert isinstance(packed, WideBVH) and PACKETS_PER_STEP > 1, \
+        "fused closest+psoft needs the batched 8-wide accel path"
+    batch = PACKETS_PER_STEP
+    rays, p, meta = _ray_packets_packed(origins, dirs, t_max, batch)
+    pb = rays.shape[0]
+    scal = jnp.concatenate([
+        jnp.asarray(light_pos, jnp.float32),
+        jnp.asarray(radius, jnp.float32).reshape(1),
+        jnp.asarray(bias, jnp.float32).reshape(1)])    # f32[5]
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE
+    if interpret is None:
+        interpret = not _compiled_backend()
+    if interpret is True:
+        # prng_seed needs the TPU-semantics interpreter (zero bit stream).
+        interpret = pltpu.InterpretParams()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pb // batch,),
+        in_specs=[const_spec(packed.nodes.shape),
+                  const_spec(packed.tris.shape), ray_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(_closest_psoft_shadow_kernel_w8_b,
+                          packed.leaf_size, iter_cap, batch, spp),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    t, sidx, counts = fn(tmin_arr, seed_arr, scal, packed.nodes,
+                         packed.tris, rays)
+    t = _unpack(t[:p], meta)
+    sidx = _unpack(sidx[:p], meta)
+    counts = _unpack(counts[:p], meta)
+    t = jnp.where(sidx >= 0, t, jnp.inf)
+    return t, sidx, counts
 
 
 def trace_any_point_soft_pallas(bvh, origins, valid, light_pos, radius,
