@@ -155,3 +155,60 @@ def test_tpu_soft_kernel_statistics():
     print(f"\nmean visibility kernel={vis_kernel.mean():.4f} "
           f"xla={vis_x.mean():.4f} |diff|={dm:.4f}")
     assert dm < 0.02
+
+
+@requires_tpu
+def test_tpu_point_soft_kernel_statistics():
+    """In-kernel disk sampling (trace_any_point_soft_pallas) on hardware:
+    the hardware-PRNG penumbra must agree statistically with the XLA
+    scan-sampled point path, be deterministic per seed, and decorrelate
+    across seeds — the per-lane basis twin of the cone-kernel check."""
+    import jax
+    import jax.numpy as jnp
+    from tpurt.app import make_tracers
+    from tpurt.bvh.lbvh import build_lbvh
+    from tpurt.bvh.wide import build_wide
+    from tpurt.camera import generate_rays
+    from tpurt.kernels.traverse import (trace_any_point_soft_pallas,
+                                        trace_closest_pallas)
+    from tpurt.passes.shadow import shadow_pass
+    from tpurt.scenes import default_camera_for, teapot_scene
+    from tpurt.types import Light, RenderConfig
+
+    mesh = jax.device_put(teapot_scene(1500))
+    cfg = RenderConfig(width=128, height=96, leaf_size=8)
+    bvh = build_lbvh(mesh.vertices, mesh.indices, leaf_size=8)
+    wide = build_wide(bvh)
+    cam = default_camera_for(teapot_scene(1500))
+    ctr = 0.5 * (np.asarray(bvh.root_min) + np.asarray(bvh.root_max))
+    ext = np.asarray(bvh.root_max) - np.asarray(bvh.root_min)
+    plight = Light.point(ctr + np.float32([0.1, 1.2, 0.2]) * ext,
+                         radius=float(0.15 * ext.max()))
+    o, d = generate_rays(cam, cfg.width, cfg.height)
+    t, tid = trace_closest_pallas(wide, o, d)
+    valid = tid >= 0
+    pos = o + d * jnp.where(valid, t, 0.0)[..., None]
+    up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    origins = pos + 1e-3 * up
+    spp = 16
+    lpos = jnp.asarray(plight.position, jnp.float32)
+    rad = jnp.asarray(plight.radius, jnp.float32)
+    f = jax.jit(lambda s: trace_any_point_soft_pallas(
+        wide, origins, valid, lpos, rad, spp, s))
+    c1 = np.asarray(f(jnp.int32(7)))
+    c1b = np.asarray(f(jnp.int32(7)))
+    c2 = np.asarray(f(jnp.int32(8)))
+    np.testing.assert_array_equal(c1, c1b)  # deterministic per seed
+    assert (c1 != c2).any()                 # seeds decorrelate
+    v = np.asarray(valid)
+    vis_kernel = 1.0 - c1[v].astype(np.float64) / spp
+    _, trace_any = make_tracers(cfg)
+    gbuf = {"position": pos, "gnormal": jnp.broadcast_to(up, pos.shape),
+            "valid": valid}
+    vis_x = np.asarray(shadow_pass(
+        lambda oo, dd, tm: trace_any(wide, oo, dd, tm), gbuf, plight, spp,
+        jax.random.PRNGKey(3), 1e-3))[v]
+    dm = abs(vis_kernel.mean() - vis_x.mean())
+    print(f"\nmean visibility kernel={vis_kernel.mean():.4f} "
+          f"xla={vis_x.mean():.4f} |diff|={dm:.4f}")
+    assert dm < 0.02
