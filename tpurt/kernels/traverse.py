@@ -997,6 +997,132 @@ def _w8_anyhit_walk(k: int, max_iters: int, ns_ref, tr_ref, stack_ref,
     return occ
 
 
+def _sincos_2pi(t):
+    """(sin, cos) of 2*pi*(t - 0.5) for t in [0, 1) WITHOUT jnp trig
+    (Mosaic has no sin/cos lowering): degree-7/6 Taylor on the half-angle
+    psi = pi*(t-0.5) in [-pi/2, pi/2) + double-angle. Max error ~1e-6 —
+    far below sampling noise; callers renormalize the direction anyway.
+    The phase shift by pi is irrelevant for a uniform angle. Shared by
+    every in-kernel sampling loop (cone + disk, any-hit + fused)."""
+    psi = 3.14159265 * (t - 0.5)
+    p2 = psi * psi
+    s1 = psi * (1.0 + p2 * (-1.0 / 6.0 + p2 * (1.0 / 120.0
+                                               + p2 * (-1.0 / 5040.0))))
+    c1 = 1.0 + p2 * (-0.5 + p2 * (1.0 / 24.0 + p2 * (-1.0 / 720.0)))
+    return 2.0 * s1 * c1, 1.0 - 2.0 * s1 * s1
+
+
+def _uniform01(shape):
+    """One uniform [0, 1) draw per lane from the hardware PRNG: 23 random
+    mantissa bits onto exponent 127 -> [1, 2) -> [0, 1). Zero bit stream
+    (-> 0.0) under the TPU-semantics interpreter."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    m = (bits >> 9) | jnp.uint32(0x3F800000)
+    return pltpu.bitcast(m, jnp.float32) - 1.0
+
+
+def _lane_axis_onb(ex0, ey0, ez0):
+    """Per-lane unit axis from a lane-varying delta vector + branchless
+    Duff orthonormal basis, all elementwise on the VPU (the cone kernels'
+    basis is a scalar broadcast; point lights need it per pixel).
+    Returns (ax, ay, az, t0x, t0y, t0z, t1x, t1y, t1z)."""
+    arn = jax.lax.rsqrt(jnp.maximum(ex0 * ex0 + ey0 * ey0 + ez0 * ez0,
+                                    1e-24))
+    ax = ex0 * arn
+    ay = ey0 * arn
+    az = ez0 * arn
+    sgn = jnp.where(az >= 0.0, 1.0, -1.0)
+    aa = -1.0 / (sgn + az)
+    bb = ax * ay * aa
+    t0x = 1.0 + sgn * ax * ax * aa
+    t0y = sgn * bb
+    t0z = -sgn * ax
+    t1x = bb
+    t1y = sgn + ay * ay * aa
+    t1z = -ay
+    return ax, ay, az, t0x, t0y, t0z, t1x, t1y, t1z
+
+
+def _w8_closest_walk_n(k: int, max_iters: int, ns_ref, tr_ref, stack_ref,
+                       ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min):
+    """One 8-wide closest-hit packet walk that ALSO tracks the winning
+    triangle's unnormalized geometric normal (three scalar selects per
+    leaf triangle — the triangle data is already in registers). The
+    shared phase 1 of every fused primary+shadow kernel. Returns
+    (best_t, best_i, nx, ny, nz); best_i < 0 = miss (best_t then holds
+    the entry cap, callers mask it)."""
+    active0 = tmax > t_min
+    stack_ref[0] = jnp.int32(0)
+
+    def leaf_test(leaf_id, carry):
+        best_t, best_i, nx, ny, nz = carry
+        tn = _leaf_ts_n(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
+        base = leaf_id * k
+        for j, (t, cnx, cny, cnz) in enumerate(tn):
+            better = (t > t_min) & (t < best_t) & active0
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, base + j, best_i)
+            nx = jnp.where(better, cnx, nx)
+            ny = jnp.where(better, cny, ny)
+            nz = jnp.where(better, cnz, nz)
+        return best_t, best_i, nx, ny, nz
+
+    def cond(state):
+        it, sp = state[0], state[1]
+        return (sp > 0) & (it < max_iters)
+
+    def body(state):
+        it, sp, best_t, best_i, nx, ny, nz = state
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec = ns_ref[pl.ds(node, 1), :]
+        cap = jnp.where(active0, best_t, -_BIG)
+        hits = []
+        refs = []
+        valids = []
+        for c in range(8):
+            bb, ref = _wide_child(rec, c)
+            hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
+                              cap))
+            refs.append(ref)
+            valids.append(rec[0, bb] <= rec[0, bb + 3])
+        anyhit = _child_anyhit8(hits, valids)
+        for c in range(8):
+            ref = refs[c]
+            is_leaf = ref < 0
+            best_t, best_i, nx, ny, nz = jax.lax.cond(
+                anyhit[c] & is_leaf,
+                lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0),
+                                             car),
+                lambda car: car, (best_t, best_i, nx, ny, nz))
+            push = anyhit[c] & (~is_leaf)
+            stack_ref[sp] = jnp.where(push, ref, 0)
+            sp = sp + push.astype(jnp.int32)
+        return it + 1, sp, best_t, best_i, nx, ny, nz
+
+    best_t0 = jnp.where(active0, tmax, -_BIG)
+    best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+    zero = jnp.zeros(ox.shape, jnp.float32)
+    _, _, best_t, best_i, nx, ny, nz = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.int32(1), best_t0, best_i0,
+         zero, zero, zero))
+    return best_t, best_i, nx, ny, nz
+
+
+def _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz, best_t, nx, ny, nz):
+    """Shadow-ray origin from a phase-1 hit: hit point offset along the
+    viewer-facing unit geometric normal by the bias — the exact
+    passes/gbuffer.py + passes/shadow.py raygen recipe, in registers."""
+    rn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+    flip = jnp.where(nx * dx + ny * dy + nz * dz > 0.0, -1.0, 1.0)
+    off = bias * rn * flip
+    sox = ox + best_t * dx + nx * off
+    soy = oy + best_t * dy + ny * off
+    soz = oz + best_t * dz + nz * off
+    return sox, soy, soz
+
+
 def _any_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
                          tr_ref, rays_ref, out_ref, stack_ref):
     """8-wide any-hit over nb packets per grid step (see batching note)."""
@@ -1045,36 +1171,15 @@ def _any_hit_kernel_w8_soft(k: int, max_iters: int, nb: int, spp: int,
     # sequentially (decorrelated without re-seeding on traced indices).
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
-    def _sincos_2pi(t):
-        """(sin, cos) of 2*pi*(t - 0.5) for t in [0, 1) WITHOUT jnp trig
-        (Mosaic has no sin/cos lowering): degree-7/6 Taylor on the
-        half-angle psi = pi*(t-0.5) in [-pi/2, pi/2) + double-angle.
-        Max error ~1e-6 — far below sampling noise; the caller
-        renormalizes the direction anyway. The phase shift by pi is
-        irrelevant for a uniform angle."""
-        psi = 3.14159265 * (t - 0.5)
-        p2 = psi * psi
-        s1 = psi * (1.0 + p2 * (-1.0 / 6.0 + p2 * (1.0 / 120.0
-                                                   + p2 * (-1.0 / 5040.0))))
-        c1 = 1.0 + p2 * (-0.5 + p2 * (1.0 / 24.0 + p2 * (-1.0 / 720.0)))
-        return 2.0 * s1 * c1, 1.0 - 2.0 * s1 * s1
-
     def per_packet(b, _):
         ox = rays_ref[b, 0]
         oy = rays_ref[b, 1]
         oz = rays_ref[b, 2]
         valid = rays_ref[b, 3] > 0.0
 
-        def uniform01():
-            bits = pltpu.bitcast(pltpu.prng_random_bits(ox.shape),
-                                 jnp.uint32)
-            # 23 random mantissa bits onto exponent 127 -> [1,2) -> [0,1)
-            m = (bits >> 9) | jnp.uint32(0x3F800000)
-            return pltpu.bitcast(m, jnp.float32) - 1.0
-
         def per_sample(s, count):
-            u1 = uniform01()
-            u2 = uniform01()
+            u1 = _uniform01(ox.shape)
+            u2 = _uniform01(ox.shape)
             cos_t = 1.0 - u1 * (1.0 - cone_cos)
             sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
             sphi, cphi = _sincos_2pi(u2)
@@ -1137,16 +1242,6 @@ def _any_hit_kernel_w8_psoft(k: int, max_iters: int, nb: int, spp: int,
 
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
-    def _sincos_2pi(t):
-        """See _any_hit_kernel_w8_soft: Taylor half-angle + double-angle
-        (Mosaic has no sin/cos lowering)."""
-        psi = 3.14159265 * (t - 0.5)
-        p2 = psi * psi
-        s1 = psi * (1.0 + p2 * (-1.0 / 6.0 + p2 * (1.0 / 120.0
-                                                   + p2 * (-1.0 / 5040.0))))
-        c1 = 1.0 + p2 * (-0.5 + p2 * (1.0 / 24.0 + p2 * (-1.0 / 720.0)))
-        return 2.0 * s1 * c1, 1.0 - 2.0 * s1 * s1
-
     def per_packet(b, _):
         ox = rays_ref[b, 0]
         oy = rays_ref[b, 1]
@@ -1157,30 +1252,12 @@ def _any_hit_kernel_w8_psoft(k: int, max_iters: int, nb: int, spp: int,
         ex0 = lpx - ox
         ey0 = lpy - oy
         ez0 = lpz - oz
-        arn = jax.lax.rsqrt(jnp.maximum(ex0 * ex0 + ey0 * ey0 + ez0 * ez0,
-                                        1e-24))
-        ax = ex0 * arn
-        ay = ey0 * arn
-        az = ez0 * arn
-        sgn = jnp.where(az >= 0.0, 1.0, -1.0)
-        aa = -1.0 / (sgn + az)
-        bb = ax * ay * aa
-        t0x = 1.0 + sgn * ax * ax * aa
-        t0y = sgn * bb
-        t0z = -sgn * ax
-        t1x = bb
-        t1y = sgn + ay * ay * aa
-        t1z = -ay
-
-        def uniform01():
-            bits = pltpu.bitcast(pltpu.prng_random_bits(ox.shape),
-                                 jnp.uint32)
-            m = (bits >> 9) | jnp.uint32(0x3F800000)
-            return pltpu.bitcast(m, jnp.float32) - 1.0
+        _, _, _, t0x, t0y, t0z, t1x, t1y, t1z = \
+            _lane_axis_onb(ex0, ey0, ez0)
 
         def per_sample(s, count):
-            u1 = uniform01()
-            u2 = uniform01()
+            u1 = _uniform01(ox.shape)
+            u2 = _uniform01(ox.shape)
             r = jnp.sqrt(u1) * radius
             sphi, cphi = _sincos_2pi(u2)
             rc = r * cphi
@@ -1235,94 +1312,22 @@ def _closest_soft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     bias = scal_ref[16]
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
-    def _sincos_2pi(t):
-        # Same polynomial as _any_hit_kernel_w8_soft (no Mosaic sin/cos).
-        psi = 3.14159265 * (t - 0.5)
-        p2 = psi * psi
-        s1 = psi * (1.0 + p2 * (-1.0 / 6.0 + p2 * (1.0 / 120.0
-                                                   + p2 * (-1.0 / 5040.0))))
-        c1 = 1.0 + p2 * (-0.5 + p2 * (1.0 / 24.0 + p2 * (-1.0 / 720.0)))
-        return 2.0 * s1 * c1, 1.0 - 2.0 * s1 * s1
-
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        active0 = tmax > t_min
-        stack_ref[0] = jnp.int32(0)
-
-        def leaf_test(leaf_id, carry):
-            best_t, best_i, nx, ny, nz = carry
-            tn = _leaf_ts_n(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
-            base = leaf_id * k
-            for j, (t, cnx, cny, cnz) in enumerate(tn):
-                better = (t > t_min) & (t < best_t) & active0
-                best_t = jnp.where(better, t, best_t)
-                best_i = jnp.where(better, base + j, best_i)
-                nx = jnp.where(better, cnx, nx)
-                ny = jnp.where(better, cny, ny)
-                nz = jnp.where(better, cnz, nz)
-            return best_t, best_i, nx, ny, nz
-
-        def cond(state):
-            it, sp = state[0], state[1]
-            return (sp > 0) & (it < max_iters)
-
-        def body(state):
-            it, sp, best_t, best_i, nx, ny, nz = state
-            sp = sp - 1
-            node = stack_ref[sp]
-            rec = ns_ref[pl.ds(node, 1), :]
-            cap = jnp.where(active0, best_t, -_BIG)
-            hits = []
-            refs = []
-            valids = []
-            for c in range(8):
-                bb, ref = _wide_child(rec, c)
-                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
-                                  cap))
-                refs.append(ref)
-                valids.append(rec[0, bb] <= rec[0, bb + 3])
-            anyhit = _child_anyhit8(hits, valids)
-            for c in range(8):
-                ref = refs[c]
-                is_leaf = ref < 0
-                best_t, best_i, nx, ny, nz = jax.lax.cond(
-                    anyhit[c] & is_leaf,
-                    lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0),
-                                                 car),
-                    lambda car: car, (best_t, best_i, nx, ny, nz))
-                push = anyhit[c] & (~is_leaf)
-                stack_ref[sp] = jnp.where(push, ref, 0)
-                sp = sp + push.astype(jnp.int32)
-            return it + 1, sp, best_t, best_i, nx, ny, nz
-
-        best_t0 = jnp.where(active0, tmax, -_BIG)
-        best_i0 = jnp.full(ox.shape, -1, jnp.int32)
-        zero = jnp.zeros(ox.shape, jnp.float32)
-        _, _, best_t, best_i, nx, ny, nz = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.int32(1), best_t0, best_i0,
-             zero, zero, zero))
+        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+            k, max_iters, ns_ref, tr_ref, stack_ref,
+            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
         t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
         idx_out_ref[b] = best_i
 
         hitm = best_i >= 0
-        rn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
-        flip = jnp.where(nx * dx + ny * dy + nz * dz > 0.0, -1.0, 1.0)
-        off = bias * rn * flip
-        sox = ox + best_t * dx + nx * off
-        soy = oy + best_t * dy + ny * off
-        soz = oz + best_t * dz + nz * off
-
-        def uniform01():
-            bits = pltpu.bitcast(pltpu.prng_random_bits(ox.shape),
-                                 jnp.uint32)
-            m = (bits >> 9) | jnp.uint32(0x3F800000)
-            return pltpu.bitcast(m, jnp.float32) - 1.0
+        sox, soy, soz = _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz,
+                                           best_t, nx, ny, nz)
 
         def per_sample(s, count):
-            u1 = uniform01()
-            u2 = uniform01()
+            u1 = _uniform01(ox.shape)
+            u2 = _uniform01(ox.shape)
             cos_t = 1.0 - u1 * (1.0 - cone_cos)
             sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
             sphi, cphi = _sincos_2pi(u2)
@@ -1379,114 +1384,30 @@ def _closest_psoft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     bias = scal_ref[4]
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
-    def _sincos_2pi(t):
-        # Same polynomial as _any_hit_kernel_w8_soft (no Mosaic sin/cos).
-        psi = 3.14159265 * (t - 0.5)
-        p2 = psi * psi
-        s1 = psi * (1.0 + p2 * (-1.0 / 6.0 + p2 * (1.0 / 120.0
-                                                   + p2 * (-1.0 / 5040.0))))
-        c1 = 1.0 + p2 * (-0.5 + p2 * (1.0 / 24.0 + p2 * (-1.0 / 720.0)))
-        return 2.0 * s1 * c1, 1.0 - 2.0 * s1 * s1
-
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        active0 = tmax > t_min
-        stack_ref[0] = jnp.int32(0)
-
-        def leaf_test(leaf_id, carry):
-            best_t, best_i, nx, ny, nz = carry
-            tn = _leaf_ts_n(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
-            base = leaf_id * k
-            for j, (t, cnx, cny, cnz) in enumerate(tn):
-                better = (t > t_min) & (t < best_t) & active0
-                best_t = jnp.where(better, t, best_t)
-                best_i = jnp.where(better, base + j, best_i)
-                nx = jnp.where(better, cnx, nx)
-                ny = jnp.where(better, cny, ny)
-                nz = jnp.where(better, cnz, nz)
-            return best_t, best_i, nx, ny, nz
-
-        def cond(state):
-            it, sp = state[0], state[1]
-            return (sp > 0) & (it < max_iters)
-
-        def body(state):
-            it, sp, best_t, best_i, nx, ny, nz = state
-            sp = sp - 1
-            node = stack_ref[sp]
-            rec = ns_ref[pl.ds(node, 1), :]
-            cap = jnp.where(active0, best_t, -_BIG)
-            hits = []
-            refs = []
-            valids = []
-            for c in range(8):
-                bb, ref = _wide_child(rec, c)
-                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
-                                  cap))
-                refs.append(ref)
-                valids.append(rec[0, bb] <= rec[0, bb + 3])
-            anyhit = _child_anyhit8(hits, valids)
-            for c in range(8):
-                ref = refs[c]
-                is_leaf = ref < 0
-                best_t, best_i, nx, ny, nz = jax.lax.cond(
-                    anyhit[c] & is_leaf,
-                    lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0),
-                                                 car),
-                    lambda car: car, (best_t, best_i, nx, ny, nz))
-                push = anyhit[c] & (~is_leaf)
-                stack_ref[sp] = jnp.where(push, ref, 0)
-                sp = sp + push.astype(jnp.int32)
-            return it + 1, sp, best_t, best_i, nx, ny, nz
-
-        best_t0 = jnp.where(active0, tmax, -_BIG)
-        best_i0 = jnp.full(ox.shape, -1, jnp.int32)
-        zero = jnp.zeros(ox.shape, jnp.float32)
-        _, _, best_t, best_i, nx, ny, nz = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.int32(1), best_t0, best_i0,
-             zero, zero, zero))
+        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+            k, max_iters, ns_ref, tr_ref, stack_ref,
+            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
         t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
         idx_out_ref[b] = best_i
 
         hitm = best_i >= 0
-        rn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
-        flip = jnp.where(nx * dx + ny * dy + nz * dz > 0.0, -1.0, 1.0)
-        off = bias * rn * flip
-        sox = ox + best_t * dx + nx * off
-        soy = oy + best_t * dy + ny * off
-        soz = oz + best_t * dz + nz * off
+        sox, soy, soz = _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz,
+                                           best_t, nx, ny, nz)
 
         # Per-lane axis toward the light + Duff ONB (see
         # _any_hit_kernel_w8_psoft).
         ex0 = lpx - sox
         ey0 = lpy - soy
         ez0 = lpz - soz
-        arn = jax.lax.rsqrt(jnp.maximum(ex0 * ex0 + ey0 * ey0 + ez0 * ez0,
-                                        1e-24))
-        ax = ex0 * arn
-        ay = ey0 * arn
-        az = ez0 * arn
-        sgn = jnp.where(az >= 0.0, 1.0, -1.0)
-        aa = -1.0 / (sgn + az)
-        bb2 = ax * ay * aa
-        t0x = 1.0 + sgn * ax * ax * aa
-        t0y = sgn * bb2
-        t0z = -sgn * ax
-        t1x = bb2
-        t1y = sgn + ay * ay * aa
-        t1z = -ay
-
-        def uniform01():
-            bits = pltpu.bitcast(pltpu.prng_random_bits(ox.shape),
-                                 jnp.uint32)
-            m = (bits >> 9) | jnp.uint32(0x3F800000)
-            return pltpu.bitcast(m, jnp.float32) - 1.0
+        _, _, _, t0x, t0y, t0z, t1x, t1y, t1z = \
+            _lane_axis_onb(ex0, ey0, ez0)
 
         def per_sample(s, count):
-            u1 = uniform01()
-            u2 = uniform01()
+            u1 = _uniform01(ox.shape)
+            u2 = _uniform01(ox.shape)
             r = jnp.sqrt(u1) * radius
             sphi, cphi = _sincos_2pi(u2)
             rc = r * cphi
@@ -1640,62 +1561,9 @@ def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        active0 = tmax > t_min
-        stack_ref[0] = jnp.int32(0)
-
-        def leaf_test(leaf_id, carry):
-            best_t, best_i, nx, ny, nz = carry
-            tn = _leaf_ts_n(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
-            base = leaf_id * k
-            for j, (t, cnx, cny, cnz) in enumerate(tn):
-                better = (t > t_min) & (t < best_t) & active0
-                best_t = jnp.where(better, t, best_t)
-                best_i = jnp.where(better, base + j, best_i)
-                nx = jnp.where(better, cnx, nx)
-                ny = jnp.where(better, cny, ny)
-                nz = jnp.where(better, cnz, nz)
-            return best_t, best_i, nx, ny, nz
-
-        def cond(state):
-            it, sp = state[0], state[1]
-            return (sp > 0) & (it < max_iters)
-
-        def body(state):
-            it, sp, best_t, best_i, nx, ny, nz = state
-            sp = sp - 1
-            node = stack_ref[sp]
-            rec = ns_ref[pl.ds(node, 1), :]
-            cap = jnp.where(active0, best_t, -_BIG)
-            hits = []
-            refs = []
-            valids = []
-            for c in range(8):
-                bb, ref = _wide_child(rec, c)
-                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
-                                  cap))
-                refs.append(ref)
-                valids.append(rec[0, bb] <= rec[0, bb + 3])
-            anyhit = _child_anyhit8(hits, valids)
-            for c in range(8):
-                ref = refs[c]
-                is_leaf = ref < 0
-                best_t, best_i, nx, ny, nz = jax.lax.cond(
-                    anyhit[c] & is_leaf,
-                    lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0),
-                                                 car),
-                    lambda car: car, (best_t, best_i, nx, ny, nz))
-                push = anyhit[c] & (~is_leaf)
-                stack_ref[sp] = jnp.where(push, ref, 0)
-                sp = sp + push.astype(jnp.int32)
-            return it + 1, sp, best_t, best_i, nx, ny, nz
-
-        best_t0 = jnp.where(active0, tmax, -_BIG)
-        best_i0 = jnp.full(ox.shape, -1, jnp.int32)
-        zero = jnp.zeros(ox.shape, jnp.float32)
-        _, _, best_t, best_i, nx, ny, nz = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.int32(1), best_t0, best_i0,
-             zero, zero, zero))
+        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+            k, max_iters, ns_ref, tr_ref, stack_ref,
+            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
         t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
         idx_out_ref[b] = best_i
 
@@ -1703,12 +1571,8 @@ def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
         # matches gbuffer_pass: unit gnormal flipped toward the viewer
         # (sign(-dot(n, d)), zero -> +1), scaled by the bias.
         hitm = best_i >= 0
-        rn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
-        flip = jnp.where(nx * dx + ny * dy + nz * dz > 0.0, -1.0, 1.0)
-        off = bias * rn * flip
-        sox = ox + best_t * dx + nx * off
-        soy = oy + best_t * dy + ny * off
-        soz = oz + best_t * dz + nz * off
+        sox, soy, soz = _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz,
+                                           best_t, nx, ny, nz)
         if point:
             # Per-lane direction toward the light; t capped at the light
             # distance (shadow_ray_batch's point path).
@@ -1766,74 +1630,17 @@ def _closest_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        active0 = tmax > t_min
-        stack_ref[0] = jnp.int32(0)
-
-        def leaf_test(leaf_id, carry):
-            best_t, best_i, nx, ny, nz = carry
-            tn = _leaf_ts_n(tr_ref, leaf_id, k, ox, oy, oz, dx, dy, dz)
-            base = leaf_id * k
-            for j, (t, cnx, cny, cnz) in enumerate(tn):
-                better = (t > t_min) & (t < best_t) & active0
-                best_t = jnp.where(better, t, best_t)
-                best_i = jnp.where(better, base + j, best_i)
-                nx = jnp.where(better, cnx, nx)
-                ny = jnp.where(better, cny, ny)
-                nz = jnp.where(better, cnz, nz)
-            return best_t, best_i, nx, ny, nz
-
-        def cond(state):
-            it, sp = state[0], state[1]
-            return (sp > 0) & (it < max_iters)
-
-        def body(state):
-            it, sp, best_t, best_i, nx, ny, nz = state
-            sp = sp - 1
-            node = stack_ref[sp]
-            rec = ns_ref[pl.ds(node, 1), :]
-            cap = jnp.where(active0, best_t, -_BIG)
-            hits = []
-            refs = []
-            valids = []
-            for c in range(8):
-                bb, ref = _wide_child(rec, c)
-                hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min,
-                                  cap))
-                refs.append(ref)
-                valids.append(rec[0, bb] <= rec[0, bb + 3])
-            anyhit = _child_anyhit8(hits, valids)
-            for c in range(8):
-                ref = refs[c]
-                is_leaf = ref < 0
-                best_t, best_i, nx, ny, nz = jax.lax.cond(
-                    anyhit[c] & is_leaf,
-                    lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0),
-                                                 car),
-                    lambda car: car, (best_t, best_i, nx, ny, nz))
-                push = anyhit[c] & (~is_leaf)
-                stack_ref[sp] = jnp.where(push, ref, 0)
-                sp = sp + push.astype(jnp.int32)
-            return it + 1, sp, best_t, best_i, nx, ny, nz
-
-        best_t0 = jnp.where(active0, tmax, -_BIG)
-        best_i0 = jnp.full(ox.shape, -1, jnp.int32)
-        zero = jnp.zeros(ox.shape, jnp.float32)
-        _, _, best_t, best_i, nx, ny, nz = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.int32(1), best_t0, best_i0,
-             zero, zero, zero))
+        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+            k, max_iters, ns_ref, tr_ref, stack_ref,
+            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
         t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
         idx_out_ref[b] = best_i
 
         # Phase 2: one shadow walk per light from the shared biased hit
         # point (the _closest_shadow_kernel_w8_b raygen recipe).
         hitm = best_i >= 0
-        rn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
-        flip = jnp.where(nx * dx + ny * dy + nz * dz > 0.0, -1.0, 1.0)
-        off = bias * rn * flip
-        sox = ox + best_t * dx + nx * off
-        soy = oy + best_t * dy + ny * off
-        soz = oz + best_t * dz + nz * off
+        sox, soy, soz = _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz,
+                                           best_t, nx, ny, nz)
         occm = jnp.zeros(ox.shape, jnp.int32)
         s = 7
         for li, is_point in enumerate(points):
