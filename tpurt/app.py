@@ -786,9 +786,16 @@ class Renderer:
         # the shadow pass is only timed in profile mode, so without it the
         # metric is reported as 0 ("not measured") rather than a mislabeled
         # rays/frame-time number or a stale value from an earlier profile.
+        # Lights traced inside the fused primary dispatch have no separate
+        # shadow timing, so only the unfused lights' rays enter the metric
+        # (all-fused frames report 0 — the work is indivisible from the
+        # G-buffer; see bench.py for the kernel-level Mrays numbers).
         if profile:
+            n_unfused = getattr(self, "_profiled_unfused_lights",
+                                len(self.lights))
             self.stats.mrays_per_s = mrays_per_s(
-                self.stats.rays_shadow, self.stats.shadow_ms / 1e3)
+                valid * cfg.spp * n_unfused,
+                self.stats.shadow_ms / 1e3) if n_unfused else 0.0
         else:
             self.stats.shadow_ms = 0.0
             self.stats.gbuffer_ms = 0.0
@@ -799,20 +806,48 @@ class Renderer:
 
     def _profile_passes(self, key, timer: Timer) -> None:
         """Per-pass timings via the SAME pass constructors the fused frame
-        uses (gbuffer_production/shadow_production) — a profile of any
-        other code path would misreport gbuffer_ms/shadow_ms and the
-        Mrays/s derived from them."""
+        uses — a profile of any other code path would misreport
+        gbuffer_ms/shadow_ms and the Mrays/s derived from them. On the
+        fused primary+shadow paths the kernel is one indivisible program,
+        so gbuffer_ms covers the fused dispatch (primary + its in-kernel
+        shadows) and shadow_ms only the remaining unfused lights."""
         cfg = self.config
-        gb = jax.jit(partial(gbuffer_production, cfg=cfg))
-        with timer.section("gbuffer"):
-            gbuf = gb(self.accel, self.mesh, self.camera,
-                      shade_table=self.shade_table,
-                      shade_table_orig=self.shade_table_orig)
-            jax.block_until_ready(gbuf["t"])
+        st = self.shade_table if cfg.use_pallas else None
+        fusedN = (st is not None
+                  and fused_multi_applicable(cfg, self.accel, self.lights))
+        fused0 = (not fusedN and st is not None
+                  and fused_shadow_applicable(cfg, self.accel, self.lights))
+        masks = []
+        if fusedN:
+            gbf = jax.jit(partial(gbuffer_multi_shadow_fused_production,
+                                  cfg=cfg, lights=tuple(self.lights)))
+            with timer.section("gbuffer"):
+                gbuf, vises = gbf(self.accel, self.mesh, self.camera,
+                                  shade_table=st)
+                jax.block_until_ready(gbuf["t"])
+            masks = list(vises)
+        elif fused0:
+            gbf = jax.jit(partial(gbuffer_shadow_fused_production,
+                                  cfg=cfg, light=self.lights[0]))
+            with timer.section("gbuffer"):
+                gbuf, vis0 = gbf(self.accel, self.mesh, self.camera,
+                                 shade_table=st,
+                                 key=jax.random.fold_in(key, 0))
+                jax.block_until_ready(gbuf["t"])
+            masks = [vis0]
+        else:
+            gb = jax.jit(partial(gbuffer_production, cfg=cfg))
+            with timer.section("gbuffer"):
+                gbuf = gb(self.accel, self.mesh, self.camera,
+                          shade_table=st,
+                          shade_table_orig=self.shade_table_orig)
+                jax.block_until_ready(gbuf["t"])
+        self._profiled_unfused_lights = len(self.lights) - len(masks)
         sp = jax.jit(partial(shadow_production, cfg=cfg))
         with timer.section("shadow"):
-            masks = []
             for li, light in enumerate(self.lights):
+                if li < len(masks):
+                    continue
                 masks.append(sp(self.accel, gbuf, light,
                                 jax.random.fold_in(key, li)))
             jax.block_until_ready(masks)
