@@ -72,3 +72,49 @@ def test_refit_stays_conservative_under_perturbation(seed, amplitude):
     got_t, _ = traverse(refit, jnp.asarray(o), jnp.asarray(d))
     np.testing.assert_allclose(np.asarray(got_t), want_t, rtol=3e-4,
                                atol=1e-6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=0, max_value=7))
+def test_multi_shadow_kernel_matches_per_light(seed, n_lights, kind_bits):
+    """Random soups x random all-hard light sets: the N-light fused kernel's
+    occlusion bits must equal N independent single-light fused runs
+    bit-for-bit, with the plain closest kernel's hit set (kernels/traverse
+    trace_closest_multi_shadow_pallas vs trace_closest_shadow_pallas)."""
+    from tpurt.kernels.traverse import (trace_closest_multi_shadow_pallas,
+                                        trace_closest_shadow_pallas)
+    mesh = random_soup(40, seed=seed % 1000)
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-9, 9, (64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+    bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
+                     leaf_size=4)
+    wide = build_wide(bvh, bucket=64)
+    spec = []
+    for li in range(n_lights):
+        if (kind_bits >> li) & 1:
+            spec.append((None, jnp.asarray(
+                rng.uniform(-12, 12, 3).astype(np.float32))))
+        else:
+            ld = rng.normal(size=3).astype(np.float32)
+            ld /= max(np.linalg.norm(ld), 1e-9)
+            spec.append((jnp.asarray(ld), None))
+    t_m, sidx_m, occm = trace_closest_multi_shadow_pallas(
+        wide, jnp.asarray(o), jnp.asarray(d), spec, 1e-3, interpret=True)
+    occm = np.asarray(occm)
+    assert (occm >> n_lights == 0).all(), "bits beyond the light set"
+    for li, (ld, lp) in enumerate(spec):
+        t_s, sidx_s, occ_s = trace_closest_shadow_pallas(
+            wide, jnp.asarray(o), jnp.asarray(d),
+            ld if ld is not None else jnp.ones(3, jnp.float32),
+            1e-3, light_pos=lp, interpret=True)
+        if li == 0:
+            np.testing.assert_array_equal(np.asarray(sidx_m),
+                                          np.asarray(sidx_s))
+            np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_s))
+        np.testing.assert_array_equal(
+            (occm >> li) & 1, np.asarray(occ_s).astype(np.int32),
+            err_msg=f"light {li} kind_bits={kind_bits}")
