@@ -53,11 +53,24 @@ def build_scene(name: str):
     return load_obj(name)
 
 
-def build_lights(kind: str, direction):
+def build_lights(kind: str, direction, mesh=None, position=None,
+                 radius=0.0):
     if kind == "directional":
         return [Light.directional(direction)]
     if kind == "sun":
         return [Light.sun(direction, angular_radius_deg=2.0)]
+    if kind == "point":
+        import numpy as np
+        if position is None:
+            # Above the scene center along the light direction, one scene
+            # diagonal away — a sensible interior-lamp default.
+            v = np.asarray(mesh.vertices)
+            lo, hi = v.min(0), v.max(0)
+            diag = float(np.linalg.norm(hi - lo))
+            d = np.asarray(direction, np.float32)
+            d = d / max(float(np.linalg.norm(d)), 1e-9)
+            position = 0.5 * (lo + hi) + d * (0.5 * diag)
+        return [Light.point(position, radius=radius)]
     if kind == "multi":
         return [Light.directional(direction, intensity=0.8),
                 Light.directional((-0.55, 0.65, 0.25), color=(1.0, 0.85, 0.6),
@@ -91,10 +104,18 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=1)
     p.add_argument("--mode", choices=("static", "rebuild", "refit"),
                    default=None)
-    p.add_argument("--light", choices=("directional", "sun", "multi"),
+    p.add_argument("--light", choices=("directional", "sun", "point",
+                                       "multi"),
                    default=None)
     p.add_argument("--light-dir", type=float, nargs=3,
                    default=(0.45, 0.8, 0.3))
+    p.add_argument("--light-pos", type=float, nargs=3, default=None,
+                   help="point-light position (default: above the scene "
+                        "center along --light-dir)")
+    p.add_argument("--light-radius", type=float, default=0.0,
+                   help="point-light source radius; with --spp > 1 the "
+                        "penumbra is disk-sampled inside the traversal "
+                        "kernel on TPU")
     p.add_argument("--ambient", type=float, default=0.08)
     p.add_argument("--no-pallas", action="store_true",
                    help="use the pure-JAX traversal instead of the Pallas kernel")
@@ -172,7 +193,9 @@ def main(argv=None) -> int:
     from .scenes import default_camera_for, deform, sponza_interior_camera
     cam = (sponza_interior_camera() if args.scene == "sponza"
            else default_camera_for(mesh))
-    lights = build_lights(opts["lights"], args.light_dir)
+    lights = build_lights(opts["lights"], args.light_dir, mesh=mesh,
+                          position=args.light_pos,
+                          radius=args.light_radius)
     # Pallas default 14: the kernel keeps leaf triangles VMEM-resident at
     # ceil(T/leaf)*512B, so larger leaves are what lets Sponza-class scenes
     # fit the ~16 MB budget (leaf 8 at 287k tris = 18.4 MB -> OOM).
