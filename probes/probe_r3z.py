@@ -127,7 +127,6 @@ def main():
     # and light0-only-fused frames (the bench multi_light_4k analogue).
     try:
         W4, H4 = 3840, 2160
-        o4, d4 = generate_rays(cam, W4, H4)
         lights2 = (light, Light.directional((-0.4, 0.8, 0.3),
                                             color=(0.4, 0.4, 0.5)))
         cfg4 = dataclasses.replace(cfg, width=W4, height=H4)
@@ -152,7 +151,7 @@ def main():
                      ["image"])()
         diff4 = np.abs(np.asarray(a4) - np.asarray(b4)).max(axis=-1)
         log(f"4k 2-light multi-fused diff >1e-3: {(diff4 > 1e-3).mean():.2e}")
-        del a4, b4, o4, d4
+        del a4, b4
     except Exception as e:  # noqa: BLE001
         log(f"multi-light fused FAILED: {type(e).__name__}: {str(e)[:200]}")
 
@@ -175,29 +174,31 @@ def main():
         gbuf = jax.device_put(jax.tree.map(np.asarray, gbuf))
         spp = 4
 
-        def scan_run(g, key):
+        def scan_run(a, g, key):
+            # accel enters as an ARGUMENT (closure capture would bake the
+            # ~20 MB accel into the program as constants).
             def sample(acc_, s):
                 u = jax.random.uniform(jax.random.fold_in(key, s),
                                        (g["valid"].shape[0],
                                         g["valid"].shape[1], 2))
                 so, sd, stm = shadow_ray_batch(g, plight, 1e-3, u)
                 from tpurt.kernels.traverse import trace_any_pallas
-                occ = trace_any_pallas(acc, so, sd, stm)
+                occ = trace_any_pallas(a, so, sd, stm)
                 return acc_ + jnp.sum(occ.astype(jnp.int32)), None
             a2, _ = jax.lax.scan(sample, jnp.int32(0), jnp.arange(spp))
             return a2
         fscan = jax.jit(scan_run)
-        t = timed(lambda: fscan(gbuf, jax.random.PRNGKey(5)), reps=4)
+        t = timed(lambda: fscan(acc, gbuf, jax.random.PRNGKey(5)), reps=4)
         log(f"penumbra 1080p spp=4 XLA scan: {t*1e3:.2f} ms")
 
-        def krun(g):
+        def krun(a, g):
             o2 = g["position"] + g["gnormal"] * 1e-3
             return jnp.sum(trace_any_point_soft_pallas(
-                acc, o2, g["valid"],
+                a, o2, g["valid"],
                 jnp.asarray(plight.position, jnp.float32),
                 jnp.asarray(plight.radius, jnp.float32), spp, 5))
         fk = jax.jit(krun)
-        t = timed(lambda: fk(gbuf), reps=4)
+        t = timed(lambda: fk(acc, gbuf), reps=4)
         log(f"penumbra 1080p spp=4 IN-KERNEL: {t*1e3:.2f} ms")
 
         # Fused closest+psoft frame (newest compile of all).
