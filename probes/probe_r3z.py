@@ -141,14 +141,14 @@ def main():
             shade_table_orig=so)["image"]))
         t = timed(lambda: fr2f(wide, mesh, cam, key, st, st_orig), reps=8)
         log(f"frame[4k 2-light, multi-fused]: {t*1e3:.2f} ms")
-        a4 = jax.jit(lambda: render_frame_fn(wide, mesh, cam, lights2, key,
-                                             cfg4, shade_table=st,
-                                             shade_table_orig=st_orig)
-                     ["image"])()
-        b4 = jax.jit(lambda: render_frame_fn(wide, mesh, cam, lights2, key,
-                                             cfg4f, shade_table=st,
-                                             shade_table_orig=st_orig)
-                     ["image"])()
+        pf = jax.jit(lambda a, m, c, k2, s_, so: render_frame_fn(
+            a, m, c, lights2, k2, cfg4, shade_table=s_,
+            shade_table_orig=so)["image"])
+        a4 = pf(wide, mesh, cam, key, st, st_orig)
+        pff = jax.jit(lambda a, m, c, k2, s_, so: render_frame_fn(
+            a, m, c, lights2, k2, cfg4f, shade_table=s_,
+            shade_table_orig=so)["image"])
+        b4 = pff(wide, mesh, cam, key, st, st_orig)
         diff4 = np.abs(np.asarray(a4) - np.asarray(b4)).max(axis=-1)
         log(f"4k 2-light multi-fused diff >1e-3: {(diff4 > 1e-3).mean():.2e}")
         del a4, b4
@@ -218,14 +218,14 @@ def main():
         log(f"point-soft FAILED: {type(e).__name__}: {str(e)[:200]}")
 
     # Parity spot check on hardware.
-    a_img = jax.jit(lambda: render_frame_fn(wide, mesh, cam, (light,), key,
-                                            cfg, shade_table=st,
-                                            shade_table_orig=st_orig)
-                    ["image"])()
-    b_img = jax.jit(lambda: render_frame_fn(wide, mesh, cam, (light,), key,
-                                            cfgf, shade_table=st,
-                                            shade_table_orig=st_orig)
-                    ["image"])()
+    pa = jax.jit(lambda a, m, c, k2, s_, so: render_frame_fn(
+        a, m, c, (light,), k2, cfg, shade_table=s_,
+        shade_table_orig=so)["image"])
+    a_img = pa(wide, mesh, cam, key, st, st_orig)
+    pb = jax.jit(lambda a, m, c, k2, s_, so: render_frame_fn(
+        a, m, c, (light,), k2, cfgf, shade_table=s_,
+        shade_table_orig=so)["image"])
+    b_img = pb(wide, mesh, cam, key, st, st_orig)
     diff = np.abs(np.asarray(a_img) - np.asarray(b_img)).max(axis=-1)
     log(f"frame diff >1e-3: {(diff > 1e-3).mean():.2e}")
     log("probe_r3z done")
