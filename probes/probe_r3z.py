@@ -217,6 +217,26 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"point-soft FAILED: {type(e).__name__}: {str(e)[:200]}")
 
+    # 9. mixed fused kernel (soft sun + hard fill, THE newest compile):
+    # the config-3-with-fill-light frame, one dispatch.
+    try:
+        sun2 = Light.sun((0.25, 0.9, 0.2), angular_radius_deg=2.5)
+        fill = Light.directional((-0.4, 0.8, 0.3), color=(0.4, 0.4, 0.5))
+        cfgm = dataclasses.replace(cfg, spp=8)
+        fm0 = jax.jit(lambda a, m, c, k2, s_, so: jnp.sum(render_frame_fn(
+            a, m, c, (sun2, fill), k2, cfgm, shade_table=s_,
+            shade_table_orig=so)["image"]))
+        t = timed(lambda: fm0(wide, mesh, cam, key, st, st_orig), reps=8)
+        log(f"frame[soft spp=8 + fill, unfused]: {t*1e3:.2f} ms")
+        cfgmf = dataclasses.replace(cfgm, fused_shadow=True)
+        fmf = jax.jit(lambda a, m, c, k2, s_, so: jnp.sum(render_frame_fn(
+            a, m, c, (sun2, fill), k2, cfgmf, shade_table=s_,
+            shade_table_orig=so)["image"]))
+        t = timed(lambda: fmf(wide, mesh, cam, key, st, st_orig), reps=8)
+        log(f"frame[soft spp=8 + fill, MIXED-fused]: {t*1e3:.2f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"mixed fused FAILED: {type(e).__name__}: {str(e)[:200]}")
+
     # Parity spot check on hardware.
     pa = jax.jit(lambda a, m, c, k2, s_, so: render_frame_fn(
         a, m, c, (light,), k2, cfg, shade_table=s_,

@@ -295,3 +295,72 @@ def test_fused_point_soft_frame_matches_scan(scene):
                        gbuffer="ray", fused_shadow=True, spp=4)
     # On this CPU box the compiled-backend gate must reject psoft fusion.
     assert not fused_shadow_applicable(cfg, wide, (plight,))
+
+
+@pytest.mark.slow
+def test_fused_soft_multi_zero_rng_matches_singles(scene):
+    """Mixed fused kernel (soft light 0 + hard directional extras) in
+    TPU-interpret mode: the zero PRNG stream degenerates light-0 cone
+    samples to the axis (and disk samples to the light center), so counts
+    must equal spp x the single-light fused HARD run, and each extra
+    light's occ bit must match its own single-light fused run bit-for-bit
+    — with the shared phase-1 hit set."""
+    mesh, bvh, wide, cam = scene
+    from tpurt.kernels.traverse import trace_closest_soft_multi_shadow_pallas
+    o, d = generate_rays(cam, 64, 32)
+    acc = jax.jit(order_children_for_point)(wide, jnp.asarray(cam.position))
+    spp = 4
+    sun = Light.sun((0.45, 0.8, 0.3), angular_radius_deg=2.5)
+    ld1 = jnp.asarray(Light.directional((-0.5, 0.7, 0.2)).direction,
+                      jnp.float32)
+    ld2 = jnp.asarray(Light.directional((0.1, 0.9, -0.4)).direction,
+                      jnp.float32)
+
+    # cone light 0 + two hard extras
+    t_m, sidx_m, counts, occm = trace_closest_soft_multi_shadow_pallas(
+        acc, o, d,
+        ("cone", jnp.asarray(sun.direction), jnp.cos(sun.angular_radius)),
+        [ld1, ld2], spp, 7, 1e-3, interpret=True)
+    t_h, sidx_h, occ0 = trace_closest_shadow_pallas(
+        acc, o, d, jnp.asarray(sun.direction), 1e-3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sidx_m), np.asarray(sidx_h))
+    np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_h))
+    np.testing.assert_array_equal(
+        np.asarray(counts), spp * np.asarray(occ0).astype(np.int32))
+    occm = np.asarray(occm)
+    for i, ld in enumerate([ld1, ld2]):
+        _, _, occ_s = trace_closest_shadow_pallas(acc, o, d, ld, 1e-3,
+                                                  interpret=True)
+        np.testing.assert_array_equal((occm >> i) & 1,
+                                      np.asarray(occ_s).astype(np.int32),
+                                      err_msg=f"extra {i}")
+
+    # disk light 0 + one hard extra
+    ctr = 0.5 * (np.asarray(bvh.root_min) + np.asarray(bvh.root_max))
+    lpos = jnp.asarray(ctr + np.float32([0.2, 1.5, 0.3]) * (
+        np.asarray(bvh.root_max) - np.asarray(bvh.root_min)), jnp.float32)
+    t_m, sidx_m, counts, occm = trace_closest_soft_multi_shadow_pallas(
+        acc, o, d, ("disk", lpos, jnp.float32(0.4)), [ld1], spp, 7, 1e-3,
+        interpret=True)
+    t_h, sidx_h, occ0 = trace_closest_shadow_pallas(
+        acc, o, d, ld1, 1e-3, light_pos=lpos, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sidx_m), np.asarray(sidx_h))
+    np.testing.assert_array_equal(
+        np.asarray(counts), spp * np.asarray(occ0).astype(np.int32))
+    _, _, occ1 = trace_closest_shadow_pallas(acc, o, d, ld1, 1e-3,
+                                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(occm) & 1,
+                                  np.asarray(occ1).astype(np.int32))
+
+
+def test_fused_soft_multi_gate(scene):
+    """The mixed path requires a compiled backend (zero-stream interpret
+    PRNG would silently harden the penumbra) — on this CPU box the gate
+    must reject, and reject non-directional extras everywhere."""
+    mesh, bvh, wide, cam = scene
+    from tpurt.app import fused_soft_multi_applicable
+    sun = Light.sun((0.45, 0.8, 0.3), angular_radius_deg=2.5)
+    fill = Light.directional((-0.5, 0.7, 0.2))
+    cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
+                       gbuffer="ray", fused_shadow=True, spp=4)
+    assert not fused_soft_multi_applicable(cfg, wide, (sun, fill))

@@ -277,6 +277,75 @@ def fused_multi_applicable(cfg: RenderConfig, bvh, lights) -> bool:
     return True
 
 
+def fused_soft_multi_applicable(cfg: RenderConfig, bvh, lights) -> bool:
+    """Does the mixed fused path apply? Light 0 soft (area-cone or point
+    at spp>1, compiled backend only — the interpret PRNG is a zero
+    stream) with every extra light hard directional
+    (trace_closest_soft_multi_shadow_pallas)."""
+    from .bvh.wide import WideBVH
+    from .types import LIGHT_AREA_CONE, LIGHT_DIRECTIONAL, LIGHT_POINT
+    if not (cfg.fused_shadow and cfg.use_pallas and cfg.spp > 1
+            and not use_raster_gbuffer(cfg) and isinstance(bvh, WideBVH)
+            and len(lights) >= 2):
+        return False
+    if lights[0].kind not in (LIGHT_AREA_CONE, LIGHT_POINT):
+        return False
+    if any(l.kind != LIGHT_DIRECTIONAL for l in lights[1:]):
+        return False
+    from .kernels.traverse import _compiled_backend
+    return _compiled_backend()
+
+
+def gbuffer_soft_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
+                                               cfg: RenderConfig, lights,
+                                               shade_table, key=None,
+                                               rays=None):
+    """Fused twin of gbuffer_production + EVERY light's shadow_production
+    for a soft light 0 with hard directional extras: one kernel returns
+    the hit set, light-0's sampled occlusion counts, and the extras'
+    occlusion bitmask. Returns (gbuf, [visibility per light])."""
+    from .bvh.wide import order_children_for_point
+    from .kernels.traverse import trace_closest_soft_multi_shadow_pallas
+    from .types import LIGHT_POINT
+    gb_accel = order_children_for_point(bvh, cam.position)
+    l0 = lights[0]
+    if l0.kind == LIGHT_POINT:
+        light0 = ("disk", jnp.asarray(l0.position, jnp.float32),
+                  jnp.asarray(l0.radius, jnp.float32))
+    else:
+        light0 = ("cone", jnp.asarray(l0.direction, jnp.float32),
+                  jnp.cos(l0.angular_radius))
+    extra_dirs = [jnp.asarray(l.direction, jnp.float32)
+                  for l in lights[1:]]
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    kd = key if jnp.issubdtype(key.dtype, jnp.integer) \
+        else jax.random.key_data(key)
+    seed = kd.ravel()[-1].astype(jnp.int32)
+    vis_out = {}
+
+    def tracer(o, d):
+        t, sidx, counts, occm = trace_closest_soft_multi_shadow_pallas(
+            gb_accel, o, d, light0, extra_dirs, cfg.spp, seed,
+            cfg.shadow_bias)
+        vis_out["vis0"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
+        vis_out["occm"] = occm
+        return t, None, sidx
+
+    height = rays[0].shape[0] if rays is not None else cfg.height
+    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
+                        shade_table=shade_table, rays=rays)
+    if mesh.textured:
+        from .passes.texture import apply_textures
+        gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
+    vises = [jnp.where(gbuf["valid"], vis_out["vis0"], 1.0)]
+    occm = vis_out["occm"]
+    for li in range(1, len(lights)):
+        v = jnp.where(((occm >> (li - 1)) & 1) > 0, 0.0, 1.0)
+        vises.append(jnp.where(gbuf["valid"], v, 1.0))
+    return gbuf, vises
+
+
 def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                                           cfg: RenderConfig, lights,
                                           shade_table, rays=None):
@@ -397,11 +466,17 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
     num_lights = len(lights)
     fusedN = (fused_multi_applicable(cfg, bvh, lights)
               and shade_table is not None)
-    fused0 = (not fusedN and shade_table is not None
+    fusedSM = (not fusedN and shade_table is not None
+               and fused_soft_multi_applicable(cfg, bvh, lights))
+    fused0 = (not fusedN and not fusedSM and shade_table is not None
               and fused_shadow_applicable(cfg, bvh, lights))
     if fusedN:
         gbuf, shadows = gbuffer_multi_shadow_fused_production(
             bvh, mesh, cam, cfg, lights, shade_table)
+    elif fusedSM:
+        gbuf, shadows = gbuffer_soft_multi_shadow_fused_production(
+            bvh, mesh, cam, cfg, lights, shade_table,
+            key=jax.random.fold_in(key, 0))
     else:
         if fused0:
             gbuf, vis0 = gbuffer_shadow_fused_production(
@@ -815,7 +890,10 @@ class Renderer:
         st = self.shade_table if cfg.use_pallas else None
         fusedN = (st is not None
                   and fused_multi_applicable(cfg, self.accel, self.lights))
-        fused0 = (not fusedN and st is not None
+        fusedSM = (not fusedN and st is not None
+                   and fused_soft_multi_applicable(cfg, self.accel,
+                                                   self.lights))
+        fused0 = (not fusedN and not fusedSM and st is not None
                   and fused_shadow_applicable(cfg, self.accel, self.lights))
         masks = []
         if fusedN:
@@ -824,6 +902,16 @@ class Renderer:
             with timer.section("gbuffer"):
                 gbuf, vises = gbf(self.accel, self.mesh, self.camera,
                                   shade_table=st)
+                jax.block_until_ready(gbuf["t"])
+            masks = list(vises)
+        elif fusedSM:
+            gbf = jax.jit(partial(
+                gbuffer_soft_multi_shadow_fused_production,
+                cfg=cfg, lights=tuple(self.lights)))
+            with timer.section("gbuffer"):
+                gbuf, vises = gbf(self.accel, self.mesh, self.camera,
+                                  shade_table=st,
+                                  key=jax.random.fold_in(key, 0))
                 jax.block_until_ready(gbuf["t"])
             masks = list(vises)
         elif fused0:

@@ -1678,6 +1678,142 @@ def _closest_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
 
 
+def _closest_soft_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
+                                           spp: int, disk: bool,
+                                           n_extra: int, tmin_ref, seed_ref,
+                                           scal_ref, ns_ref, tr_ref,
+                                           rays_ref, t_out_ref, idx_out_ref,
+                                           cnt_out_ref, occ_out_ref,
+                                           stack_ref):
+    """Fused primary + SOFT light 0 + N hard directional extras: ONE
+    program — the mixed completion of the fused-kernel matrix (e.g. an
+    area sun with fill lights). Phase 1 = the shared closest walk; phase
+    2a = light-0's in-kernel sampling loop (``disk``: jittered-disk point
+    penumbra with a per-lane basis; else cone) -> counts; phase 2b = one
+    hard walk per extra directional light -> occlusion bitmask (bit i =
+    extra light i, i.e. frame light i+1).
+
+    scal_ref: [bias, root_min(3), root_max(3)] then light 0 — disk:
+    position(3) + radius; cone: axis(3) + basis t0(3) + t1(3) +
+    cone_cos — then per extra light dir(3) + clamped 1/dir(3).
+    """
+    t_min = tmin_ref[0]
+    bias = scal_ref[0]
+    rx0, ry0, rz0 = scal_ref[1], scal_ref[2], scal_ref[3]
+    rx1, ry1, rz1 = scal_ref[4], scal_ref[5], scal_ref[6]
+    if disk:
+        lpx, lpy, lpz = scal_ref[7], scal_ref[8], scal_ref[9]
+        radius = scal_ref[10]
+        ex_base = 11
+    else:
+        adx, ady, adz = scal_ref[7], scal_ref[8], scal_ref[9]
+        c0x, c0y, c0z = scal_ref[10], scal_ref[11], scal_ref[12]
+        c1x, c1y, c1z = scal_ref[13], scal_ref[14], scal_ref[15]
+        cone_cos = scal_ref[16]
+        ex_base = 17
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
+        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+            k, max_iters, ns_ref, tr_ref, stack_ref,
+            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+        idx_out_ref[b] = best_i
+
+        hitm = best_i >= 0
+        sox, soy, soz = _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz,
+                                           best_t, nx, ny, nz)
+
+        # Phase 2a: light 0's sampling loop.
+        if disk:
+            ex0 = lpx - sox
+            ey0 = lpy - soy
+            ez0 = lpz - soz
+            _, _, _, t0x, t0y, t0z, t1x, t1y, t1z = \
+                _lane_axis_onb(ex0, ey0, ez0)
+
+            def per_sample(s, count):
+                u1 = _uniform01(sox.shape)
+                u2 = _uniform01(sox.shape)
+                r = jnp.sqrt(u1) * radius
+                sphi, cphi = _sincos_2pi(u2)
+                rc = r * cphi
+                rs = r * sphi
+                ddx = ex0 + t0x * rc + t1x * rs
+                ddy = ey0 + t0y * rc + t1y * rs
+                ddz = ez0 + t0z * rc + t1z * rs
+                d2 = jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-24)
+                drn = jax.lax.rsqrt(d2)
+                sdx = ddx * drn
+                sdy = ddy * drn
+                sdz = ddz * drn
+                six, siy, siz = _inv3(sdx, sdy, sdz)
+                stmax = jnp.where(hitm, d2 * drn * (1.0 - 1e-4), -_BIG)
+                occ = _w8_anyhit_walk(k, max_iters, ns_ref, tr_ref,
+                                      stack_ref, sox, soy, soz,
+                                      sdx, sdy, sdz, six, siy, siz,
+                                      stmax, 0.0)
+                return count + occ
+        else:
+            def per_sample(s, count):
+                u1 = _uniform01(sox.shape)
+                u2 = _uniform01(sox.shape)
+                cos_t = 1.0 - u1 * (1.0 - cone_cos)
+                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                sphi, cphi = _sincos_2pi(u2)
+                sc = sin_t * cphi
+                ss = sin_t * sphi
+                sdx = adx * cos_t + c0x * sc + c1x * ss
+                sdy = ady * cos_t + c0y * sc + c1y * ss
+                sdz = adz * cos_t + c0z * sc + c1z * ss
+                srn = jax.lax.rsqrt(jnp.maximum(
+                    sdx * sdx + sdy * sdy + sdz * sdz, 1e-20))
+                sdx = sdx * srn
+                sdy = sdy * srn
+                sdz = sdz * srn
+                six, siy, siz = _inv3(sdx, sdy, sdz)
+                ex = jnp.minimum(
+                    jnp.minimum(
+                        jnp.maximum((rx0 - sox) * six, (rx1 - sox) * six),
+                        jnp.maximum((ry0 - soy) * siy, (ry1 - soy) * siy)),
+                    jnp.maximum((rz0 - soz) * siz, (rz1 - soz) * siz))
+                stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001,
+                                  -_BIG)
+                occ = _w8_anyhit_walk(k, max_iters, ns_ref, tr_ref,
+                                      stack_ref, sox, soy, soz,
+                                      sdx, sdy, sdz, six, siy, siz,
+                                      stmax, 0.0)
+                return count + occ
+
+        cnt_out_ref[b] = jax.lax.fori_loop(
+            0, spp, per_sample, jnp.zeros(sox.shape, jnp.int32),
+            unroll=False)
+
+        # Phase 2b: hard walk per extra directional light.
+        occm = jnp.zeros(sox.shape, jnp.int32)
+        for li in range(n_extra):
+            s = ex_base + 6 * li
+            sdx, sdy, sdz = scal_ref[s], scal_ref[s + 1], scal_ref[s + 2]
+            six, siy, siz = (scal_ref[s + 3], scal_ref[s + 4],
+                             scal_ref[s + 5])
+            ex = jnp.minimum(
+                jnp.minimum(
+                    jnp.maximum((rx0 - sox) * six, (rx1 - sox) * six),
+                    jnp.maximum((ry0 - soy) * siy, (ry1 - soy) * siy)),
+                jnp.maximum((rz0 - soz) * siz, (rz1 - soz) * siz))
+            stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+            occ = _w8_anyhit_walk(
+                k, max_iters, ns_ref, tr_ref, stack_ref,
+                sox, soy, soz, sdx, sdy, sdz, six, siy, siz, stmax, 0.0)
+            occm = occm | jnp.where(occ > 0, jnp.int32(1 << li), 0)
+        occ_out_ref[b] = occm
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
 # ---------------------------------------------------------------------------
 # w8t kernels: sublane-major (transposed) node/leaf layout
 # ---------------------------------------------------------------------------
@@ -2287,6 +2423,93 @@ def trace_any_soft_pallas(bvh, origins, valid, axis_dir, cone_cos, spp: int,
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     (counts,) = fn(tmin_arr, seed_arr, scal, packed.nodes, packed.tris, rays)
     return _unpack(counts[:p], meta)
+
+
+def trace_closest_soft_multi_shadow_pallas(bvh, origins, dirs, light0,
+                                           extra_dirs, spp: int, seed, bias,
+                                           t_max=_BIG, t_min: float = 0.0,
+                                           interpret=None):
+    """Fused primary + soft light 0 + N hard directional extras (ONE
+    kernel). light0: either ("cone", axis_dir f32[3], cone_cos scalar) or
+    ("disk", position f32[3], radius scalar). extra_dirs: sequence of
+    toward-light f32[3] directions for the hard extras. Returns
+    (t f32[H, W], sorted_idx i32[H, W], counts0 i32[H, W] in [0, spp],
+    occ_mask i32[H, W] with bit i = extra light i occluded). The mixed
+    completion of trace_closest_{soft,point_soft,multi}_shadow_pallas
+    (_closest_soft_multi_shadow_kernel_w8_b). Batched 8-wide accel path
+    only."""
+    from ..bvh.wide import WideBVH
+    packed = _as_packed(bvh)
+    assert isinstance(packed, WideBVH) and PACKETS_PER_STEP > 1, \
+        "fused soft-multi needs the batched 8-wide accel path"
+    kind, vec, scalar = light0
+    assert kind in ("cone", "disk"), kind
+    disk = kind == "disk"
+    batch = PACKETS_PER_STEP
+    rays, p, meta = _ray_packets_packed(origins, dirs, t_max, batch)
+    pb = rays.shape[0]
+    blocks = [jnp.asarray(bias, jnp.float32).reshape(1),
+              packed.root_min.astype(jnp.float32),
+              packed.root_max.astype(jnp.float32)]
+    if disk:
+        blocks.append(jnp.asarray(vec, jnp.float32))
+        blocks.append(jnp.asarray(scalar, jnp.float32).reshape(1))
+    else:
+        axis = jnp.asarray(vec, jnp.float32)
+        t0, t1 = _onb3(axis)
+        blocks.extend([axis, t0, t1,
+                       jnp.asarray(scalar, jnp.float32).reshape(1)])
+    for ld in extra_dirs:
+        d = jnp.asarray(ld, jnp.float32)
+        blocks.append(d)
+        blocks.append(jnp.clip(1.0 / d, -_BIG, _BIG))
+    scal = jnp.concatenate(blocks)
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE
+    if interpret is None:
+        interpret = not _compiled_backend()
+    if interpret is True:
+        # prng_seed needs the TPU-semantics interpreter (zero bit stream).
+        interpret = pltpu.InterpretParams()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pb // batch,),
+        in_specs=[const_spec(packed.nodes.shape),
+                  const_spec(packed.tris.shape), ray_spec],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(_closest_soft_multi_shadow_kernel_w8_b,
+                          packed.leaf_size, iter_cap, batch, spp, disk,
+                          len(extra_dirs)),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    t, sidx, counts, occm = fn(tmin_arr, seed_arr, scal, packed.nodes,
+                               packed.tris, rays)
+    t = _unpack(t[:p], meta)
+    sidx = _unpack(sidx[:p], meta)
+    counts = _unpack(counts[:p], meta)
+    occm = _unpack(occm[:p], meta)
+    t = jnp.where(sidx >= 0, t, jnp.inf)
+    return t, sidx, counts, occm
 
 
 def trace_closest_point_soft_shadow_pallas(bvh, origins, dirs, light_pos,

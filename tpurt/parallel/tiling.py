@@ -79,8 +79,10 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
             deferred=cfg.raster_deferred)
     else:
         from ..app import (fused_multi_applicable, fused_shadow_applicable,
+                           fused_soft_multi_applicable,
                            gbuffer_multi_shadow_fused_production,
-                           gbuffer_shadow_fused_production)
+                           gbuffer_shadow_fused_production,
+                           gbuffer_soft_multi_shadow_fused_production)
         if (shade_table is not None and not isinstance(bvh, ChunkedAccel)
                 and fused_multi_applicable(cfg, bvh, lights)):
             # All-hard light set: one kernel yields every light's shadow
@@ -88,6 +90,12 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
             gbuf, vis_all = gbuffer_multi_shadow_fused_production(
                 bvh, tri_mesh, cam, cfg, lights, shade_table,
                 rays=(origins, dirs))
+        elif (shade_table is not None and not isinstance(bvh, ChunkedAccel)
+                and fused_soft_multi_applicable(cfg, bvh, lights)):
+            # Soft light 0 + hard directional extras, one kernel.
+            gbuf, vis_all = gbuffer_soft_multi_shadow_fused_production(
+                bvh, tri_mesh, cam, cfg, lights, shade_table,
+                key=jax.random.fold_in(key, 0), rays=(origins, dirs))
         elif (shade_table is not None and not isinstance(bvh, ChunkedAccel)
                 and fused_shadow_applicable(cfg, bvh, lights)):
             # Fused primary+shadow kernel for light 0 on this shard's
