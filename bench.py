@@ -507,11 +507,13 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
         import dataclasses as _dc2
 
         from tpurt.app import render_frame_fn as _rff
+        from tpurt.types import RenderConfig as _RC4
         st4 = st0
         l2 = (lights5[1], Light.directional((0.25, 0.9, 0.2)))
         k4 = jax.random.PRNGKey(0)
-        cfg4 = RenderConfig(width=W4, height=H4, leaf_size=leaf_size,
-                            gbuffer="ray")
+        cfg4 = _RC4(width=W4, height=H4,
+                    leaf_size=getattr(static_accel, "leaf_size", 14),
+                    gbuffer="ray")
         fr4 = jax.jit(lambda a, m, c, k, s: jnp.sum(_rff(
             a, m, c, l2, k, cfg4, shade_table=s)["image"]))
         out["frame_4k_2light_ms"] = round(timed(

@@ -13,7 +13,10 @@ for pidfile in /tmp/probe_r3tuv2.pid /tmp/probe_r3zy.pid; do
   done
 done
 tuv_done=$(grep -c "all probes done" /tmp/probe_r3tuv.log /tmp/probe_r3tuv2.log 2>/dev/null | awk -F: '{s+=$2} END {print s+0}')
-zy_done=$(grep -c "r3zy done" /tmp/probe_r3zy.log 2>/dev/null || echo 0)
+# NB: grep -c prints "0" AND exits 1 on zero matches, so `|| echo 0` would
+# yield the two-line string "0\n0" and break every -eq/-gt test below.
+zy_done=$(grep -c "r3zy done" /tmp/probe_r3zy.log 2>/dev/null | head -n1)
+zy_done=${zy_done:-0}
 if [ "$tuv_done" -gt 0 ] && [ "$zy_done" -gt 0 ]; then
   echo "both chains already completed; supervisor exiting"
   exit 0

@@ -282,19 +282,36 @@ def test_fused_point_soft_zero_rng_matches_hard(scene):
 
 
 def test_fused_point_soft_frame_matches_scan(scene):
-    """Point light at spp>1 takes the fused psoft path when fused_shadow
-    is on; on CPU-interpret the applicability gate must REJECT it (zero
-    PRNG stream), so both configs render the exact scan path."""
+    """Point light at spp>1: on CPU-interpret the applicability gate must
+    REJECT psoft fusion (zero PRNG stream). The fused production's raygen
+    plumbing is still checked end-to-end by forcing it with radius=0,
+    where the zero-stream disk degenerates to the light center and must
+    match the production scan path (whose jitter is also degenerate at
+    radius 0) up to shadow-boundary fp noise."""
     mesh, bvh, wide, cam = scene
-    from tpurt.app import fused_shadow_applicable
+    from tpurt.app import (fused_shadow_applicable,
+                           gbuffer_production,
+                           gbuffer_shadow_fused_production,
+                           shadow_production)
     ctr = 0.5 * (np.asarray(bvh.root_min) + np.asarray(bvh.root_max))
     lpos = ctr + np.float32([0.2, 1.5, 0.3]) * (
         np.asarray(bvh.root_max) - np.asarray(bvh.root_min))
-    plight = Light.point(lpos, radius=0.4)
     cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
                        gbuffer="ray", fused_shadow=True, spp=4)
     # On this CPU box the compiled-backend gate must reject psoft fusion.
-    assert not fused_shadow_applicable(cfg, wide, (plight,))
+    assert not fused_shadow_applicable(cfg, wide,
+                                       (Light.point(lpos, radius=0.4),))
+    plight0 = Light.point(lpos, radius=0.0)
+    st = jax.jit(make_shade_table)(bvh, mesh)
+    key = jax.random.PRNGKey(3)
+    gbuf_f, vis_f = gbuffer_shadow_fused_production(
+        wide, mesh, cam, cfg, plight0, st, key=key)
+    gbuf_r = gbuffer_production(wide, mesh, cam, cfg, st)
+    vis_r = shadow_production(wide, gbuf_r, plight0, key, cfg)
+    v = np.asarray(gbuf_f["valid"])
+    np.testing.assert_array_equal(v, np.asarray(gbuf_r["valid"]))
+    mism = (np.abs(np.asarray(vis_f) - np.asarray(vis_r)) > 1e-6) & v
+    assert mism.mean() <= 1e-3, f"{mism.sum()} mismatched pixels"
 
 
 @pytest.mark.slow

@@ -856,7 +856,17 @@ class Renderer:
 
         valid = int(np.asarray(jnp.sum(out["valid"])))
         self.stats.rays_primary = cfg.num_pixels
-        self.stats.rays_shadow = valid * cfg.spp * len(self.lights)
+
+        def _rays_per_pixel(light) -> int:
+            # shadow_pass only multi-samples soft lights (area-cone/point
+            # at spp > 1); hard lights trace exactly one ray per pixel.
+            from .types import LIGHT_AREA_CONE, LIGHT_POINT
+            soft = light.kind in (LIGHT_AREA_CONE, LIGHT_POINT) \
+                and cfg.spp > 1
+            return cfg.spp if soft else 1
+
+        self.stats.rays_shadow = valid * sum(
+            _rays_per_pixel(l) for l in self.lights)
         # Mrays/s is shadow rays / SHADOW-PASS seconds (the BASELINE metric);
         # the shadow pass is only timed in profile mode, so without it the
         # metric is reported as 0 ("not measured") rather than a mislabeled
@@ -866,11 +876,10 @@ class Renderer:
         # (all-fused frames report 0 — the work is indivisible from the
         # G-buffer; see bench.py for the kernel-level Mrays numbers).
         if profile:
-            n_unfused = getattr(self, "_profiled_unfused_lights",
-                                len(self.lights))
+            unfused = getattr(self, "_profiled_unfused_lights", self.lights)
+            timed_rays = valid * sum(_rays_per_pixel(l) for l in unfused)
             self.stats.mrays_per_s = mrays_per_s(
-                valid * cfg.spp * n_unfused,
-                self.stats.shadow_ms / 1e3) if n_unfused else 0.0
+                timed_rays, self.stats.shadow_ms / 1e3) if unfused else 0.0
         else:
             self.stats.shadow_ms = 0.0
             self.stats.gbuffer_ms = 0.0
@@ -930,7 +939,7 @@ class Renderer:
                           shade_table=st,
                           shade_table_orig=self.shade_table_orig)
                 jax.block_until_ready(gbuf["t"])
-        self._profiled_unfused_lights = len(self.lights) - len(masks)
+        self._profiled_unfused_lights = list(self.lights[len(masks):])
         sp = jax.jit(partial(shadow_production, cfg=cfg))
         with timer.section("shadow"):
             for li, light in enumerate(self.lights):

@@ -62,8 +62,8 @@ def build_lights(kind: str, direction, mesh=None, position=None,
     if kind == "point":
         import numpy as np
         if position is None:
-            # Above the scene center along the light direction, one scene
-            # diagonal away — a sensible interior-lamp default.
+            # Above the scene center along the light direction, half a
+            # scene diagonal away — a sensible interior-lamp default.
             v = np.asarray(mesh.vertices)
             lo, hi = v.min(0), v.max(0)
             diag = float(np.linalg.norm(hi - lo))

@@ -1123,6 +1123,20 @@ def _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz, best_t, nx, ny, nz):
     return sox, soy, soz
 
 
+def _scene_exit_cap(active, ox, oy, oz, ix, iy, iz,
+                    rx0, ry0, rz0, rx1, ry1, rz1):
+    """Root-box exit t cap for a shadow ray (shadow.scene_exit_t in
+    registers): no occluder exists outside the scene AABB; inactive lanes
+    get -BIG so the walk skips them. Shared by every in-kernel
+    directional/cone shadow path — keep the epsilon here so the fused
+    kernels can never drift from scene_exit_t parity."""
+    ex = jnp.minimum(
+        jnp.minimum(jnp.maximum((rx0 - ox) * ix, (rx1 - ox) * ix),
+                    jnp.maximum((ry0 - oy) * iy, (ry1 - oy) * iy)),
+        jnp.maximum((rz0 - oz) * iz, (rz1 - oz) * iz))
+    return jnp.where(active, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+
+
 def _any_hit_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref, ns_ref,
                          tr_ref, rays_ref, out_ref, stack_ref):
     """8-wide any-hit over nb packets per grid step (see batching note)."""
@@ -1196,13 +1210,8 @@ def _any_hit_kernel_w8_soft(k: int, max_iters: int, nb: int, spp: int,
             dy = dy * rn
             dz = dz * rn
             ix, iy, iz = _inv3(dx, dy, dz)
-            # Root-box exit cap (shadow.scene_exit_t, in-kernel): no
-            # occluder exists outside the scene AABB.
-            ex = jnp.minimum(
-                jnp.minimum(jnp.maximum((rx0 - ox) * ix, (rx1 - ox) * ix),
-                            jnp.maximum((ry0 - oy) * iy, (ry1 - oy) * iy)),
-                jnp.maximum((rz0 - oz) * iz, (rz1 - oz) * iz))
-            tmax = jnp.where(valid, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+            tmax = _scene_exit_cap(valid, ox, oy, oz, ix, iy, iz,
+                                   rx0, ry0, rz0, rx1, ry1, rz1)
             occ = _w8_anyhit_walk(k, max_iters, ns_ref, tr_ref, stack_ref,
                                   ox, oy, oz, dx, dy, dz, ix, iy, iz,
                                   tmax, t_min)
@@ -1342,12 +1351,8 @@ def _closest_soft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
             sdy = sdy * srn
             sdz = sdz * srn
             six, siy, siz = _inv3(sdx, sdy, sdz)
-            ex = jnp.minimum(
-                jnp.minimum(
-                    jnp.maximum((rx0 - sox) * six, (rx1 - sox) * six),
-                    jnp.maximum((ry0 - soy) * siy, (ry1 - soy) * siy)),
-                jnp.maximum((rz0 - soz) * siz, (rz1 - soz) * siz))
-            stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+            stmax = _scene_exit_cap(hitm, sox, soy, soz, six, siy, siz,
+                                    rx0, ry0, rz0, rx1, ry1, rz1)
             occ = _w8_anyhit_walk(k, max_iters, ns_ref, tr_ref, stack_ref,
                                   sox, soy, soz, sdx, sdy, sdz,
                                   six, siy, siz, stmax, 0.0)
@@ -1589,13 +1594,8 @@ def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
         else:
             sdx, sdy, sdz = ldx, ldy, ldz
             six, siy, siz = ilx, ily, ilz
-            # Root-box exit cap (shadow.scene_exit_t, in-kernel).
-            ex = jnp.minimum(
-                jnp.minimum(
-                    jnp.maximum((rx0 - sox) * ilx, (rx1 - sox) * ilx),
-                    jnp.maximum((ry0 - soy) * ily, (ry1 - soy) * ily)),
-                jnp.maximum((rz0 - soz) * ilz, (rz1 - soz) * ilz))
-            stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+            stmax = _scene_exit_cap(hitm, sox, soy, soz, ilx, ily, ilz,
+                                    rx0, ry0, rz0, rx1, ry1, rz1)
         occ_out_ref[b] = _w8_anyhit_walk(
             k, max_iters, ns_ref, tr_ref, stack_ref,
             sox, soy, soz, sdx, sdy, sdz, six, siy, siz, stmax, 0.0)
@@ -1662,12 +1662,9 @@ def _closest_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
                 six, siy, siz = (scal_ref[s + 3], scal_ref[s + 4],
                                  scal_ref[s + 5])
                 s += 6
-                ex = jnp.minimum(
-                    jnp.minimum(
-                        jnp.maximum((rx0 - sox) * six, (rx1 - sox) * six),
-                        jnp.maximum((ry0 - soy) * siy, (ry1 - soy) * siy)),
-                    jnp.maximum((rz0 - soz) * siz, (rz1 - soz) * siz))
-                stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+                stmax = _scene_exit_cap(hitm, sox, soy, soz,
+                                        six, siy, siz,
+                                        rx0, ry0, rz0, rx1, ry1, rz1)
             occ = _w8_anyhit_walk(
                 k, max_iters, ns_ref, tr_ref, stack_ref,
                 sox, soy, soz, sdx, sdy, sdz, six, siy, siz, stmax, 0.0)
@@ -1774,13 +1771,9 @@ def _closest_soft_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
                 sdy = sdy * srn
                 sdz = sdz * srn
                 six, siy, siz = _inv3(sdx, sdy, sdz)
-                ex = jnp.minimum(
-                    jnp.minimum(
-                        jnp.maximum((rx0 - sox) * six, (rx1 - sox) * six),
-                        jnp.maximum((ry0 - soy) * siy, (ry1 - soy) * siy)),
-                    jnp.maximum((rz0 - soz) * siz, (rz1 - soz) * siz))
-                stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001,
-                                  -_BIG)
+                stmax = _scene_exit_cap(hitm, sox, soy, soz,
+                                        six, siy, siz,
+                                        rx0, ry0, rz0, rx1, ry1, rz1)
                 occ = _w8_anyhit_walk(k, max_iters, ns_ref, tr_ref,
                                       stack_ref, sox, soy, soz,
                                       sdx, sdy, sdz, six, siy, siz,
@@ -1798,12 +1791,8 @@ def _closest_soft_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
             sdx, sdy, sdz = scal_ref[s], scal_ref[s + 1], scal_ref[s + 2]
             six, siy, siz = (scal_ref[s + 3], scal_ref[s + 4],
                              scal_ref[s + 5])
-            ex = jnp.minimum(
-                jnp.minimum(
-                    jnp.maximum((rx0 - sox) * six, (rx1 - sox) * six),
-                    jnp.maximum((ry0 - soy) * siy, (ry1 - soy) * siy)),
-                jnp.maximum((rz0 - soz) * siz, (rz1 - soz) * siz))
-            stmax = jnp.where(hitm, jnp.maximum(ex, 0.0) * 1.0001, -_BIG)
+            stmax = _scene_exit_cap(hitm, sox, soy, soz, six, siy, siz,
+                                    rx0, ry0, rz0, rx1, ry1, rz1)
             occ = _w8_anyhit_walk(
                 k, max_iters, ns_ref, tr_ref, stack_ref,
                 sox, soy, soz, sdx, sdy, sdz, six, siy, siz, stmax, 0.0)
@@ -2334,27 +2323,11 @@ def _onb3(d):
     return t0, t1
 
 
-def trace_any_soft_pallas(bvh, origins, valid, axis_dir, cone_cos, spp: int,
-                          seed, t_min: float = 0.0,
-                          interpret=None) -> jnp.ndarray:
-    """Area-light (cone) soft shadows with in-kernel sampling: occlusion
-    COUNTS i32[H, W] in [0, spp] (visibility = 1 - counts/spp).
-
-    origins: f32[H, W, 3] biased shadow origins; valid: bool[H, W];
-    axis_dir: f32[3] unit cone axis (toward the light); cone_cos: scalar
-    cos(angular radius); seed: int32 scalar (vary per frame/light).
-
-    Uses the TPU hardware PRNG — each (grid step, packet) gets a distinct
-    stream, so results are deterministic per (seed, topology) on TPU. On
-    CPU this runs in TPU-interpret mode where prng_random_bits is a ZERO
-    stream: every sample degenerates to the exact cone axis (== hard
-    shadow x spp), which tests exploit for deterministic parity. See
-    passes/shadow.py shadow_pass for the XLA twin this replaces at
-    BASELINE-config-3 scale (~5 ms/sample of ray-gen eliminated)."""
-    from ..bvh.wide import WideBVH
-    packed = _as_packed(bvh)
-    assert isinstance(packed, WideBVH), "soft kernel needs the 8-wide accel"
-    batch = PACKETS_PER_STEP
+def _pack_soft_origins(origins, valid, batch):
+    """Pack biased shadow origins + valid flags into (P, 4, 8, 128) ray
+    blocks padded to a batch multiple — the shared prologue of the
+    standalone in-kernel soft-shadow wrappers. Returns (rays, p, meta)
+    for _unpack."""
     if origins.ndim == 3:
         h, w = origins.shape[:2]
         comps = [to_packets(origins[..., c]) for c in range(3)]
@@ -2378,6 +2351,32 @@ def trace_any_soft_pallas(bvh, origins, valid, axis_dir, cone_cos, spp: int,
     if pb != p:
         rays = jnp.concatenate(
             [rays, jnp.zeros((pb - p, 4, 8, 128), rays.dtype)])
+    return rays, p, meta
+
+
+def trace_any_soft_pallas(bvh, origins, valid, axis_dir, cone_cos, spp: int,
+                          seed, t_min: float = 0.0,
+                          interpret=None) -> jnp.ndarray:
+    """Area-light (cone) soft shadows with in-kernel sampling: occlusion
+    COUNTS i32[H, W] in [0, spp] (visibility = 1 - counts/spp).
+
+    origins: f32[H, W, 3] biased shadow origins; valid: bool[H, W];
+    axis_dir: f32[3] unit cone axis (toward the light); cone_cos: scalar
+    cos(angular radius); seed: int32 scalar (vary per frame/light).
+
+    Uses the TPU hardware PRNG — each (grid step, packet) gets a distinct
+    stream, so results are deterministic per (seed, topology) on TPU. On
+    CPU this runs in TPU-interpret mode where prng_random_bits is a ZERO
+    stream: every sample degenerates to the exact cone axis (== hard
+    shadow x spp), which tests exploit for deterministic parity. See
+    passes/shadow.py shadow_pass for the XLA twin this replaces at
+    BASELINE-config-3 scale (~5 ms/sample of ray-gen eliminated)."""
+    from ..bvh.wide import WideBVH
+    packed = _as_packed(bvh)
+    assert isinstance(packed, WideBVH), "soft kernel needs the 8-wide accel"
+    batch = PACKETS_PER_STEP
+    rays, p, meta = _pack_soft_origins(origins, valid, batch)
+    pb = rays.shape[0]
 
     t0, t1 = _onb3(axis_dir)
     scal = jnp.concatenate([
@@ -2599,29 +2598,8 @@ def trace_any_point_soft_pallas(bvh, origins, valid, light_pos, radius,
     packed = _as_packed(bvh)
     assert isinstance(packed, WideBVH), "psoft kernel needs the 8-wide accel"
     batch = PACKETS_PER_STEP
-    if origins.ndim == 3:
-        h, w = origins.shape[:2]
-        comps = [to_packets(origins[..., c]) for c in range(3)]
-        comps.append(to_packets(valid.astype(jnp.float32)))
-        meta = ("img", h, w)
-    else:
-        n = origins.shape[0]
-        npad = -(-n // 1024) * 1024
-
-        def flat(x, fill):
-            x = jnp.concatenate(
-                [x, jnp.full((npad - n,), fill, x.dtype)]) if npad != n else x
-            return x.reshape(-1, 8, 128)
-
-        comps = [flat(origins[:, c], 0.0) for c in range(3)]
-        comps.append(flat(valid.astype(jnp.float32), 0.0))
-        meta = ("flat", n, npad)
-    rays = jnp.stack(comps, axis=1)                   # (P, 4, 8, 128)
-    p = rays.shape[0]
-    pb = -(-p // batch) * batch
-    if pb != p:
-        rays = jnp.concatenate(
-            [rays, jnp.zeros((pb - p, 4, 8, 128), rays.dtype)])
+    rays, p, meta = _pack_soft_origins(origins, valid, batch)
+    pb = rays.shape[0]
 
     scal = jnp.concatenate([
         jnp.asarray(light_pos, jnp.float32),
