@@ -205,11 +205,7 @@ def gbuffer_production(bvh: LBVH, mesh: Mesh, cam: Camera,
         gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, cfg.height,
                             shade_table=shade_table if cfg.use_pallas
                             else None)
-    if mesh.textured:
-        # Texture sampling is a G-buffer post-pass on (tri_id, position),
-        # so every primary-visibility strategy goes through it.
-        from .passes.texture import apply_textures
-        gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
+    gbuf = _apply_mesh_textures(gbuf, mesh)
     return gbuf
 
 
@@ -277,6 +273,24 @@ def fused_multi_applicable(cfg: RenderConfig, bvh, lights) -> bool:
     return True
 
 
+def _kernel_seed(key) -> jnp.ndarray:
+    """int32 PRNG seed for the in-kernel sampler from a JAX key: any 32
+    bits decorrelate frames/lights (the kernel further folds in grid step
+    and packet). Handles both typed and legacy uint32-array keys."""
+    kd = key if jnp.issubdtype(key.dtype, jnp.integer) \
+        else jax.random.key_data(key)
+    return kd.ravel()[-1].astype(jnp.int32)
+
+
+def _apply_mesh_textures(gbuf, mesh):
+    """Texture sampling as a G-buffer post-pass on (tri_id, position) —
+    every primary-visibility strategy goes through it."""
+    if mesh.textured:
+        from .passes.texture import apply_textures
+        gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
+    return gbuf
+
+
 def fused_soft_multi_applicable(cfg: RenderConfig, bvh, lights) -> bool:
     """Does the mixed fused path apply? Light 0 soft (area-cone or point
     at spp>1, compiled backend only — the interpret PRNG is a zero
@@ -319,9 +333,7 @@ def gbuffer_soft_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                   for l in lights[1:]]
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
-    kd = key if jnp.issubdtype(key.dtype, jnp.integer) \
-        else jax.random.key_data(key)
-    seed = kd.ravel()[-1].astype(jnp.int32)
+    seed = _kernel_seed(key)
     vis_out = {}
 
     def tracer(o, d):
@@ -335,9 +347,7 @@ def gbuffer_soft_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     height = rays[0].shape[0] if rays is not None else cfg.height
     gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
                         shade_table=shade_table, rays=rays)
-    if mesh.textured:
-        from .passes.texture import apply_textures
-        gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
+    gbuf = _apply_mesh_textures(gbuf, mesh)
     vises = [jnp.where(gbuf["valid"], vis_out["vis0"], 1.0)]
     occm = vis_out["occm"]
     for li in range(1, len(lights)):
@@ -378,9 +388,7 @@ def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     height = rays[0].shape[0] if rays is not None else cfg.height
     gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
                         shade_table=shade_table, rays=rays)
-    if mesh.textured:
-        from .passes.texture import apply_textures
-        gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
+    gbuf = _apply_mesh_textures(gbuf, mesh)
     occm = vis_out["occm"]
     vises = []
     for li in range(len(lights)):
@@ -417,9 +425,7 @@ def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     if soft or psoft:
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
-        kd = key if jnp.issubdtype(key.dtype, jnp.integer) \
-            else jax.random.key_data(key)
-        seed = kd.ravel()[-1].astype(jnp.int32)
+        seed = _kernel_seed(key)
 
         if psoft:
             def tracer(o, d):
@@ -449,9 +455,7 @@ def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     height = rays[0].shape[0] if rays is not None else cfg.height
     gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
                         shade_table=shade_table, rays=rays)
-    if mesh.textured:
-        from .passes.texture import apply_textures
-        gbuf = {**gbuf, "albedo": apply_textures(mesh, gbuf)}
+    gbuf = _apply_mesh_textures(gbuf, mesh)
     vis = jnp.where(gbuf["valid"], vis_out["vis"], 1.0)
     return gbuf, vis
 
