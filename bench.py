@@ -168,10 +168,13 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     widen_ms = 0.0
     if use_pallas and bvh_width == 8:
         from tpurt.bvh.wide import count_wide, round_up_bucket, widen_lbvh
-        nw_pad = round_up_bucket(max(count_wide(bvh), 1))
+        # The rebuild path collapses with the cheap "fixed" frontier (the
+        # production _rebuild_fused choice); static accels above use the
+        # default area frontier.
+        nw_pad = round_up_bucket(max(count_wide(bvh, mode="fixed"), 1))
         rebuild = jax.jit(lambda v, i: jnp.sum(widen_lbvh(
             build_lbvh(v, i, leaf_size=leaf_size, boxes="defer"),
-            nw_pad=nw_pad).nodes))
+            nw_pad=nw_pad, mode="fixed").nodes))
         rebuild_ms = timed(lambda: rebuild(mesh.vertices, mesh.indices),
                            40) * 1e3
         widen_ms = max(rebuild_ms - build_ms, 0.0)
@@ -188,7 +191,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
         try:
             kw = jax.jit(lambda v, i: widen_lbvh(
                 build_lbvh(v, i, leaf_size=leaf_size, boxes="defer"),
-                nw_pad=nw_pad))(mesh.vertices, mesh.indices)
+                nw_pad=nw_pad, mode="fixed"))(mesh.vertices, mesh.indices)
             rebuilt_shadow_ms = timed(
                 lambda: shade(kw, so, sd, stm), 32) * 1e3
             log(f"rebuilt-tree (morton) shadow trace: "

@@ -43,7 +43,9 @@ def main():
     # XLA-only first: search-builder rebuilds (no Pallas).
     bvh0 = jax.jit(lambda v, i: L.build_lbvh(
         v, i, leaf_size=LEAF, builder="search"))(mesh.vertices, mesh.indices)
-    nw_pad = W.round_up_bucket(max(W.count_wide(bvh0), 1))
+    # Deferred-box rebuilds collapse with the "fixed" frontier (area needs
+    # node boxes); count with the same mode or the pad can undershoot.
+    nw_pad = W.round_up_bucket(max(W.count_wide(bvh0, mode="fixed"), 1))
     log(f"nw_pad={nw_pad}")
 
     reb_s = jax.jit(lambda v, i: jnp.sum(W.widen_lbvh(

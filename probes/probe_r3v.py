@@ -125,7 +125,7 @@ def main():
     from tpurt.types import Light, RenderConfig
     light = Light.directional((0.25, 0.9, 0.2))
     sbvh = build_sah_lbvh(host_mesh, 14)
-    wide = jax.device_put(jax.jit(build_wide)(sbvh))
+    wide = jax.device_put(build_wide(sbvh))  # host-sync count; not jittable
     st = jax.jit(make_shade_table)(sbvh, mesh)
     key = jax.random.PRNGKey(0)
     for name, kw in (("ray", dict(gbuffer="ray")),

@@ -56,7 +56,7 @@ def main():
     light = Light.directional((0.25, 0.9, 0.2))
     cfg = RenderConfig(width=W, height=H, leaf_size=14, gbuffer="ray")
     sbvh = build_sah_lbvh(host_mesh, 14)
-    wide = jax.device_put(jax.jit(build_wide)(sbvh))
+    wide = jax.device_put(build_wide(sbvh))  # host-sync count; not jittable
     wide = jax.jit(order_children_for_point)(wide, jnp.asarray(cam.position))
     st = jax.jit(make_shade_table)(sbvh, mesh)
     st_orig = jax.jit(make_shade_table_orig)(mesh)

@@ -361,11 +361,15 @@ def test_deferred_boxes_rebuild_bitexact():
     v = jnp.asarray(mesh.vertices)
     i = jnp.asarray(mesh.indices)
     full = build_lbvh(v, i, leaf_size=8)
-    nw_pad = round_up_bucket(max(count_wide(full), 1), bucket=128)
-    w_full = widen_lbvh(full, nw_pad=nw_pad)
+    # Deferred builds carry no node boxes, so they can only collapse with
+    # the "fixed" frontier; pin the full-box side to the same mode (the
+    # default is "area", which picks a different — also valid — cut).
+    nw_pad = round_up_bucket(max(count_wide(full, mode="fixed"), 1),
+                             bucket=128)
+    w_full = widen_lbvh(full, nw_pad=nw_pad, mode="fixed")
     defer = build_lbvh(v, i, leaf_size=8, boxes="defer")
     assert defer.nodes_box is None
-    w_def = widen_lbvh(defer, nw_pad=nw_pad)
+    w_def = widen_lbvh(defer, nw_pad=nw_pad, mode="fixed")
     np.testing.assert_array_equal(np.asarray(w_full.nodes),
                                   np.asarray(w_def.nodes))
     np.testing.assert_array_equal(np.asarray(w_full.tris),

@@ -127,10 +127,13 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int):
     device scalar so callers can check pad overflow opportunistically (XLA
     CSE merges it with the identical mask inside widen_lbvh)."""
     bvh = build_lbvh(vertices, indices, leaf_size=leaf_size, boxes="defer")
-    wide = widen_lbvh(bvh, nw_pad=nw_pad)
+    # "fixed" frontier: the area collapse's 64-sweep reachability is a
+    # once-per-scene cost the per-frame rebuild cannot afford (wide.py
+    # FRONTIER_MODE note); the count below must use the same mode.
+    wide = widen_lbvh(bvh, nw_pad=nw_pad, mode="fixed")
     st = make_shade_table(bvh, mesh)
     st_orig = make_shade_table_orig(mesh)
-    return bvh, wide, st, st_orig, wide_count_device(bvh)
+    return bvh, wide, st, st_orig, wide_count_device(bvh, mode="fixed")
 
 
 @jax.jit
@@ -638,7 +641,13 @@ class Renderer:
         if self.config.use_pallas and self.config.bvh_width == 8:
             from .bvh.wide import count_wide, make_wide_plan, round_up_bucket
             from .kernels.pack import wide_vmem_bytes
-            nw_pad = round_up_bucket(max(count_wide(self.bvh), 1))
+            # The rebuild hot path collapses with the cheap "fixed"
+            # frontier every frame, so its pad must be counted the same
+            # way; static/refit scenes take the default (area — probe
+            # r3u: ~8% faster shadow trace at identical results).
+            collapse_mode = "fixed" if self.mode == "rebuild" else None
+            nw_pad = round_up_bucket(
+                max(count_wide(self.bvh, mode=collapse_mode), 1))
             # The BVH's OWN padded triangle count (SAH leaves repeat-pad).
             ntris = int(self.bvh.tri_v0.shape[0])
             exact = wide_vmem_bytes(nw_pad, ntris, self.config.leaf_size)
@@ -659,11 +668,21 @@ class Renderer:
                                      c, leaf_size=self.config.leaf_size)
             self._nw_pad = nw_pad
             self._wide_plan = jax.jit(
-                make_wide_plan, static_argnames=("nw_pad",))(
-                    self.bvh, nw_pad=nw_pad)
-            from .bvh.wide import widen_from_plan
+                make_wide_plan, static_argnames=("nw_pad", "mode"))(
+                    self.bvh, nw_pad=nw_pad, mode=collapse_mode)
+            from .bvh.wide import leaf_boxes_from_nodes, widen_from_plan
+            # Leaf slots take the builder's STORED boxes where available:
+            # on SBVH topologies these are the clipped reference boxes
+            # (strictly tighter than the full-triangle union — probe r3u
+            # measured with them). Refits re-derive leaf boxes from the
+            # deformed geometry instead (clip_refit / widen_from_plan
+            # defaults), so this only feeds the as-built accel.
+            leaf_boxes = None
+            if self.bvh.nodes_box is not None:
+                leaf_boxes = jax.jit(leaf_boxes_from_nodes)(self.bvh)
             return jax.block_until_ready(
-                jax.jit(widen_from_plan)(self._wide_plan, self.bvh))
+                jax.jit(widen_from_plan)(self._wide_plan, self.bvh,
+                                         leaf_boxes=leaf_boxes))
         return self.bvh
 
     def _make_clip_plan(self):

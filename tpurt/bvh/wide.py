@@ -304,17 +304,28 @@ def wide_roots_reachable(child: jnp.ndarray, front: jnp.ndarray,
 
 
 # Collapse frontier strategy:
-#   "fixed" — depth-3 cut (cheapest count program; the rebuild default)
+#   "fixed" — depth-3 cut (cheapest count program; the per-frame rebuild
+#             hot path passes this explicitly)
 #   "bfs"   — expand shallowest internal first until 8 slots
 #   "area"  — expand largest-area internal first (SAH-greedy collapse)
 # Area/bfs need the general reachability propagation; area chains can be
 # as long as the binary depth, hence the large sweep count (one-time per
-# scene on the static path; refits reuse the plan).
-FRONTIER_MODE = "fixed"
+# scene on the static path; refits reuse the plan). Probe r3u (Sponza
+# 287k tris, v5e): area frontier traces 7.20 ms vs fixed 7.79 for the
+# 1080p shadow (276 vs 255 Mrays/s) and 41.3 vs 42.4 ms for the ray
+# G-buffer, so "area" is the default; only _rebuild_fused opts into
+# "fixed" (the 64-sweep reachability is too hot for per-frame rebuilds).
+FRONTIER_MODE = "area"
 
 
 def _front_and_mask(child, nodes_box=None, mode=None):
     mode = mode or FRONTIER_MODE
+    if mode == "area" and nodes_box is None:
+        # Deferred-box builds (build_lbvh(boxes="defer")) carry no node
+        # boxes to rank by area; the fixed cut is the only well-defined
+        # frontier there. Count and widen both resolve through here, so
+        # the pair stays consistent for any given bvh.
+        mode = "fixed"
     if mode == "area":
         front = frontiers_area(child, nodes_box)
         return front, wide_roots_reachable(child, front, sweeps=64)
@@ -325,25 +336,27 @@ def _front_and_mask(child, nodes_box=None, mode=None):
     return front, wide_roots(child, front)
 
 
-@jax.jit
-def _wide_count_fn(child, nodes_box):
-    _, mask = _front_and_mask(child, nodes_box)
+@partial(jax.jit, static_argnames=("mode",))
+def _wide_count_fn(child, nodes_box, mode=None):
+    _, mask = _front_and_mask(child, nodes_box, mode=mode)
     return jnp.sum(mask)
 
 
-def count_wide(bvh: LBVH) -> int:
+def count_wide(bvh: LBVH, mode: str = None) -> int:
     """Host-sync: number of wide nodes (for choosing the padded size).
     Jitted: the scatter sweeps would otherwise run as hundreds of eager
-    dispatches (seconds over the remote-TPU tunnel)."""
-    return int(_wide_count_fn(bvh.nodes_child, bvh.nodes_box))
+    dispatches (seconds over the remote-TPU tunnel). ``mode`` must match
+    the frontier mode the subsequent widen uses."""
+    return int(_wide_count_fn(bvh.nodes_child, bvh.nodes_box,
+                              mode=mode or FRONTIER_MODE))
 
 
-def wide_count_device(bvh: LBVH) -> jnp.ndarray:
+def wide_count_device(bvh: LBVH, mode: str = None) -> jnp.ndarray:
     """Jittable wide-node count as a DEVICE scalar — lets a fused
     rebuild+collapse program expose the count for opportunistic overflow
     checking without a per-frame host sync (XLA CSE merges this with the
     mask computed inside widen_lbvh in the same program)."""
-    _, mask = _front_and_mask(bvh.nodes_child, bvh.nodes_box)
+    _, mask = _front_and_mask(bvh.nodes_child, bvh.nodes_box, mode=mode)
     return jnp.sum(mask)
 
 

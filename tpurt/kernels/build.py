@@ -288,7 +288,9 @@ def _codes_kernel(ux_ref, uy_ref, uz_ref, code_ref):
 
     def quant(u_ref):
         q = jnp.clip(u_ref[...] * (grid + 1.0), 0.0, grid)
-        return q.astype(jnp.uint32)
+        # Mosaic has no f32->u32 cast; go through i32 (values fit in 10
+        # bits, so the signed intermediate is exact).
+        return q.astype(jnp.int32).astype(jnp.uint32)
 
     code = (expand(quant(ux_ref)) << 2) | (expand(quant(uy_ref)) << 1) \
         | expand(quant(uz_ref))
@@ -341,7 +343,8 @@ def _codes60_kernel(ux_ref, uy_ref, uz_ref, hi_ref, lo_ref):
 
     def quant(u_ref):
         q = jnp.clip(u_ref[...] * (grid + 1.0), 0.0, grid)
-        return q.astype(jnp.uint32)
+        # Mosaic has no f32->u32 cast; i32 intermediate is exact (20 bits).
+        return q.astype(jnp.int32).astype(jnp.uint32)
 
     qx, qy, qz = quant(ux_ref), quant(uy_ref), quant(uz_ref)
     hi = (expand(qx >> 10) << 2) | (expand(qy >> 10) << 1) \
