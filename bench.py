@@ -138,8 +138,33 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     log(f"gbuffer valid px: {valid}/{width*height}")
     gb_scalar = jax.jit(lambda a, mesh, cam, st: _gb_consume(
         _gb(a, mesh, cam, st)))
-    gb_ms = timed(lambda: gb_scalar(static_accel, mesh, cam, st0), 20) * 1e3
-    log(f"gbuffer closest pass: {gb_ms:.2f} ms")
+    gb_table_ms = timed(lambda: gb_scalar(static_accel, mesh, cam, st0),
+                        20) * 1e3
+    log(f"gbuffer closest pass (shade-table gather): {gb_table_ms:.2f} ms")
+
+    # Attribute-tracked closest hit (the production ray G-buffer): the
+    # kernel selects the winner's shading attributes in registers — zero
+    # per-pixel gathers (probe r3aa: 13.5 vs 27.0 ms at this resolution).
+    gb_ms = gb_table_ms
+    at_tabs = None
+    if use_pallas and isinstance(static_accel, WideBVH):
+        from tpurt.passes.gbuffer import gbuffer_attr_pass
+        from tpurt.passes.shading import make_leaf_attr_rows
+        at_tabs = jax.jit(make_leaf_attr_rows)(static_bvh, mesh)
+
+        def _gb_attr(a, mesh, cam, at):
+            aa = order_children_for_point(a, cam.position)
+            return gbuffer_attr_pass(aa, at, mesh, cam, width, height)
+        try:
+            gba_scalar = jax.jit(lambda a, mesh, cam, at: _gb_consume(
+                _gb_attr(a, mesh, cam, at)))
+            gb_ms = timed(lambda: gba_scalar(static_accel, mesh, cam,
+                                             at_tabs), 20) * 1e3
+            log(f"gbuffer ATTR-TRACKED pass (production): {gb_ms:.2f} ms")
+        except Exception as e:  # noqa: BLE001
+            log(f"attr gbuffer failed: {type(e).__name__}: {str(e)[:200]}")
+            gb_ms = gb_table_ms
+            at_tabs = None
 
     shadow_rays = jax.jit(lambda gbuf, light, bvh: shadow_ray_batch(
         gbuf, light, cfg.shadow_bias, None,
@@ -240,13 +265,14 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     # Full frame: all passes on a static accel (config 1/2-style frame);
     # auto G-buffer strategy (raster on compiled TPU backends).
     st = st0
-    frame = jax.jit(lambda a, mesh, cam, lights, key, st, sto:
+    frame = jax.jit(lambda a, mesh, cam, lights, key, st, sto, at:
                     jnp.sum(render_frame_fn(a, mesh, cam, lights, key, cfg,
                                             shade_table=st,
-                                            shade_table_orig=sto)["image"]))
+                                            shade_table_orig=sto,
+                                            attr_tables=at)["image"]))
     key = jax.random.PRNGKey(0)
     frame_ms = timed(lambda: frame(static_accel, mesh, cam, (light,), key,
-                                   st, st_orig), 20) * 1e3
+                                   st, st_orig, at_tabs), 20) * 1e3
     log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
         f"build+trace: {rebuild_ms + shadow_s*1e3:.2f} ms")
     # Fused primary+shadow frame: light-0's hard shadow traced inside the
@@ -270,6 +296,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             log(f"fused frame failed: {type(e).__name__}: {str(e)[:200]}")
     result = dict(mrays=mrays, frame_ms=frame_ms, build_ms=build_ms,
                   widen_ms=widen_ms, gbuffer_ms=gb_ms,
+                  gbuffer_table_ms=gb_table_ms,
                   shadow_ms=shadow_s * 1e3,
                   build_trace_ms=rebuild_ms + shadow_s * 1e3)
     if rebuilt_shadow_ms is not None:

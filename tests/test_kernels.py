@@ -313,3 +313,88 @@ def test_point_soft_kernel_zero_rng_matches_hard():
     mism = (c[v] != 4 * np.asarray(occ_hard)[v].astype(np.int32))
     assert mism.mean() <= 1e-3, f"{mism.sum()} mismatched pixels"
     assert (c[~v] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Attribute-tracked closest hit (zero-gather G-buffer)
+# ---------------------------------------------------------------------------
+
+def test_attr_gbuffer_matches_table_path():
+    """gbuffer_attr_pass (winner attributes selected inside the traversal
+    kernel) vs gbuffer_pass over the packed shade table: hit set bit-exact,
+    shading attributes equal up to the barycentric source (the kernel uses
+    its exact Möller–Trumbore u/v; the table path re-derives u/v from the
+    hit position)."""
+    from tpurt.bvh.wide import build_wide
+    from tpurt.camera import generate_rays
+    from tpurt.passes.gbuffer import gbuffer_attr_pass, gbuffer_pass
+    from tpurt.passes.shading import make_leaf_attr_rows, make_shade_table
+    from tpurt.scenes import default_camera_for
+
+    mesh = teapot_scene(2500)
+    bvh = _build(mesh, leaf_size=14)   # k > 8 exercises the at1 rows
+    wide = build_wide(bvh)
+    st = make_shade_table(bvh, mesh)
+    at = make_leaf_attr_rows(bvh, mesh)
+    cam = default_camera_for(mesh)
+    W, H = 96, 72
+
+    def tracer(o, d):
+        return trace_closest_pallas(wide, o, d, return_sorted=True,
+                                    gather_tri_id=False)
+    ref = gbuffer_pass(tracer, mesh, cam, W, H, shade_table=st)
+    got = gbuffer_attr_pass(wide, at, mesh, cam, W, H)
+    np.testing.assert_array_equal(
+        np.nan_to_num(np.asarray(ref["t"]), posinf=1e30),
+        np.nan_to_num(np.asarray(got["t"]), posinf=1e30))
+    np.testing.assert_array_equal(np.asarray(ref["tri_id"]),
+                                  np.asarray(got["tri_id"]))
+    np.testing.assert_array_equal(np.asarray(ref["valid"]),
+                                  np.asarray(got["valid"]))
+    vm = np.asarray(ref["valid"])
+    for key, tol in (("position", 0.0), ("albedo", 0.0), ("gnormal", 0.0),
+                     ("depth", 0.0), ("normal", 5e-5)):
+        a, b = np.asarray(ref[key]), np.asarray(got[key])
+        d = np.abs(a - b)[vm]
+        assert d.max() <= tol, f"{key}: max|d|={d.max()}"
+
+
+def test_attr_gbuffer_textured_uv_layer():
+    """The in-kernel interpolated uv + layer must reproduce the shade-table
+    path's texture coordinates (the attr rows carry uv0/d1/d2 and the MT
+    barycentrics interpolate in-kernel)."""
+    from tpurt.bvh.wide import build_wide
+    from tpurt.passes.gbuffer import gbuffer_attr_pass, gbuffer_pass
+    from tpurt.passes.shading import make_leaf_attr_rows, make_shade_table
+    from tpurt.types import Camera, Mesh
+
+    # Textured unit quad (two triangles), camera straight on.
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    n = np.tile(np.float32([0, 0, 1]), (4, 1))
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = v[:, :2].astype(np.float32)
+    atlas = np.zeros((2, 4, 4, 3), np.float32)
+    atlas[0, :, :, 0] = 1.0
+    mesh = Mesh(vertices=v, normals=n, indices=idx,
+                albedo=np.tile(np.float32([0.5, 0.5, 0.5]), (2, 1)),
+                uv=uv, tex_atlas=atlas, tri_tex=np.zeros(2, np.int32))
+    assert mesh.textured
+    bvh = _build(mesh, leaf_size=4)
+    wide = build_wide(bvh)
+    st = make_shade_table(bvh, mesh)
+    at = make_leaf_attr_rows(bvh, mesh)
+    cam = Camera.look_at((0.5, 0.5, 2.2), (0.5, 0.5, 0.0), fov_y_deg=40.0)
+    W, H = 64, 64
+
+    def tracer(o, d):
+        return trace_closest_pallas(wide, o, d, return_sorted=True,
+                                    gather_tri_id=False)
+    ref = gbuffer_pass(tracer, mesh, cam, W, H, shade_table=st)
+    got = gbuffer_attr_pass(wide, at, mesh, cam, W, H)
+    vm = np.asarray(ref["valid"])
+    assert vm.any()
+    np.testing.assert_array_equal(vm, np.asarray(got["valid"]))
+    duv = np.abs(np.asarray(ref["uv"]) - np.asarray(got["uv"]))[vm]
+    assert duv.max() <= 1e-5, f"uv max|d|={duv.max()}"
+    np.testing.assert_array_equal(np.asarray(ref["tex_layer"]),
+                                  np.asarray(got["tex_layer"]))

@@ -143,6 +143,27 @@ def test_sharded_sponza_scale_production_paths(scene, deferred):
     assert frac_off < 5e-4, f"{frac_off:.5%} pixels differ"
 
 
+def test_sharded_attr_gbuffer_matches_single(scene):
+    """The attribute-tracked closest hit (the production ray G-buffer)
+    under shard_map vs the unsharded attr frame — and vs the shade-table
+    sharded frame (same hit set by construction)."""
+    import jax.numpy as jnp
+    from tpurt.bvh.wide import build_wide
+    from tpurt.passes.shading import make_leaf_attr_rows
+    mesh, cam, light, bvh = scene
+    wide = build_wide(bvh)
+    at = make_leaf_attr_rows(bvh, mesh)
+    cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=4)
+    key = jax.random.PRNGKey(0)
+    want = np.asarray(render_frame_fn(wide, mesh, cam, (light,), key, cfg,
+                                      attr_tables=at)["image"])
+    img = render_frame_sharded(wide, mesh, cam, (light,), key, cfg,
+                               mesh=make_tile_mesh(), attr_tables=at)
+    got = np.asarray(img)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_pure_jax_sharded_path_is_vma_checked(scene, monkeypatch):
     """The pure-JAX sharded render must run with check_vma=True (only the
     interpret-Pallas combination is excluded — tiling.vma_check_enabled)."""

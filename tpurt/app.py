@@ -27,7 +27,8 @@ import numpy as np
 from .bvh.lbvh import LBVH, build_lbvh, refit_lbvh, sah_cost
 from .bvh.wide import build_wide, widen_lbvh, wide_count_device
 from .bvh import traverse as jax_traverse
-from .passes.shading import make_shade_table, make_shade_table_orig
+from .passes.shading import (make_leaf_attr_rows, make_shade_table,
+                             make_shade_table_orig)
 from .passes.composite import accumulate, composite_pass
 from .passes.gbuffer import gbuffer_pass
 from .passes.shadow import shadow_pass
@@ -120,8 +121,9 @@ def make_point_soft_tracer(cfg: RenderConfig, bvh):
     return soft
 
 
-@partial(jax.jit, static_argnames=("leaf_size", "nw_pad"))
-def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int):
+@partial(jax.jit, static_argnames=("leaf_size", "nw_pad", "attrs"))
+def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
+                   attrs: bool = False):
     """Config-2 hot path: LBVH build + 8-wide collapse + shading table as ONE
     device program — no host syncs. The wide-node count rides along as a
     device scalar so callers can check pad overflow opportunistically (XLA
@@ -133,11 +135,12 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int):
     wide = widen_lbvh(bvh, nw_pad=nw_pad, mode="fixed")
     st = make_shade_table(bvh, mesh)
     st_orig = make_shade_table_orig(mesh)
-    return bvh, wide, st, st_orig, wide_count_device(bvh, mode="fixed")
+    at = make_leaf_attr_rows(bvh, mesh) if attrs else None
+    return bvh, wide, st, st_orig, at, wide_count_device(bvh, mode="fixed")
 
 
-@jax.jit
-def _clip_refit_fused(plan, bvh, vertices, mesh):
+@partial(jax.jit, static_argnames=("attrs",))
+def _clip_refit_fused(plan, bvh, vertices, mesh, attrs: bool = False):
     """Config-4 hot path: clip-geometry SBVH refit + wide assembly +
     shading tables as ONE device program (bvh/clip_refit.py). Preserves
     the static tree's spatial-split quality under deformation — measured
@@ -148,7 +151,8 @@ def _clip_refit_fused(plan, bvh, vertices, mesh):
                                   vertices=vertices)
     st = make_shade_table(refit, mesh)
     st_orig = make_shade_table_orig(mesh)
-    return refit, wide, st, st_orig
+    at = make_leaf_attr_rows(refit, mesh) if attrs else None
+    return refit, wide, st, st_orig, at
 
 
 def _sah_available() -> bool:
@@ -168,7 +172,8 @@ def use_raster_gbuffer(cfg: RenderConfig) -> bool:
 
 def gbuffer_production(bvh: LBVH, mesh: Mesh, cam: Camera,
                        cfg: RenderConfig, shade_table=None,
-                       shade_table_orig=None) -> Dict[str, jnp.ndarray]:
+                       shade_table_orig=None,
+                       attr_tables=None) -> Dict[str, jnp.ndarray]:
     """The production primary-visibility pass for this config/accel —
     the single source of truth used by BOTH the fused frame
     (render_frame_fn) and profile mode (Renderer._profile_passes), so the
@@ -193,6 +198,16 @@ def gbuffer_production(bvh: LBVH, mesh: Mesh, cam: Camera,
             gb_accel = dataclasses.replace(bvh, chunks=tuple(
                 order_children_for_point(c, cam.position)
                 for c in bvh.chunks))
+        if attr_tables is not None and cfg.use_pallas \
+                and isinstance(bvh, WideBVH):
+            # Attribute-tracked closest hit: the kernel selects the
+            # winner's shading attributes in registers, so the pass does
+            # ZERO per-pixel gathers — measured 13.5 vs 27.0 ms for the
+            # shade-table gather path at 1080p (probe r3aa).
+            from .passes.gbuffer import gbuffer_attr_pass
+            gbuf = gbuffer_attr_pass(gb_accel, attr_tables, mesh, cam,
+                                     cfg.width, cfg.height)
+            return _apply_mesh_textures(gbuf, mesh)
         if shade_table is not None and cfg.use_pallas and \
                 not isinstance(bvh, ChunkedAccel):
             from .kernels.traverse import trace_closest_pallas
@@ -468,7 +483,8 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
                     lights: Sequence[Light], key: jax.Array,
                     cfg: RenderConfig,
                     shade_table=None,
-                    shade_table_orig=None) -> Dict[str, jnp.ndarray]:
+                    shade_table_orig=None,
+                    attr_tables=None) -> Dict[str, jnp.ndarray]:
     """One fused frame: G-buffer -> per-light shadow batches -> composite."""
     num_lights = len(lights)
     fusedN = (fused_multi_applicable(cfg, bvh, lights)
@@ -491,7 +507,8 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
                 key=jax.random.fold_in(key, 0))
         else:
             gbuf = gbuffer_production(bvh, mesh, cam, cfg, shade_table,
-                                      shade_table_orig)
+                                      shade_table_orig,
+                                      attr_tables=attr_tables)
         shadows = []
         for li in range(num_lights):
             if li == 0 and fused0:
@@ -637,6 +654,7 @@ class Renderer:
         pure-JAX path before any Mosaic compile."""
         self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
         self.shade_table_orig = jax.jit(make_shade_table_orig)(self.mesh)
+        self.attr_tables = None
         self._nw_pad = None
         if self.config.use_pallas and self.config.bvh_width == 8:
             from .bvh.wide import count_wide, make_wide_plan, round_up_bucket
@@ -680,10 +698,31 @@ class Renderer:
             leaf_boxes = None
             if self.bvh.nodes_box is not None:
                 leaf_boxes = jax.jit(leaf_boxes_from_nodes)(self.bvh)
+            if self._use_attrs(nw_pad):
+                self.attr_tables = jax.jit(make_leaf_attr_rows)(
+                    self.bvh, self.mesh)
             return jax.block_until_ready(
                 jax.jit(widen_from_plan)(self._wide_plan, self.bvh,
                                          leaf_boxes=leaf_boxes))
         return self.bvh
+
+    # The attr rows add 2 x 512 B per leaf of VMEM-resident blocks. The
+    # measured ceiling moved past the old 20 MB budget: Sponza's accel +
+    # attr rows (~50 MB of const blocks) compile and run on this v5e
+    # (probe r3aa) — gate the attr path on that measured-good size.
+    _VMEM_BUDGET_ATTR = 52_000_000
+
+    def _use_attrs(self, nw_pad: int) -> bool:
+        """Attribute-tracked G-buffer gate: config on + fits in VMEM
+        alongside the wide accel."""
+        if not self.config.inkernel_attrs:
+            return False
+        from .kernels.pack import wide_vmem_bytes
+        ntris = int(self.bvh.tri_v0.shape[0])
+        attr_bytes = 2 * self.bvh.num_leaves * 512
+        total = wide_vmem_bytes(nw_pad, ntris, self.config.leaf_size) \
+            + attr_bytes + self._VMEM_OVERHEAD
+        return total <= self._VMEM_BUDGET_ATTR
 
     def _make_clip_plan(self):
         """Refit-mode precompute: barycentric clip polygons per leaf slot
@@ -706,6 +745,11 @@ class Renderer:
         from .bvh.chunked import ChunkedAccel
         self.shade_table = jax.jit(make_shade_table)(self.bvh, self.mesh)
         self.shade_table_orig = jax.jit(make_shade_table_orig)(self.mesh)
+        if self.attr_tables is not None:
+            # Deformed geometry moved the vertex normals (and v0/e1/e2);
+            # the leaf attr rows carry them, so they follow the refit.
+            self.attr_tables = jax.jit(make_leaf_attr_rows)(self.bvh,
+                                                            self.mesh)
         if self._nw_pad is not None:
             from .bvh.wide import widen_from_plan
             return jax.jit(widen_from_plan)(self._wide_plan, self.bvh)
@@ -747,9 +791,10 @@ class Renderer:
                     # Fused build+collapse+shading-table: one device program,
                     # no host sync (VERDICT r1 item 2 — the old path paid a
                     # ~150 ms count_wide round trip every frame).
-                    bvh, accel, st, st_orig, cnt = _rebuild_fused(
+                    bvh, accel, st, st_orig, at, cnt = _rebuild_fused(
                         self.mesh.vertices, self.mesh.indices, self.mesh,
-                        self.config.leaf_size, self._nw_pad)
+                        self.config.leaf_size, self._nw_pad,
+                        attrs=self.attr_tables is not None)
                     overflow = False
                     if self._geom_dirty:
                         # Geometry changed since the pad was chosen: check
@@ -771,6 +816,8 @@ class Renderer:
                         self.bvh, self.accel = bvh, accel
                         self.shade_table = st
                         self.shade_table_orig = st_orig
+                        if at is not None:
+                            self.attr_tables = at
                         jax.block_until_ready(accel.nodes)
                 else:
                     self.bvh = jax.block_until_ready(
@@ -786,9 +833,12 @@ class Renderer:
                     # quality — measured 6.2 ms refit + full-speed trace vs
                     # 17.5 ms + 1.9x slower trace for the plain path.
                     self.bvh, self.accel, self.shade_table, \
-                        self.shade_table_orig = _clip_refit_fused(
+                        self.shade_table_orig, at = _clip_refit_fused(
                             self._clip_plan, self.bvh,
-                            self.mesh.vertices, self.mesh)
+                            self.mesh.vertices, self.mesh,
+                            attrs=self.attr_tables is not None)
+                    if at is not None:
+                        self.attr_tables = at
                     jax.block_until_ready(self.accel.nodes)
                 else:
                     self.bvh = jax.block_until_ready(
@@ -841,7 +891,8 @@ class Renderer:
                                   tuple(self.lights), key, cfg,
                                   shade_table=self.shade_table
                                   if cfg.use_pallas else None,
-                                  shade_table_orig=self.shade_table_orig)
+                                  shade_table_orig=self.shade_table_orig,
+                                  attr_tables=self.attr_tables)
             jax.block_until_ready(out["image"])
         self.stats.frame_ms = timer.ms["frame"]
 
@@ -960,7 +1011,8 @@ class Renderer:
             with timer.section("gbuffer"):
                 gbuf = gb(self.accel, self.mesh, self.camera,
                           shade_table=st,
-                          shade_table_orig=self.shade_table_orig)
+                          shade_table_orig=self.shade_table_orig,
+                          attr_tables=self.attr_tables)
                 jax.block_until_ready(gbuf["t"])
         self._profiled_unfused_lights = list(self.lights[len(masks):])
         sp = jax.jit(partial(shadow_production, cfg=cfg))

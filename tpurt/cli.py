@@ -156,6 +156,10 @@ def main(argv=None) -> int:
                    help="trace light-0's shadow inside the closest-hit "
                         "kernel (ray G-buffer path; "
                         "kernels/traverse.py trace_closest_shadow_pallas)")
+    p.add_argument("--no-inkernel-attrs", action="store_true",
+                   help="disable the attribute-tracked closest-hit "
+                        "G-buffer (fall back to the one-gather packed "
+                        "shade table)")
     p.add_argument("--no-sah", action="store_true",
                    help="skip the native host SAH build for static "
                         "scenes (use the on-device Morton LBVH)")
@@ -209,7 +213,8 @@ def main(argv=None) -> int:
                        leaf_size=leaf_size, seed=args.seed,
                        gbuffer=args.gbuffer, sah=not args.no_sah,
                        raster_deferred=args.raster_deferred,
-                       fused_shadow=args.fused_shadow)
+                       fused_shadow=args.fused_shadow,
+                       inkernel_attrs=not args.no_inkernel_attrs)
 
     from .app import Renderer
     r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"],
@@ -255,11 +260,13 @@ def main(argv=None) -> int:
         mesh_r = device_put_replicated(r.mesh, dev_mesh)
         st_r = device_put_replicated(r.shade_table, dev_mesh)
         sto_r = device_put_replicated(r.shade_table_orig, dev_mesh)
+        at_r = (device_put_replicated(r.attr_tables, dev_mesh)
+                if r.attr_tables is not None else None)
 
         def shard_frame(key):
             return render_frame_sharded(
                 accel_r, mesh_r, cam, lights, key, cfg, mesh=dev_mesh,
-                shade_table=st_r, shade_table_orig=sto_r)
+                shade_table=st_r, shade_table_orig=sto_r, attr_tables=at_r)
         print(f"sharding rows over {args.shard} devices "
               f"({devs[0].platform})", file=sys.stderr)
 

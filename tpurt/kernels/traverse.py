@@ -1529,6 +1529,146 @@ def _first_hit_kernel_w8_b(k: int, max_iters: int, nb: int, *refs):
     _closest_w8_b_impl(True, k, max_iters, nb, *refs)
 
 
+# Channel order of the attribute-tracked closest hit's single f32 output
+# (see _w8_closest_walk_attr): t, sorted idx (float), MT barycentrics u/v,
+# interpolated texture uv, packed kd, texture layer, original tri id,
+# oct(n0)/oct(n1)/oct(n2), unnormalized geometric normal.
+ATTR_CH = 18
+
+
+def _w8_closest_walk_attr(k: int, max_iters: int, ns_ref, tr_ref, a0_ref,
+                          a1_ref, stack_ref, ox, oy, oz, dx, dy, dz,
+                          ix, iy, iz, tmax, t_min):
+    """Closest-hit packet walk that tracks the WINNER'S FULL SHADING
+    ATTRIBUTES via in-register selects — the per-pixel shade-table gather
+    (2M rows ~23 ms at 1080p, width-flat) replaced by ~13 extra scalar
+    selects per candidate triangle while its data is already loaded.
+    a0/a1 hold the leaf-major attribute rows (passes/shading.py
+    make_leaf_attr_rows; ATTR_STRIDE lane map). Returns the 18-tuple
+    matching ATTR_CH; attribute lanes are only meaningful where
+    best_i >= 0."""
+    active0 = tmax > t_min
+    stack_ref[0] = jnp.int32(0)
+    zero = jnp.zeros(ox.shape, jnp.float32)
+
+    def leaf_test(leaf_id, carry):
+        (best_t, best_i, bu, bv, uvu, uvv, kd, lay, tid,
+         o0, o1, o2, o3, o4, o5, nx, ny, nz) = carry
+        row = tr_ref[pl.ds(leaf_id, 1), :]                    # (1, 128)
+        ra0 = a0_ref[pl.ds(leaf_id, 1), :]
+        ra1 = a1_ref[pl.ds(leaf_id, 1), :] if k > 8 else None
+        base = leaf_id * k
+        for j in range(k):
+            b = 9 * j
+            v0x, v0y, v0z = row[0, b], row[0, b + 1], row[0, b + 2]
+            e1x, e1y, e1z = row[0, b + 3], row[0, b + 4], row[0, b + 5]
+            e2x, e2y, e2z = row[0, b + 6], row[0, b + 7], row[0, b + 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) >= 1e-9
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            t = jnp.where(ok, t, _BIG)
+            better = (t > t_min) & (t < best_t) & active0
+            ar, ab = (ra0, 16 * j) if j < 8 else (ra1, 16 * (j - 8))
+            uvh_u = ar[0, ab + 8] + u * ar[0, ab + 10] + v * ar[0, ab + 12]
+            uvh_v = ar[0, ab + 9] + u * ar[0, ab + 11] + v * ar[0, ab + 13]
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, base + j, best_i)
+            bu = jnp.where(better, u, bu)
+            bv = jnp.where(better, v, bv)
+            uvu = jnp.where(better, uvh_u, uvu)
+            uvv = jnp.where(better, uvh_v, uvv)
+            kd = jnp.where(better, ar[0, ab + 6], kd)
+            lay = jnp.where(better, ar[0, ab + 7], lay)
+            tid = jnp.where(better, ar[0, ab + 14], tid)
+            o0 = jnp.where(better, ar[0, ab + 0], o0)
+            o1 = jnp.where(better, ar[0, ab + 1], o1)
+            o2 = jnp.where(better, ar[0, ab + 2], o2)
+            o3 = jnp.where(better, ar[0, ab + 3], o3)
+            o4 = jnp.where(better, ar[0, ab + 4], o4)
+            o5 = jnp.where(better, ar[0, ab + 5], o5)
+            nx = jnp.where(better, e1y * e2z - e1z * e2y, nx)
+            ny = jnp.where(better, e1z * e2x - e1x * e2z, ny)
+            nz = jnp.where(better, e1x * e2y - e1y * e2x, nz)
+        return (best_t, best_i, bu, bv, uvu, uvv, kd, lay, tid,
+                o0, o1, o2, o3, o4, o5, nx, ny, nz)
+
+    def cond(state):
+        it, sp = state[0], state[1]
+        return (sp > 0) & (it < max_iters)
+
+    def body(state):
+        it, sp = state[0], state[1]
+        carry = state[2:]
+        best_t, best_i = carry[0], carry[1]
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec = ns_ref[pl.ds(node, 1), :]
+        cap = jnp.where(active0, best_t, -_BIG)
+        hits = []
+        refs = []
+        valids = []
+        for c in range(8):
+            bb, ref = _wide_child(rec, c)
+            hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min, cap))
+            refs.append(ref)
+            valids.append(rec[0, bb] <= rec[0, bb + 3])
+        anyhit = _child_anyhit8(hits, valids)
+        for c in range(8):
+            ref = refs[c]
+            is_leaf = ref < 0
+            carry = jax.lax.cond(
+                anyhit[c] & is_leaf,
+                lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0), car),
+                lambda car: car, carry)
+            push = anyhit[c] & (~is_leaf)
+            stack_ref[sp] = jnp.where(push, ref, 0)
+            sp = sp + push.astype(jnp.int32)
+        return (it + 1, sp) + tuple(carry)
+
+    best_t0 = jnp.where(active0, tmax, -_BIG)
+    best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+    init = (jnp.int32(0), jnp.int32(1), best_t0, best_i0) \
+        + tuple(zero for _ in range(ATTR_CH - 2))
+    state = jax.lax.while_loop(cond, body, init)
+    return state[2:]
+
+
+def _closest_attr_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
+                              ns_ref, tr_ref, a0_ref, a1_ref, rays_ref,
+                              out_ref, stack_ref):
+    """Batched attribute-tracked closest hit: ONE f32 output of ATTR_CH
+    channels per packet (sorted idx rides as an exact float value)."""
+    t_min = tmin_ref[0]
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
+        res = _w8_closest_walk_attr(k, max_iters, ns_ref, tr_ref, a0_ref,
+                                    a1_ref, stack_ref, ox, oy, oz,
+                                    dx, dy, dz, ix, iy, iz, tmax, t_min)
+        best_t, best_i = res[0], res[1]
+        out_ref[b, 0] = jnp.where(best_i >= 0, best_t, _BIG)
+        out_ref[b, 1] = best_i.astype(jnp.float32)
+        for c in range(2, ATTR_CH):
+            out_ref[b, c] = res[c]
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
 def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
                                 tmin_ref, scal_ref, ns_ref, tr_ref, rays_ref,
                                 t_out_ref, idx_out_ref, occ_out_ref,
@@ -2169,6 +2309,49 @@ def _common_call_b(packed, kernel, out_shapes, rays, t_min, interpret,
     return fn(tmin_arr, nodes, tris, rays)
 
 
+def _attr_call_b(packed, at0, at1, rays, t_min, interpret, batch):
+    """_common_call_b with the two leaf-attribute row tables as extra
+    VMEM-resident inputs and one (pb, ATTR_CH, 8, 128) f32 output."""
+    from ..bvh.wide import WideBVH
+    assert isinstance(packed, WideBVH)
+    pb = rays.shape[0]
+    nodes = packed.nodes
+    tris = packed.tris
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE
+    if interpret is None:
+        interpret = not _compiled_backend()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
+                            lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pb // batch,),
+        in_specs=[const_spec(nodes.shape), const_spec(tris.shape),
+                  const_spec(at0.shape), const_spec(at1.shape), ray_spec],
+        out_specs=(out_spec,),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(_closest_attr_kernel_w8_b, packed.leaf_size,
+                          iter_cap, batch),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
+                                        jnp.float32, vma=vma),),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    return fn(tmin_arr, nodes, tris, at0, at1, rays)[0]
+
+
 # ---------------------------------------------------------------------------
 # Host-callable wrappers
 # ---------------------------------------------------------------------------
@@ -2712,6 +2895,46 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
     if return_sorted:
         return t, tri_id, sidx
     return t, tri_id
+
+
+def trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs, t_max=_BIG,
+                               t_min: float = 0.0,
+                               interpret: Optional[bool] = None):
+    """Attribute-tracked closest hit: the kernel returns the winner's FULL
+    shading attributes (tracked by in-register selects during the walk),
+    so the G-buffer needs ZERO per-pixel gathers — replacing the packed
+    shade-table gather, which costs ~23 ms per 2M-pixel frame regardless
+    of row width.
+
+    at0/at1: leaf-major attribute rows (passes/shading.make_leaf_attr_rows
+    — must be built from the SAME LBVH this accel was widened from).
+    Returns a dict of image-shaped arrays: t (inf = miss), sidx (i32, -1 =
+    miss), u, v (MT barycentrics), uv (interpolated texture coords, [..,2]),
+    kd (packed rgb float), layer (f32, -1 = untextured), tri_id (i32,
+    -1 = miss), oct (f32[..,6]: oct(n0),oct(n1),oct(n2)), gn (f32[..,3]
+    unnormalized geometric normal). Batched 8-wide accel path only."""
+    from ..bvh.wide import WideBVH
+    packed = _as_packed(bvh)
+    assert isinstance(packed, WideBVH) and PACKETS_PER_STEP > 1, \
+        "attribute-tracked closest hit needs the batched 8-wide accel path"
+    rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
+                                        PACKETS_PER_STEP)
+    out = _attr_call_b(packed, at0, at1, rays, t_min, interpret,
+                       PACKETS_PER_STEP)
+    ch = [_unpack(out[:p, c], meta) for c in range(ATTR_CH)]
+    sidx = ch[1].astype(jnp.int32)
+    valid = sidx >= 0
+    return {
+        "t": jnp.where(valid, ch[0], jnp.inf),
+        "sidx": jnp.where(valid, sidx, -1),
+        "u": ch[2], "v": ch[3],
+        "uv": jnp.stack([ch[4], ch[5]], axis=-1),
+        "kd": ch[6],
+        "layer": jnp.where(valid, ch[7], -1.0),
+        "tri_id": jnp.where(valid, ch[8].astype(jnp.int32), -1),
+        "oct": jnp.stack(ch[9:15], axis=-1),
+        "gn": jnp.stack(ch[15:18], axis=-1),
+    }
 
 
 def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,

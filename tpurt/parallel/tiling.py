@@ -53,7 +53,7 @@ def vma_check_enabled(cfg: "RenderConfig") -> bool:
 def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
                  lights, key, cfg: RenderConfig, bvh: LBVH,
                  origins, dirs, shade_table=None, shade_table_orig=None,
-                 band_tiles: int = 0) -> jnp.ndarray:
+                 attr_tables=None, band_tiles: int = 0) -> jnp.ndarray:
     """Render the local row-shard. Runs inside shard_map: everything except
     (origins, dirs) is replicated. Honors the SAME primary-visibility
     strategies as render_frame_fn — tile raster (sort-middle: each chip
@@ -103,6 +103,15 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
             gbuf, vis0 = gbuffer_shadow_fused_production(
                 bvh, tri_mesh, cam, cfg, lights[0], shade_table,
                 key=jax.random.fold_in(key, 0), rays=(origins, dirs))
+        elif (attr_tables is not None and cfg.use_pallas
+                and isinstance(bvh, WideBVH)):
+            # Attribute-tracked closest hit on this shard's band — the
+            # production zero-gather path (same as gbuffer_production).
+            from ..passes.gbuffer import gbuffer_attr_pass
+            gb_accel = order_children_for_point(bvh, cam.position)
+            gbuf = gbuffer_attr_pass(gb_accel, attr_tables, tri_mesh, cam,
+                                     cfg.width, origins.shape[0],
+                                     rays=(origins, dirs))
         else:
             from ..passes.gbuffer import gbuffer_pass
             gb_accel = bvh
@@ -161,6 +170,7 @@ def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
                          mesh: Optional[Mesh] = None,
                          shade_table=None,
                          shade_table_orig=None,
+                         attr_tables=None,
                          return_overflow: bool = False):
     """Render one frame with image rows sharded over the mesh's "tiles" axis.
 
@@ -203,17 +213,17 @@ def render_frame_sharded(bvh: LBVH, tri_mesh: TriMesh, cam: Camera,
 
     local = partial(_local_frame, trace_closest, trace_any)
     fn = jax.shard_map(
-        lambda tm, c, ls, k, bv, st, sto, o, d: local(
+        lambda tm, c, ls, k, bv, st, sto, at, o, d: local(
             tm, c, ls, k, cfg, bv, o, d, shade_table=st,
-            shade_table_orig=sto, band_tiles=band_tiles),
+            shade_table_orig=sto, attr_tables=at, band_tiles=band_tiles),
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P("tiles"),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P("tiles"),
                   P("tiles")),
         out_specs=(P("tiles"), P("tiles")),
         check_vma=vma_check_enabled(cfg),  # see the helper's docstring
     )
     img, overflow = fn(tri_mesh, cam, lights, key, bvh, shade_table,
-                       shade_table_orig, origins, dirs)
+                       shade_table_orig, attr_tables, origins, dirs)
     if return_overflow:
         return img[:h], overflow
     return img[:h]

@@ -207,6 +207,61 @@ def _gbuffer_raster_deferred(mesh: Mesh, cam: Camera, width: int,
     }
 
 
+def gbuffer_attr_pass(bvh, attr_tables, mesh: Mesh, cam: Camera,
+                      width: int, height: int,
+                      jitter: jnp.ndarray | None = None,
+                      rays=None) -> Dict[str, jnp.ndarray]:
+    """G-buffer from the attribute-tracked closest-hit kernel: the
+    traversal tracks the winner's full shading attributes in registers
+    (kernels/traverse.trace_closest_attrs_pallas), so this pass does ZERO
+    per-pixel gathers — only elementwise decode (oct normals, packed rgb)
+    of what the kernel already selected. Same output contract as
+    gbuffer_pass; Pallas 8-wide accel only."""
+    from ..kernels.traverse import trace_closest_attrs_pallas
+    from .shading import oct_decode, unpack_rgb
+    if rays is None:
+        origins, dirs = generate_rays(cam, width, height, jitter)
+    else:
+        origins, dirs = rays
+    at0, at1 = attr_tables
+    ch = trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs)
+    valid = ch["sidx"] >= 0
+    t = ch["t"]
+    position = origins + dirs * jnp.where(valid, t, 0.0)[..., None]
+    n0 = oct_decode(ch["oct"][..., 0:2])
+    n1 = oct_decode(ch["oct"][..., 2:4])
+    n2 = oct_decode(ch["oct"][..., 4:6])
+    u, v = ch["u"], ch["v"]
+    smooth = normalize(n0 + u[..., None] * (n1 - n0)
+                       + v[..., None] * (n2 - n0))
+    gnormal = normalize(ch["gn"])
+    albedo = unpack_rgb(ch["kd"])
+    zeros = jnp.zeros_like(smooth)
+    vmask = valid[..., None]
+    smooth = jnp.where(vmask, smooth, zeros)
+    gnormal = jnp.where(vmask, gnormal, zeros)
+    albedo = jnp.where(vmask, albedo, zeros)
+    facing = jnp.sign(-jnp.sum(gnormal * dirs, axis=-1, keepdims=True))
+    flip = jnp.where(facing == 0, 1.0, facing)
+    extra = {}
+    if mesh.textured:
+        extra = {"uv": ch["uv"],
+                 "tex_layer": jnp.where(valid, ch["layer"], -1
+                                        ).astype(jnp.int32)}
+    return {
+        "position": position,
+        "normal": smooth * flip,
+        "gnormal": gnormal * flip,
+        "albedo": albedo,
+        "depth": view_depth(cam, position, valid),
+        "t": t,
+        "tri_id": ch["tri_id"],
+        "valid": valid,
+        "view_dir": dirs,
+        **extra,
+    }
+
+
 def gbuffer_pass(trace_closest: Callable, mesh: Mesh, cam: Camera,
                  width: int, height: int,
                  jitter: jnp.ndarray | None = None,

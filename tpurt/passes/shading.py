@@ -106,6 +106,63 @@ def make_shade_table(bvh: LBVH, mesh: Mesh) -> jnp.ndarray:
          layer], axis=1).astype(jnp.float32)
 
 
+ATTR_STRIDE = 16
+# Per-triangle attribute lane layout inside a leaf attr row (base 16*j):
+#   [0:2] oct(n0)  [2:4] oct(n1)  [4:6] oct(n2)
+#   [6]   packed 8-bit rgb albedo
+#   [7]   texture layer as float (-1 = untextured)
+#   [8:10] uv0    [10:12] uv1-uv0    [12:14] uv2-uv0
+#   [14]  ORIGINAL triangle id as an exact float VALUE (< 2^24)
+#   [15]  pad
+
+
+def make_leaf_attr_rows(bvh: LBVH, mesh: Mesh):
+    """Leaf-major shading attributes for the in-kernel attribute-tracked
+    closest hit (kernels/traverse.trace_closest_attrs_pallas).
+
+    The per-pixel shade-table gather costs ~10 ns/row REGARDLESS of row
+    width (~23 ms for a 2M-pixel frame); laying the same attributes out
+    per LEAF lets the traversal kernel select the winner's attributes
+    while the candidate data is already in registers, eliminating that
+    gather entirely. Layout: two f32[n_leaves, 128] arrays — triangle
+    slots 0..7 of each leaf in ``at0`` (8 x 16 lanes), slots 8..13 in
+    ``at1`` (leaf_size <= 8 makes ``at1`` a (1, 128) dummy). See
+    ATTR_STRIDE lane map above.
+    """
+    k = bvh.leaf_size
+    assert k <= 14, "attr rows support leaf_size <= 14 (14*16 = 224 lanes)"
+    tri = mesh.indices[bvh.tri_id]            # [Tpad, 3]
+    n0 = oct_encode(mesh.normals[tri[:, 0]])
+    n1 = oct_encode(mesh.normals[tri[:, 1]])
+    n2 = oct_encode(mesh.normals[tri[:, 2]])
+    alb = pack_rgb(mesh.albedo[bvh.tri_id])[:, None]
+    if mesh.textured:
+        uv0 = mesh.uv[tri[:, 0]]
+        d1 = mesh.uv[tri[:, 1]] - uv0
+        d2 = mesh.uv[tri[:, 2]] - uv0
+        layer = mesh.tri_tex[bvh.tri_id].astype(jnp.float32)[:, None]
+    else:
+        uv0 = jnp.zeros((tri.shape[0], 2), jnp.float32)
+        d1 = jnp.zeros((tri.shape[0], 2), jnp.float32)
+        d2 = jnp.zeros((tri.shape[0], 2), jnp.float32)
+        layer = jnp.full((tri.shape[0], 1), -1.0, jnp.float32)
+    tid = bvh.tri_id.astype(jnp.float32)[:, None]   # exact for < 2^24 tris
+    pad = jnp.zeros((tri.shape[0], 1), jnp.float32)
+    rows16 = jnp.concatenate(
+        [n0, n1, n2, alb, layer, uv0, d1, d2, tid, pad],
+        axis=1).astype(jnp.float32)                 # [Tpad, 16]
+    n_leaves = bvh.num_leaves
+    per_leaf = rows16.reshape(n_leaves, k * ATTR_STRIDE)
+    lo = per_leaf[:, :min(k, 8) * ATTR_STRIDE]
+    at0 = jnp.pad(lo, ((0, 0), (0, 128 - lo.shape[1])))
+    if k > 8:
+        hi = per_leaf[:, 8 * ATTR_STRIDE:]
+        at1 = jnp.pad(hi, ((0, 0), (0, 128 - hi.shape[1])))
+    else:
+        at1 = jnp.zeros((1, 128), jnp.float32)
+    return at0, at1
+
+
 def table_tri_id(rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Original triangle ids out of gathered rows (lane 16); -1 invalid."""
     tid = jax.lax.bitcast_convert_type(rows[..., 16], jnp.int32)

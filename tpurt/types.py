@@ -243,6 +243,13 @@ class RenderConfig:
     # (kernels/traverse.py trace_closest_shadow_pallas). Off until the
     # on-TPU measurement lands (probe r3z).
     fused_shadow: bool = False
+    # Attribute-tracked closest hit: the traversal kernel selects the
+    # winner's full shading attributes in registers, so the ray-cast
+    # G-buffer needs ZERO per-pixel gathers — measured 13.5 vs 27.0 ms
+    # at 1080p against the one-gather shade-table path (probe r3aa).
+    # Applies on the batched 8-wide Pallas path when the accel + attr
+    # rows fit the VMEM budget; other paths ignore it.
+    inkernel_attrs: bool = True
 
     @property
     def num_pixels(self) -> int:
