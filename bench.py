@@ -284,13 +284,14 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             import dataclasses as _dc
             cfgf = _dc.replace(cfg, gbuffer="ray", fused_shadow=True)
             framef = jax.jit(
-                lambda a, mesh, cam, lights, key, st, sto:
+                lambda a, mesh, cam, lights, key, st, sto, at:
                 jnp.sum(render_frame_fn(a, mesh, cam, lights, key, cfgf,
                                         shade_table=st,
-                                        shade_table_orig=sto)["image"]))
+                                        shade_table_orig=sto,
+                                        attr_tables=at)["image"]))
             frame_fused_ms = timed(
                 lambda: framef(static_accel, mesh, cam, (light,), key,
-                               st, st_orig), 20) * 1e3
+                               st, st_orig, at_tabs), 20) * 1e3
             log(f"frame FUSED primary+shadow: {frame_fused_ms:.2f} ms")
         except Exception as e:  # noqa: BLE001
             log(f"fused frame failed: {type(e).__name__}: {str(e)[:200]}")

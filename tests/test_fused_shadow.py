@@ -381,3 +381,46 @@ def test_fused_soft_multi_gate(scene):
     cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
                        gbuffer="ray", fused_shadow=True, spp=4)
     assert not fused_soft_multi_applicable(cfg, wide, (sun, fill))
+
+
+def test_fused_attr_paths_match_table_paths(scene):
+    """Every fused kernel family with attr tables (zero-gather fused
+    frame) must match its shade-table twin up to the barycentric source
+    (kernel-exact u/v vs position-rederived: ~4e-6 in image space), and
+    the fused-attr frame must be bit-exact vs the unfused attr frame."""
+    from tpurt.app import render_frame_fn
+    from tpurt.passes.shading import make_leaf_attr_rows
+    mesh, bvh, wide, cam = scene
+    st = make_shade_table(bvh, mesh)
+    at = make_leaf_attr_rows(bvh, mesh)
+    key = jax.random.PRNGKey(0)
+    W, H = 96, 64
+    l2 = Light.directional((-0.5, 0.7, 0.2), color=(0.5, 0.5, 0.6))
+    ctr = 0.5 * (np.asarray(mesh.vertices).min(0)
+                 + np.asarray(mesh.vertices).max(0))
+    lp = Light.point(ctr + np.float32([0.5, 3.0, 0.5]), radius=0.4)
+    cfg_f = RenderConfig(width=W, height=H, use_pallas=True, leaf_size=8,
+                         gbuffer="ray", fused_shadow=True)
+    cfg_u = RenderConfig(width=W, height=H, use_pallas=True, leaf_size=8,
+                         gbuffer="ray")
+    cfg_s = RenderConfig(width=W, height=H, spp=4, use_pallas=True,
+                         leaf_size=8, gbuffer="ray", fused_shadow=True)
+
+    def run(cfg, lights, **kw):
+        return np.asarray(render_frame_fn(wide, mesh, cam, lights, key,
+                                          cfg, **kw)["image"])
+
+    # Multi-light hard fused (covers the single-light kernel's phase-2
+    # recipe as a special case) + unfused-attr bit-exactness. Tolerance
+    # covers the 12-bit oct quantization of the attr rows' smooth
+    # normals (N.L shifts ~1e-3) on top of the barycentric source.
+    am = run(cfg_f, (LIGHT, l2), shade_table=st, attr_tables=at)
+    bm = run(cfg_f, (LIGHT, l2), shade_table=st)
+    assert np.abs(am - bm).max() < 5e-3
+    a1 = run(cfg_f, (LIGHT,), shade_table=st, attr_tables=at)
+    c1 = run(cfg_u, (LIGHT,), attr_tables=at)
+    np.testing.assert_array_equal(a1, c1)
+    # Point penumbra fused (zero-stream interpret = hard point shadows).
+    ap = run(cfg_s, (lp,), shade_table=st, attr_tables=at)
+    bp = run(cfg_s, (lp,), shade_table=st)
+    assert np.abs(ap - bp).max() < 5e-3

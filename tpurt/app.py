@@ -331,11 +331,12 @@ def fused_soft_multi_applicable(cfg: RenderConfig, bvh, lights) -> bool:
 def gbuffer_soft_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                                                cfg: RenderConfig, lights,
                                                shade_table, key=None,
-                                               rays=None):
+                                               rays=None, attr_tables=None):
     """Fused twin of gbuffer_production + EVERY light's shadow_production
     for a soft light 0 with hard directional extras: one kernel returns
     the hit set, light-0's sampled occlusion counts, and the extras'
-    occlusion bitmask. Returns (gbuf, [visibility per light])."""
+    occlusion bitmask. Returns (gbuf, [visibility per light]).
+    attr_tables: zero-gather fused frame."""
     from .bvh.wide import order_children_for_point
     from .kernels.traverse import trace_closest_soft_multi_shadow_pallas
     from .types import LIGHT_POINT
@@ -354,17 +355,30 @@ def gbuffer_soft_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     seed = _kernel_seed(key)
     vis_out = {}
 
-    def tracer(o, d):
-        t, sidx, counts, occm = trace_closest_soft_multi_shadow_pallas(
-            gb_accel, o, d, light0, extra_dirs, cfg.spp, seed,
-            cfg.shadow_bias)
+    height = rays[0].shape[0] if rays is not None else cfg.height
+    if attr_tables is not None:
+        from .camera import generate_rays
+        from .passes.gbuffer import gbuf_from_attr_channels
+        origins, dirs = rays if rays is not None else \
+            generate_rays(cam, cfg.width, height)
+        ch, counts, occm = trace_closest_soft_multi_shadow_pallas(
+            gb_accel, origins, dirs, light0, extra_dirs, cfg.spp, seed,
+            cfg.shadow_bias, attr_tables=attr_tables,
+            textured=mesh.textured)
         vis_out["vis0"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
         vis_out["occm"] = occm
-        return t, None, sidx
+        gbuf = gbuf_from_attr_channels(ch, origins, dirs, cam, mesh)
+    else:
+        def tracer(o, d):
+            t, sidx, counts, occm = trace_closest_soft_multi_shadow_pallas(
+                gb_accel, o, d, light0, extra_dirs, cfg.spp, seed,
+                cfg.shadow_bias)
+            vis_out["vis0"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
+            vis_out["occm"] = occm
+            return t, None, sidx
 
-    height = rays[0].shape[0] if rays is not None else cfg.height
-    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
-                        shade_table=shade_table, rays=rays)
+        gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
+                            shade_table=shade_table, rays=rays)
     gbuf = _apply_mesh_textures(gbuf, mesh)
     vises = [jnp.where(gbuf["valid"], vis_out["vis0"], 1.0)]
     occm = vis_out["occm"]
@@ -376,7 +390,8 @@ def gbuffer_soft_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
 
 def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                                           cfg: RenderConfig, lights,
-                                          shade_table, rays=None):
+                                          shade_table, rays=None,
+                                          attr_tables=None):
     """Fused twin of gbuffer_production + EVERY light's shadow_production
     for all-hard light sets: one kernel returns the hit set and a
     per-light occlusion bitmask, so an N-light frame pays a single
@@ -384,7 +399,8 @@ def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     (gbuf, [visibility per light]).
 
     rays: optional precomputed (origins, dirs) row-band for the sharded
-    path (parallel/tiling.py _local_frame)."""
+    path (parallel/tiling.py _local_frame). attr_tables: zero-gather
+    fused frame (the kernel also tracks the winner's attributes)."""
     from .bvh.wide import order_children_for_point
     from .kernels.traverse import trace_closest_multi_shadow_pallas
     from .types import LIGHT_POINT
@@ -397,15 +413,26 @@ def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
             spec.append((jnp.asarray(l.direction, jnp.float32), None))
     vis_out = {}
 
-    def tracer(o, d):
-        t, sidx, occm = trace_closest_multi_shadow_pallas(
-            gb_accel, o, d, spec, cfg.shadow_bias)
-        vis_out["occm"] = occm
-        return t, None, sidx
-
     height = rays[0].shape[0] if rays is not None else cfg.height
-    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
-                        shade_table=shade_table, rays=rays)
+    if attr_tables is not None:
+        from .camera import generate_rays
+        from .passes.gbuffer import gbuf_from_attr_channels
+        origins, dirs = rays if rays is not None else \
+            generate_rays(cam, cfg.width, height)
+        ch, occm = trace_closest_multi_shadow_pallas(
+            gb_accel, origins, dirs, spec, cfg.shadow_bias,
+            attr_tables=attr_tables, textured=mesh.textured)
+        vis_out["occm"] = occm
+        gbuf = gbuf_from_attr_channels(ch, origins, dirs, cam, mesh)
+    else:
+        def tracer(o, d):
+            t, sidx, occm = trace_closest_multi_shadow_pallas(
+                gb_accel, o, d, spec, cfg.shadow_bias)
+            vis_out["occm"] = occm
+            return t, None, sidx
+
+        gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
+                            shade_table=shade_table, rays=rays)
     gbuf = _apply_mesh_textures(gbuf, mesh)
     occm = vis_out["occm"]
     vises = []
@@ -417,7 +444,8 @@ def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
 
 def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                                     cfg: RenderConfig, light: Light,
-                                    shade_table, key=None, rays=None):
+                                    shade_table, key=None, rays=None,
+                                    attr_tables=None):
     """Fused twin of gbuffer_production + shadow_production for light 0:
     ONE kernel returns the hit set AND its shadow visibility (hard
     directional/point, in-kernel cone-sampled soft for area lights, or
@@ -427,7 +455,9 @@ def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
 
     rays: optional precomputed (origins, dirs) row-band — the sharded
     path (parallel/tiling.py _local_frame) renders its shard through the
-    same fused kernel."""
+    same fused kernel. attr_tables: the fused kernel additionally tracks
+    the winner's shading attributes, eliminating the shade-table gather
+    (the zero-gather fused frame)."""
     from .bvh.wide import order_children_for_point
     from .kernels.traverse import (trace_closest_point_soft_shadow_pallas,
                                    trace_closest_shadow_pallas,
@@ -439,40 +469,51 @@ def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     lpos = (jnp.asarray(light.position, jnp.float32)
             if light.kind == LIGHT_POINT else None)
     vis_out = {}
+    if (soft or psoft) and key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    seed = _kernel_seed(key) if (soft or psoft) else None
 
-    if soft or psoft:
-        if key is None:
-            key = jax.random.PRNGKey(cfg.seed)
-        seed = _kernel_seed(key)
-
+    def trace(o, d, at):
+        """Run the applicable fused kernel. Returns (t, sidx, None) in
+        plain mode or (channel dict,) in attr mode; stashes visibility."""
         if psoft:
-            def tracer(o, d):
-                t, sidx, counts = trace_closest_point_soft_shadow_pallas(
-                    gb_accel, o, d, lpos,
-                    jnp.asarray(light.radius, jnp.float32), cfg.spp, seed,
-                    cfg.shadow_bias)
-                vis_out["vis"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
-                return t, None, sidx
+            res = trace_closest_point_soft_shadow_pallas(
+                gb_accel, o, d, lpos,
+                jnp.asarray(light.radius, jnp.float32), cfg.spp, seed,
+                cfg.shadow_bias, attr_tables=at, textured=mesh.textured)
+            counts = res[-1]
+            vis_out["vis"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
+        elif soft:
+            res = trace_closest_soft_shadow_pallas(
+                gb_accel, o, d,
+                jnp.asarray(light.direction, jnp.float32),
+                jnp.cos(light.angular_radius), cfg.spp, seed,
+                cfg.shadow_bias, attr_tables=at, textured=mesh.textured)
+            counts = res[-1]
+            vis_out["vis"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
         else:
-            def tracer(o, d):
-                t, sidx, counts = trace_closest_soft_shadow_pallas(
-                    gb_accel, o, d,
-                    jnp.asarray(light.direction, jnp.float32),
-                    jnp.cos(light.angular_radius), cfg.spp, seed,
-                    cfg.shadow_bias)
-                vis_out["vis"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
-                return t, None, sidx
-    else:
-        def tracer(o, d):
-            t, sidx, occ = trace_closest_shadow_pallas(
+            res = trace_closest_shadow_pallas(
                 gb_accel, o, d, jnp.asarray(light.direction, jnp.float32),
-                cfg.shadow_bias, light_pos=lpos)
+                cfg.shadow_bias, light_pos=lpos, attr_tables=at,
+                textured=mesh.textured)
+            occ = res[-1]
             vis_out["vis"] = jnp.where(occ, 0.0, 1.0)
-            return t, None, sidx
+        return res
 
     height = rays[0].shape[0] if rays is not None else cfg.height
-    gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
-                        shade_table=shade_table, rays=rays)
+    if attr_tables is not None:
+        from .camera import generate_rays
+        from .passes.gbuffer import gbuf_from_attr_channels
+        origins, dirs = rays if rays is not None else \
+            generate_rays(cam, cfg.width, height)
+        ch = trace(origins, dirs, attr_tables)[0]
+        gbuf = gbuf_from_attr_channels(ch, origins, dirs, cam, mesh)
+    else:
+        def tracer(o, d):
+            t, sidx = trace(o, d, None)[:2]
+            return t, None, sidx
+        gbuf = gbuffer_pass(tracer, mesh, cam, cfg.width, height,
+                            shade_table=shade_table, rays=rays)
     gbuf = _apply_mesh_textures(gbuf, mesh)
     vis = jnp.where(gbuf["valid"], vis_out["vis"], 1.0)
     return gbuf, vis
@@ -495,16 +536,17 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
               and fused_shadow_applicable(cfg, bvh, lights))
     if fusedN:
         gbuf, shadows = gbuffer_multi_shadow_fused_production(
-            bvh, mesh, cam, cfg, lights, shade_table)
+            bvh, mesh, cam, cfg, lights, shade_table,
+            attr_tables=attr_tables)
     elif fusedSM:
         gbuf, shadows = gbuffer_soft_multi_shadow_fused_production(
             bvh, mesh, cam, cfg, lights, shade_table,
-            key=jax.random.fold_in(key, 0))
+            key=jax.random.fold_in(key, 0), attr_tables=attr_tables)
     else:
         if fused0:
             gbuf, vis0 = gbuffer_shadow_fused_production(
                 bvh, mesh, cam, cfg, lights[0], shade_table,
-                key=jax.random.fold_in(key, 0))
+                key=jax.random.fold_in(key, 0), attr_tables=attr_tables)
         else:
             gbuf = gbuffer_production(bvh, mesh, cam, cfg, shade_table,
                                       shade_table_orig,
@@ -713,9 +755,13 @@ class Renderer:
     _VMEM_BUDGET_ATTR = 52_000_000
 
     def _use_attrs(self, nw_pad: int) -> bool:
-        """Attribute-tracked G-buffer gate: config on + fits in VMEM
-        alongside the wide accel."""
+        """Attribute-tracked G-buffer gate: config on + the frame actually
+        takes the ray-cast path + fits in VMEM alongside the wide accel."""
         if not self.config.inkernel_attrs:
+            return False
+        if use_raster_gbuffer(self.config):
+            # The raster G-buffer keys by original tri id; attr rows would
+            # be built per rebuild and never read.
             return False
         from .kernels.pack import wide_vmem_bytes
         ntris = int(self.bvh.tri_v0.shape[0])
@@ -984,7 +1030,8 @@ class Renderer:
                                   cfg=cfg, lights=tuple(self.lights)))
             with timer.section("gbuffer"):
                 gbuf, vises = gbf(self.accel, self.mesh, self.camera,
-                                  shade_table=st)
+                                  shade_table=st,
+                                  attr_tables=self.attr_tables)
                 jax.block_until_ready(gbuf["t"])
             masks = list(vises)
         elif fusedSM:
@@ -994,7 +1041,8 @@ class Renderer:
             with timer.section("gbuffer"):
                 gbuf, vises = gbf(self.accel, self.mesh, self.camera,
                                   shade_table=st,
-                                  key=jax.random.fold_in(key, 0))
+                                  key=jax.random.fold_in(key, 0),
+                                  attr_tables=self.attr_tables)
                 jax.block_until_ready(gbuf["t"])
             masks = list(vises)
         elif fused0:
@@ -1003,7 +1051,8 @@ class Renderer:
             with timer.section("gbuffer"):
                 gbuf, vis0 = gbf(self.accel, self.mesh, self.camera,
                                  shade_table=st,
-                                 key=jax.random.fold_in(key, 0))
+                                 key=jax.random.fold_in(key, 0),
+                                 attr_tables=self.attr_tables)
                 jax.block_until_ready(gbuf["t"])
             masks = [vis0]
         else:

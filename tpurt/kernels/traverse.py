@@ -1296,21 +1296,27 @@ def _any_hit_kernel_w8_psoft(k: int, max_iters: int, nb: int, spp: int,
 
 
 def _closest_soft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
-                                     spp: int, tmin_ref, seed_ref, scal_ref,
-                                     ns_ref, tr_ref, rays_ref, t_out_ref,
-                                     idx_out_ref, cnt_out_ref, stack_ref):
+                                     spp: int, attrs: bool, tmin_ref,
+                                     seed_ref, scal_ref, ns_ref, tr_ref,
+                                     *rest):
     """Fused primary visibility + area-light SOFT shadows: ONE program.
 
     Phase 1 = the closest-hit walk with geometric-normal tracking
     (_closest_shadow_kernel_w8_b); phase 2 = the in-kernel cone-sampling
     occlusion loop (_any_hit_kernel_w8_soft) fed from registers: the
     biased shadow origins never touch HBM at all — the config-3 frame's
-    only remaining XLA work is the shade-row gather and the composite.
+    only remaining XLA work is the shade-row gather and the composite
+    (or, with ``attrs``, NOT EVEN THAT: phase 1 tracks the full shading
+    attributes and the gather disappears).
 
     scal_ref f32[17]: cone axis d(3), basis t0(3), t1(3), cone_cos, root
-    box min(3)/max(3), bias. Outputs: closest t, sorted hit index,
-    occlusion counts i32 in [0, spp].
+    box min(3)/max(3), bias. Outputs: closest t, sorted hit index (or the
+    ATTR_CH channels when ``attrs``), occlusion counts i32 in [0, spp].
     """
+    if attrs:
+        a0_ref, a1_ref, rays_ref, out_ref, cnt_out_ref, stack_ref = rest
+    else:
+        rays_ref, t_out_ref, idx_out_ref, cnt_out_ref, stack_ref = rest
     t_min = tmin_ref[0]
     adx, ady, adz = scal_ref[0], scal_ref[1], scal_ref[2]
     t0x, t0y, t0z = scal_ref[3], scal_ref[4], scal_ref[5]
@@ -1324,11 +1330,19 @@ def _closest_soft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
-            k, max_iters, ns_ref, tr_ref, stack_ref,
-            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
-        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
-        idx_out_ref[b] = best_i
+        if attrs:
+            res = _w8_closest_walk_attr(
+                k, max_iters, attrs == 2, ns_ref, tr_ref, a0_ref, a1_ref,
+                stack_ref, ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            best_t, best_i = res[0], res[1]
+            nx, ny, nz = res[12], res[13], res[14]
+            _write_attr_out(out_ref, b, res)
+        else:
+            best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+                k, max_iters, ns_ref, tr_ref, stack_ref,
+                ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+            idx_out_ref[b] = best_i
 
         hitm = best_i >= 0
         sox, soy, soz = _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz,
@@ -1367,10 +1381,9 @@ def _closest_soft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
 
 
 def _closest_psoft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
-                                      spp: int, tmin_ref, seed_ref,
-                                      scal_ref, ns_ref, tr_ref, rays_ref,
-                                      t_out_ref, idx_out_ref, cnt_out_ref,
-                                      stack_ref):
+                                      spp: int, attrs: bool, tmin_ref,
+                                      seed_ref, scal_ref, ns_ref, tr_ref,
+                                      *rest):
     """Fused primary visibility + point-light PENUMBRA: ONE program.
 
     Phase 1 = the closest-hit walk with geometric-normal tracking
@@ -1381,8 +1394,13 @@ def _closest_psoft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     materializes a shadow ray in HBM.
 
     scal_ref f32[5]: light position(3), source radius, bias. Outputs:
-    closest t, sorted hit index, occlusion counts i32 in [0, spp].
+    closest t, sorted hit index (or the ATTR_CH channels when ``attrs``),
+    occlusion counts i32 in [0, spp].
     """
+    if attrs:
+        a0_ref, a1_ref, rays_ref, out_ref, cnt_out_ref, stack_ref = rest
+    else:
+        rays_ref, t_out_ref, idx_out_ref, cnt_out_ref, stack_ref = rest
     t_min = tmin_ref[0]
     lpx, lpy, lpz = scal_ref[0], scal_ref[1], scal_ref[2]
     radius = scal_ref[3]
@@ -1392,11 +1410,19 @@ def _closest_psoft_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
-            k, max_iters, ns_ref, tr_ref, stack_ref,
-            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
-        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
-        idx_out_ref[b] = best_i
+        if attrs:
+            res = _w8_closest_walk_attr(
+                k, max_iters, attrs == 2, ns_ref, tr_ref, a0_ref, a1_ref,
+                stack_ref, ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            best_t, best_i = res[0], res[1]
+            nx, ny, nz = res[12], res[13], res[14]
+            _write_attr_out(out_ref, b, res)
+        else:
+            best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+                k, max_iters, ns_ref, tr_ref, stack_ref,
+                ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+            idx_out_ref[b] = best_i
 
         hitm = best_i >= 0
         sox, soy, soz = _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz,
@@ -1532,28 +1558,34 @@ def _first_hit_kernel_w8_b(k: int, max_iters: int, nb: int, *refs):
 # Channel order of the attribute-tracked closest hit's single f32 output
 # (see _w8_closest_walk_attr): t, sorted idx (float), MT barycentrics u/v,
 # interpolated texture uv, packed kd, texture layer, original tri id,
-# oct(n0)/oct(n1)/oct(n2), unnormalized geometric normal.
-ATTR_CH = 18
+# PACKED oct(n0)/oct(n1)/oct(n2) (shading.pack_oct12), unnormalized
+# geometric normal.
+ATTR_CH = 15
 
 
-def _w8_closest_walk_attr(k: int, max_iters: int, ns_ref, tr_ref, a0_ref,
-                          a1_ref, stack_ref, ox, oy, oz, dx, dy, dz,
-                          ix, iy, iz, tmax, t_min):
+def _w8_closest_walk_attr(k: int, max_iters: int, textured: bool, ns_ref,
+                          tr_ref, a0_ref, a1_ref, stack_ref, ox, oy, oz,
+                          dx, dy, dz, ix, iy, iz, tmax, t_min):
     """Closest-hit packet walk that tracks the WINNER'S FULL SHADING
     ATTRIBUTES via in-register selects — the per-pixel shade-table gather
-    (2M rows ~23 ms at 1080p, width-flat) replaced by ~13 extra scalar
-    selects per candidate triangle while its data is already loaded.
-    a0/a1 hold the leaf-major attribute rows (passes/shading.py
-    make_leaf_attr_rows; ATTR_STRIDE lane map). Returns the 18-tuple
-    matching ATTR_CH; attribute lanes are only meaningful where
-    best_i >= 0."""
+    (2M rows ~23 ms at 1080p, width-flat) replaced by per-candidate
+    selects while its data is already loaded. Probe r3ae isolated the
+    cost structure: extra VMEM row loads and loop carries are ~free;
+    each per-candidate SCALAR LANE READ (vreg->sreg) is not — so the
+    layout packs each oct normal pair into one exact-integer float
+    (unpacked in XLA post, never here) and ``textured``=False skips the
+    uv/layer reads entirely: 5 scalar reads per candidate untextured
+    (packed oct x3, kd, tid), 12 textured. a0/a1: leaf-major attribute
+    rows (passes/shading.make_leaf_attr_rows; ATTR_STRIDE lane map).
+    Returns the 15-tuple matching ATTR_CH; attribute lanes are only
+    meaningful where best_i >= 0."""
     active0 = tmax > t_min
     stack_ref[0] = jnp.int32(0)
     zero = jnp.zeros(ox.shape, jnp.float32)
 
     def leaf_test(leaf_id, carry):
         (best_t, best_i, bu, bv, uvu, uvv, kd, lay, tid,
-         o0, o1, o2, o3, o4, o5, nx, ny, nz) = carry
+         o0, o1, o2, nx, ny, nz) = carry
         row = tr_ref[pl.ds(leaf_id, 1), :]                    # (1, 128)
         ra0 = a0_ref[pl.ds(leaf_id, 1), :]
         ra1 = a1_ref[pl.ds(leaf_id, 1), :] if k > 8 else None
@@ -1582,28 +1614,28 @@ def _w8_closest_walk_attr(k: int, max_iters: int, ns_ref, tr_ref, a0_ref,
             t = jnp.where(ok, t, _BIG)
             better = (t > t_min) & (t < best_t) & active0
             ar, ab = (ra0, 16 * j) if j < 8 else (ra1, 16 * (j - 8))
-            uvh_u = ar[0, ab + 8] + u * ar[0, ab + 10] + v * ar[0, ab + 12]
-            uvh_v = ar[0, ab + 9] + u * ar[0, ab + 11] + v * ar[0, ab + 13]
             best_t = jnp.where(better, t, best_t)
             best_i = jnp.where(better, base + j, best_i)
             bu = jnp.where(better, u, bu)
             bv = jnp.where(better, v, bv)
-            uvu = jnp.where(better, uvh_u, uvu)
-            uvv = jnp.where(better, uvh_v, uvv)
-            kd = jnp.where(better, ar[0, ab + 6], kd)
-            lay = jnp.where(better, ar[0, ab + 7], lay)
-            tid = jnp.where(better, ar[0, ab + 14], tid)
+            kd = jnp.where(better, ar[0, ab + 3], kd)
+            tid = jnp.where(better, ar[0, ab + 11], tid)
             o0 = jnp.where(better, ar[0, ab + 0], o0)
             o1 = jnp.where(better, ar[0, ab + 1], o1)
             o2 = jnp.where(better, ar[0, ab + 2], o2)
-            o3 = jnp.where(better, ar[0, ab + 3], o3)
-            o4 = jnp.where(better, ar[0, ab + 4], o4)
-            o5 = jnp.where(better, ar[0, ab + 5], o5)
+            if textured:
+                uvh_u = ar[0, ab + 5] + u * ar[0, ab + 7] \
+                    + v * ar[0, ab + 9]
+                uvh_v = ar[0, ab + 6] + u * ar[0, ab + 8] \
+                    + v * ar[0, ab + 10]
+                uvu = jnp.where(better, uvh_u, uvu)
+                uvv = jnp.where(better, uvh_v, uvv)
+                lay = jnp.where(better, ar[0, ab + 4], lay)
             nx = jnp.where(better, e1y * e2z - e1z * e2y, nx)
             ny = jnp.where(better, e1z * e2x - e1x * e2z, ny)
             nz = jnp.where(better, e1x * e2y - e1y * e2x, nz)
         return (best_t, best_i, bu, bv, uvu, uvv, kd, lay, tid,
-                o0, o1, o2, o3, o4, o5, nx, ny, nz)
+                o0, o1, o2, nx, ny, nz)
 
     def cond(state):
         it, sp = state[0], state[1]
@@ -1646,7 +1678,18 @@ def _w8_closest_walk_attr(k: int, max_iters: int, ns_ref, tr_ref, a0_ref,
     return state[2:]
 
 
-def _closest_attr_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
+def _write_attr_out(out_ref, b, res):
+    """Store an attr walk's 18-tuple as the ATTR_CH channels of packet b
+    (sorted idx rides as an exact float value; t = _BIG on miss)."""
+    best_t, best_i = res[0], res[1]
+    out_ref[b, 0] = jnp.where(best_i >= 0, best_t, _BIG)
+    out_ref[b, 1] = best_i.astype(jnp.float32)
+    for c in range(2, ATTR_CH):
+        out_ref[b, c] = res[c]
+
+
+def _closest_attr_kernel_w8_b(k: int, max_iters: int, nb: int,
+                              textured: bool, tmin_ref,
                               ns_ref, tr_ref, a0_ref, a1_ref, rays_ref,
                               out_ref, stack_ref):
     """Batched attribute-tracked closest hit: ONE f32 output of ATTR_CH
@@ -1656,23 +1699,19 @@ def _closest_attr_kernel_w8_b(k: int, max_iters: int, nb: int, tmin_ref,
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        res = _w8_closest_walk_attr(k, max_iters, ns_ref, tr_ref, a0_ref,
-                                    a1_ref, stack_ref, ox, oy, oz,
-                                    dx, dy, dz, ix, iy, iz, tmax, t_min)
-        best_t, best_i = res[0], res[1]
-        out_ref[b, 0] = jnp.where(best_i >= 0, best_t, _BIG)
-        out_ref[b, 1] = best_i.astype(jnp.float32)
-        for c in range(2, ATTR_CH):
-            out_ref[b, c] = res[c]
+        res = _w8_closest_walk_attr(k, max_iters, textured, ns_ref,
+                                    tr_ref, a0_ref, a1_ref, stack_ref,
+                                    ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                    tmax, t_min)
+        _write_attr_out(out_ref, b, res)
         return 0
 
     jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
 
 
 def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
-                                tmin_ref, scal_ref, ns_ref, tr_ref, rays_ref,
-                                t_out_ref, idx_out_ref, occ_out_ref,
-                                stack_ref):
+                                attrs: bool, tmin_ref, scal_ref, ns_ref,
+                                tr_ref, *rest):
     """Fused primary visibility + hard shadow: ONE program.
 
     Phase 1 is the batched closest-hit walk, additionally tracking the
@@ -1690,8 +1729,14 @@ def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
     root box min(3)/max(3). point=True — scal_ref f32[4]: light
     position(3), bias; the per-lane direction, inverse and t cap are
     derived in registers. Outputs per packet: closest t, sorted hit index,
-    occluded i32 (0 for sky/inactive lanes).
+    occluded i32 (0 for sky/inactive lanes) — or, with ``attrs``, the
+    full ATTR_CH attribute channels (phase 1 = _w8_closest_walk_attr; the
+    zero-gather G-buffer rides out of the fused program) + occluded.
     """
+    if attrs:
+        a0_ref, a1_ref, rays_ref, out_ref, occ_out_ref, stack_ref = rest
+    else:
+        rays_ref, t_out_ref, idx_out_ref, occ_out_ref, stack_ref = rest
     t_min = tmin_ref[0]
     if point:
         lpx, lpy, lpz = scal_ref[0], scal_ref[1], scal_ref[2]
@@ -1706,11 +1751,19 @@ def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
-            k, max_iters, ns_ref, tr_ref, stack_ref,
-            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
-        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
-        idx_out_ref[b] = best_i
+        if attrs:
+            res = _w8_closest_walk_attr(
+                k, max_iters, attrs == 2, ns_ref, tr_ref, a0_ref, a1_ref,
+                stack_ref, ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            best_t, best_i = res[0], res[1]
+            nx, ny, nz = res[12], res[13], res[14]
+            _write_attr_out(out_ref, b, res)
+        else:
+            best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+                k, max_iters, ns_ref, tr_ref, stack_ref,
+                ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+            idx_out_ref[b] = best_i
 
         # Phase 2: shadow ray per lane, derived in registers. The offset
         # matches gbuffer_pass: unit gnormal flipped toward the viewer
@@ -1745,9 +1798,8 @@ def _closest_shadow_kernel_w8_b(k: int, max_iters: int, nb: int, point: bool,
 
 
 def _closest_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
-                                      points, tmin_ref, scal_ref, ns_ref,
-                                      tr_ref, rays_ref, t_out_ref,
-                                      idx_out_ref, occ_out_ref, stack_ref):
+                                      points, attrs: bool, tmin_ref,
+                                      scal_ref, ns_ref, tr_ref, *rest):
     """Fused primary visibility + N hard shadows: ONE program.
 
     The multi-light generalization of _closest_shadow_kernel_w8_b: phase 1
@@ -1761,7 +1813,13 @@ def _closest_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     scal_ref layout: [bias, root_min(3), root_max(3)] then per light —
     directional: toward-light dir(3) + clamped 1/dir(3); point:
     position(3). Output occ i32 bitmask: bit l set = light l occluded.
+    ``attrs``: phase 1 = the attribute-tracked walk; (t, idx) outputs are
+    replaced by the ATTR_CH channels (zero-gather G-buffer).
     """
+    if attrs:
+        a0_ref, a1_ref, rays_ref, out_ref, occ_out_ref, stack_ref = rest
+    else:
+        rays_ref, t_out_ref, idx_out_ref, occ_out_ref, stack_ref = rest
     t_min = tmin_ref[0]
     bias = scal_ref[0]
     rx0, ry0, rz0 = scal_ref[1], scal_ref[2], scal_ref[3]
@@ -1770,11 +1828,19 @@ def _closest_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
-            k, max_iters, ns_ref, tr_ref, stack_ref,
-            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
-        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
-        idx_out_ref[b] = best_i
+        if attrs:
+            res = _w8_closest_walk_attr(
+                k, max_iters, attrs == 2, ns_ref, tr_ref, a0_ref, a1_ref,
+                stack_ref, ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            best_t, best_i = res[0], res[1]
+            nx, ny, nz = res[12], res[13], res[14]
+            _write_attr_out(out_ref, b, res)
+        else:
+            best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+                k, max_iters, ns_ref, tr_ref, stack_ref,
+                ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+            idx_out_ref[b] = best_i
 
         # Phase 2: one shadow walk per light from the shared biased hit
         # point (the _closest_shadow_kernel_w8_b raygen recipe).
@@ -1817,11 +1883,10 @@ def _closest_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
 
 def _closest_soft_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
                                            spp: int, disk: bool,
-                                           n_extra: int, tmin_ref, seed_ref,
+                                           n_extra: int, attrs: bool,
+                                           tmin_ref, seed_ref,
                                            scal_ref, ns_ref, tr_ref,
-                                           rays_ref, t_out_ref, idx_out_ref,
-                                           cnt_out_ref, occ_out_ref,
-                                           stack_ref):
+                                           *rest):
     """Fused primary + SOFT light 0 + N hard directional extras: ONE
     program — the mixed completion of the fused-kernel matrix (e.g. an
     area sun with fill lights). Phase 1 = the shared closest walk; phase
@@ -1833,7 +1898,15 @@ def _closest_soft_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     scal_ref: [bias, root_min(3), root_max(3)] then light 0 — disk:
     position(3) + radius; cone: axis(3) + basis t0(3) + t1(3) +
     cone_cos — then per extra light dir(3) + clamped 1/dir(3).
+    ``attrs``: phase 1 = the attribute-tracked walk; (t, idx) outputs are
+    replaced by the ATTR_CH channels (zero-gather G-buffer).
     """
+    if attrs:
+        (a0_ref, a1_ref, rays_ref, out_ref, cnt_out_ref, occ_out_ref,
+         stack_ref) = rest
+    else:
+        (rays_ref, t_out_ref, idx_out_ref, cnt_out_ref, occ_out_ref,
+         stack_ref) = rest
     t_min = tmin_ref[0]
     bias = scal_ref[0]
     rx0, ry0, rz0 = scal_ref[1], scal_ref[2], scal_ref[3]
@@ -1853,11 +1926,19 @@ def _closest_soft_multi_shadow_kernel_w8_b(k: int, max_iters: int, nb: int,
     def per_packet(b, _):
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
             _packet_body_rays(rays_ref, b)
-        best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
-            k, max_iters, ns_ref, tr_ref, stack_ref,
-            ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
-        t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
-        idx_out_ref[b] = best_i
+        if attrs:
+            res = _w8_closest_walk_attr(
+                k, max_iters, attrs == 2, ns_ref, tr_ref, a0_ref, a1_ref,
+                stack_ref, ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            best_t, best_i = res[0], res[1]
+            nx, ny, nz = res[12], res[13], res[14]
+            _write_attr_out(out_ref, b, res)
+        else:
+            best_t, best_i, nx, ny, nz = _w8_closest_walk_n(
+                k, max_iters, ns_ref, tr_ref, stack_ref,
+                ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax, t_min)
+            t_out_ref[b] = jnp.where(best_i >= 0, best_t, _BIG)
+            idx_out_ref[b] = best_i
 
         hitm = best_i >= 0
         sox, soy, soz = _biased_hit_origin(bias, ox, oy, oz, dx, dy, dz,
@@ -2309,7 +2390,8 @@ def _common_call_b(packed, kernel, out_shapes, rays, t_min, interpret,
     return fn(tmin_arr, nodes, tris, rays)
 
 
-def _attr_call_b(packed, at0, at1, rays, t_min, interpret, batch):
+def _attr_call_b(packed, at0, at1, rays, t_min, interpret, batch,
+                 textured: bool = False):
     """_common_call_b with the two leaf-attribute row tables as extra
     VMEM-resident inputs and one (pb, ATTR_CH, 8, 128) f32 output."""
     from ..bvh.wide import WideBVH
@@ -2340,7 +2422,7 @@ def _attr_call_b(packed, at0, at1, rays, t_min, interpret, batch):
     vma = getattr(jax.typeof(rays), "vma", None)
     fn = pl.pallas_call(
         functools.partial(_closest_attr_kernel_w8_b, packed.leaf_size,
-                          iter_cap, batch),
+                          iter_cap, batch, textured),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
                                         jnp.float32, vma=vma),),
@@ -2610,13 +2692,16 @@ def trace_any_soft_pallas(bvh, origins, valid, axis_dir, cone_cos, spp: int,
 def trace_closest_soft_multi_shadow_pallas(bvh, origins, dirs, light0,
                                            extra_dirs, spp: int, seed, bias,
                                            t_max=_BIG, t_min: float = 0.0,
+                                           attr_tables=None,
+                                           textured: bool = False,
                                            interpret=None):
     """Fused primary + soft light 0 + N hard directional extras (ONE
     kernel). light0: either ("cone", axis_dir f32[3], cone_cos scalar) or
     ("disk", position f32[3], radius scalar). extra_dirs: sequence of
     toward-light f32[3] directions for the hard extras. Returns
     (t f32[H, W], sorted_idx i32[H, W], counts0 i32[H, W] in [0, spp],
-    occ_mask i32[H, W] with bit i = extra light i occluded). The mixed
+    occ_mask i32[H, W] with bit i = extra light i occluded) — or, with
+    ``attr_tables``, (channel dict, counts0, occ_mask). The mixed
     completion of trace_closest_{soft,point_soft,multi}_shadow_pallas
     (_closest_soft_multi_shadow_kernel_w8_b). Batched 8-wide accel path
     only."""
@@ -2627,6 +2712,7 @@ def trace_closest_soft_multi_shadow_pallas(bvh, origins, dirs, light0,
     kind, vec, scalar = light0
     assert kind in ("cone", "disk"), kind
     disk = kind == "disk"
+    attrs = 0 if attr_tables is None else (2 if textured else 1)
     batch = PACKETS_PER_STEP
     rays, p, meta = _ray_packets_packed(origins, dirs, t_max, batch)
     pb = rays.shape[0]
@@ -2660,32 +2746,49 @@ def trace_closest_soft_multi_shadow_pallas(bvh, origins, dirs, light0,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vma = getattr(jax.typeof(rays), "vma", None)
+    consts = [packed.nodes, packed.tris]
+    if attrs:
+        consts += [attr_tables[0], attr_tables[1]]
+        out_specs = (attr_spec, out_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
+                                          jnp.float32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    else:
+        out_specs = (out_spec, out_spec, out_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
+                                          vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(pb // batch,),
-        in_specs=[const_spec(packed.nodes.shape),
-                  const_spec(packed.tris.shape), ray_spec],
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
-    vma = getattr(jax.typeof(rays), "vma", None)
     fn = pl.pallas_call(
         functools.partial(_closest_soft_multi_shadow_kernel_w8_b,
                           packed.leaf_size, iter_cap, batch, spp, disk,
-                          len(extra_dirs)),
+                          len(extra_dirs), attrs),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(_GRID_SEMANTICS,)),
     )
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    t, sidx, counts, occm = fn(tmin_arr, seed_arr, scal, packed.nodes,
-                               packed.tris, rays)
+    if attrs:
+        out, counts, occm = fn(tmin_arr, seed_arr, scal, *consts, rays)
+        return (_attr_channels(out, p, meta), _unpack(counts[:p], meta),
+                _unpack(occm[:p], meta))
+    t, sidx, counts, occm = fn(tmin_arr, seed_arr, scal, *consts, rays)
     t = _unpack(t[:p], meta)
     sidx = _unpack(sidx[:p], meta)
     counts = _unpack(counts[:p], meta)
@@ -2697,6 +2800,8 @@ def trace_closest_soft_multi_shadow_pallas(bvh, origins, dirs, light0,
 def trace_closest_point_soft_shadow_pallas(bvh, origins, dirs, light_pos,
                                            radius, spp: int, seed, bias,
                                            t_max=_BIG, t_min: float = 0.0,
+                                           attr_tables=None,
+                                           textured: bool = False,
                                            interpret=None):
     """Fused primary visibility + point-light penumbra (ONE kernel).
 
@@ -2704,6 +2809,7 @@ def trace_closest_point_soft_shadow_pallas(bvh, origins, dirs, light_pos,
     [0, spp]) — the closest hit per camera ray plus the in-kernel
     jittered-disk occlusion count from its biased hit point
     (_closest_psoft_shadow_kernel_w8_b); visibility = 1 - counts/spp.
+    With ``attr_tables``: (channel dict, counts).
     The LIGHT_POINT spp>1 analogue of trace_closest_soft_shadow_pallas;
     same zero-stream interpret semantics (every sample degenerates to the
     disk center == hard point shadow). Batched 8-wide accel path only."""
@@ -2718,6 +2824,7 @@ def trace_closest_point_soft_shadow_pallas(bvh, origins, dirs, light_pos,
         jnp.asarray(light_pos, jnp.float32),
         jnp.asarray(radius, jnp.float32).reshape(1),
         jnp.asarray(bias, jnp.float32).reshape(1)])    # f32[5]
+    attrs = 0 if attr_tables is None else (2 if textured else 1)
     iter_cap = 2 * packed.num_wide + 64
     if _ITER_CAP_OVERRIDE is not None:
         iter_cap = _ITER_CAP_OVERRIDE
@@ -2732,30 +2839,45 @@ def trace_closest_point_soft_shadow_pallas(bvh, origins, dirs, light_pos,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vma = getattr(jax.typeof(rays), "vma", None)
+    consts = [packed.nodes, packed.tris]
+    if attrs:
+        consts += [attr_tables[0], attr_tables[1]]
+        out_specs = (attr_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
+                                          jnp.float32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    else:
+        out_specs = (out_spec, out_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
+                                          vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(pb // batch,),
-        in_specs=[const_spec(packed.nodes.shape),
-                  const_spec(packed.tris.shape), ray_spec],
-        out_specs=(out_spec, out_spec, out_spec),
+        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
-    vma = getattr(jax.typeof(rays), "vma", None)
     fn = pl.pallas_call(
         functools.partial(_closest_psoft_shadow_kernel_w8_b,
-                          packed.leaf_size, iter_cap, batch, spp),
+                          packed.leaf_size, iter_cap, batch, spp, attrs),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(_GRID_SEMANTICS,)),
     )
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    t, sidx, counts = fn(tmin_arr, seed_arr, scal, packed.nodes,
-                         packed.tris, rays)
+    if attrs:
+        out, counts = fn(tmin_arr, seed_arr, scal, *consts, rays)
+        return _attr_channels(out, p, meta), _unpack(counts[:p], meta)
+    t, sidx, counts = fn(tmin_arr, seed_arr, scal, *consts, rays)
     t = _unpack(t[:p], meta)
     sidx = _unpack(sidx[:p], meta)
     counts = _unpack(counts[:p], meta)
@@ -2898,7 +3020,7 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
 
 
 def trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs, t_max=_BIG,
-                               t_min: float = 0.0,
+                               t_min: float = 0.0, textured: bool = False,
                                interpret: Optional[bool] = None):
     """Attribute-tracked closest hit: the kernel returns the winner's FULL
     shading attributes (tracked by in-register selects during the walk),
@@ -2920,10 +3042,21 @@ def trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs, t_max=_BIG,
     rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
                                         PACKETS_PER_STEP)
     out = _attr_call_b(packed, at0, at1, rays, t_min, interpret,
-                       PACKETS_PER_STEP)
+                       PACKETS_PER_STEP, textured=textured)
+    return _attr_channels(out, p, meta)
+
+
+def _attr_channels(out, p, meta):
+    """(pb, ATTR_CH, 8, 128) kernel output -> image-shaped channel dict
+    (the trace_closest_attrs_pallas return contract). The oct normal
+    pairs ride packed (shading.pack_oct12) and are unpacked here —
+    elementwise XLA work, fused for free."""
+    from ..passes.shading import unpack_oct12
     ch = [_unpack(out[:p, c], meta) for c in range(ATTR_CH)]
     sidx = ch[1].astype(jnp.int32)
     valid = sidx >= 0
+    oct = jnp.concatenate([unpack_oct12(ch[9]), unpack_oct12(ch[10]),
+                           unpack_oct12(ch[11])], axis=-1)
     return {
         "t": jnp.where(valid, ch[0], jnp.inf),
         "sidx": jnp.where(valid, sidx, -1),
@@ -2932,14 +3065,15 @@ def trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs, t_max=_BIG,
         "kd": ch[6],
         "layer": jnp.where(valid, ch[7], -1.0),
         "tri_id": jnp.where(valid, ch[8].astype(jnp.int32), -1),
-        "oct": jnp.stack(ch[9:15], axis=-1),
-        "gn": jnp.stack(ch[15:18], axis=-1),
+        "oct": oct,
+        "gn": jnp.stack(ch[12:15], axis=-1),
     }
 
 
 def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
                                 t_max=_BIG, t_min: float = 0.0,
                                 light_pos=None,
+                                attr_tables=None, textured: bool = False,
                                 interpret: Optional[bool] = None):
     """Fused primary visibility + hard shadow (ONE kernel).
 
@@ -2956,6 +3090,9 @@ def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
     when ``light_pos`` is None; light_pos: f32[3] point-light position
     (hard point shadows — per-lane directions derived in-kernel);
     bias: the normal-offset shadow bias (RenderConfig.shadow_bias).
+    attr_tables: optional (at0, at1) leaf attribute rows — phase 1 then
+    tracks the winner's full shading attributes and the return becomes
+    (channel dict, occluded) (the zero-gather fused G-buffer).
     Batched 8-wide accel path only."""
     from ..bvh.wide import WideBVH
     packed = _as_packed(bvh)
@@ -2976,6 +3113,7 @@ def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
             ld, inv, jnp.asarray(bias, jnp.float32).reshape(1),
             packed.root_min.astype(jnp.float32),
             packed.root_max.astype(jnp.float32)])          # f32[13]
+    attrs = 0 if attr_tables is None else (2 if textured else 1)
     iter_cap = 2 * packed.num_wide + 64
     if _ITER_CAP_OVERRIDE is not None:
         iter_cap = _ITER_CAP_OVERRIDE
@@ -2987,28 +3125,45 @@ def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vma = getattr(jax.typeof(rays), "vma", None)
+    consts = [packed.nodes, packed.tris]
+    if attrs:
+        consts += [attr_tables[0], attr_tables[1]]
+        out_specs = (attr_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
+                                          jnp.float32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    else:
+        out_specs = (out_spec, out_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
+                                          vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(pb // batch,),
-        in_specs=[const_spec(packed.nodes.shape),
-                  const_spec(packed.tris.shape), ray_spec],
-        out_specs=(out_spec, out_spec, out_spec),
+        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
-    vma = getattr(jax.typeof(rays), "vma", None)
     fn = pl.pallas_call(
         functools.partial(_closest_shadow_kernel_w8_b, packed.leaf_size,
-                          iter_cap, batch, point),
+                          iter_cap, batch, point, attrs),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(_GRID_SEMANTICS,)),
     )
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
-    t, sidx, occ = fn(tmin_arr, scal, packed.nodes, packed.tris, rays)
+    if attrs:
+        out, occ = fn(tmin_arr, scal, *consts, rays)
+        occ = _unpack(occ[:p], meta)
+        return _attr_channels(out, p, meta), occ > 0
+    t, sidx, occ = fn(tmin_arr, scal, *consts, rays)
     t = _unpack(t[:p], meta)
     sidx = _unpack(sidx[:p], meta)
     occ = _unpack(occ[:p], meta)
@@ -3018,6 +3173,8 @@ def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
 
 def trace_closest_multi_shadow_pallas(bvh, origins, dirs, lights, bias,
                                       t_max=_BIG, t_min: float = 0.0,
+                                      attr_tables=None,
+                                      textured: bool = False,
                                       interpret: Optional[bool] = None):
     """Fused primary visibility + N hard shadows (ONE kernel).
 
@@ -3027,7 +3184,9 @@ def trace_closest_multi_shadow_pallas(bvh, origins, dirs, lights, bias,
     occ_mask i32[H, W]): bit l of occ_mask set = light l occluded at that
     pixel. Equivalent to trace_closest_shadow_pallas per light but the
     whole light set shares one primary walk and one dispatch
-    (_closest_multi_shadow_kernel_w8_b). Batched 8-wide accel path only.
+    (_closest_multi_shadow_kernel_w8_b). attr_tables: optional (at0, at1)
+    — phase 1 tracks the full shading attributes and the return becomes
+    (channel dict, occ_mask). Batched 8-wide accel path only.
     """
     from ..bvh.wide import WideBVH
     packed = _as_packed(bvh)
@@ -3051,6 +3210,7 @@ def trace_closest_multi_shadow_pallas(bvh, origins, dirs, lights, bias,
             blocks.append(d)
             blocks.append(jnp.clip(1.0 / d, -_BIG, _BIG))
     scal = jnp.concatenate(blocks)
+    attrs = 0 if attr_tables is None else (2 if textured else 1)
     iter_cap = 2 * packed.num_wide + 64
     if _ITER_CAP_OVERRIDE is not None:
         iter_cap = _ITER_CAP_OVERRIDE
@@ -3062,28 +3222,45 @@ def trace_closest_multi_shadow_pallas(bvh, origins, dirs, lights, bias,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vma = getattr(jax.typeof(rays), "vma", None)
+    consts = [packed.nodes, packed.tris]
+    if attrs:
+        consts += [attr_tables[0], attr_tables[1]]
+        out_specs = (attr_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
+                                          jnp.float32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    else:
+        out_specs = (out_spec, out_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
+                                          vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(pb // batch,),
-        in_specs=[const_spec(packed.nodes.shape),
-                  const_spec(packed.tris.shape), ray_spec],
-        out_specs=(out_spec, out_spec, out_spec),
+        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
-    vma = getattr(jax.typeof(rays), "vma", None)
     fn = pl.pallas_call(
         functools.partial(_closest_multi_shadow_kernel_w8_b,
-                          packed.leaf_size, iter_cap, batch, tuple(points)),
+                          packed.leaf_size, iter_cap, batch, tuple(points),
+                          attrs),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(_GRID_SEMANTICS,)),
     )
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
-    t, sidx, occm = fn(tmin_arr, scal, packed.nodes, packed.tris, rays)
+    if attrs:
+        out, occm = fn(tmin_arr, scal, *consts, rays)
+        return _attr_channels(out, p, meta), _unpack(occm[:p], meta)
+    t, sidx, occm = fn(tmin_arr, scal, *consts, rays)
     t = _unpack(t[:p], meta)
     sidx = _unpack(sidx[:p], meta)
     occm = _unpack(occm[:p], meta)
@@ -3093,13 +3270,17 @@ def trace_closest_multi_shadow_pallas(bvh, origins, dirs, lights, bias,
 
 def trace_closest_soft_shadow_pallas(bvh, origins, dirs, axis_dir, cone_cos,
                                      spp: int, seed, bias, t_max=_BIG,
-                                     t_min: float = 0.0, interpret=None):
+                                     t_min: float = 0.0, attr_tables=None,
+                                     textured: bool = False,
+                                     interpret=None):
     """Fused primary visibility + area-light soft shadows (ONE kernel).
 
     Returns (t f32[H, W], sorted_idx i32[H, W], counts i32[H, W] in
     [0, spp]): the closest hit per camera ray plus the in-kernel
     cone-sampled occlusion count from its biased hit point
     (_closest_soft_shadow_kernel_w8_b) — visibility = 1 - counts/spp.
+    With ``attr_tables``: (channel dict, counts) — the config-3 frame
+    then does no per-pixel gathers at all.
     The config-3 frame analogue of trace_closest_shadow_pallas: no
     shadow origins or per-sample rays ever reach HBM. Same PRNG
     semantics as trace_any_soft_pallas (zero bit stream under the
@@ -3119,6 +3300,7 @@ def trace_closest_soft_shadow_pallas(bvh, origins, dirs, axis_dir, cone_cos,
         packed.root_min.astype(jnp.float32),
         packed.root_max.astype(jnp.float32),
         jnp.asarray(bias, jnp.float32).reshape(1)])        # f32[17]
+    attrs = 0 if attr_tables is None else (2 if textured else 1)
     iter_cap = 2 * packed.num_wide + 64
     if _ITER_CAP_OVERRIDE is not None:
         iter_cap = _ITER_CAP_OVERRIDE
@@ -3133,30 +3315,45 @@ def trace_closest_soft_shadow_pallas(bvh, origins, dirs, axis_dir, cone_cos,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vma = getattr(jax.typeof(rays), "vma", None)
+    consts = [packed.nodes, packed.tris]
+    if attrs:
+        consts += [attr_tables[0], attr_tables[1]]
+        out_specs = (attr_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
+                                          jnp.float32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    else:
+        out_specs = (out_spec, out_spec, out_spec)
+        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
+                                          vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
+                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(pb // batch,),
-        in_specs=[const_spec(packed.nodes.shape),
-                  const_spec(packed.tris.shape), ray_spec],
-        out_specs=(out_spec, out_spec, out_spec),
+        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
-    vma = getattr(jax.typeof(rays), "vma", None)
     fn = pl.pallas_call(
         functools.partial(_closest_soft_shadow_kernel_w8_b,
-                          packed.leaf_size, iter_cap, batch, spp),
+                          packed.leaf_size, iter_cap, batch, spp, attrs),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                   jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(_GRID_SEMANTICS,)),
     )
     tmin_arr = jnp.full((1,), t_min, jnp.float32)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    t, sidx, counts = fn(tmin_arr, seed_arr, scal, packed.nodes,
-                         packed.tris, rays)
+    if attrs:
+        out, counts = fn(tmin_arr, seed_arr, scal, *consts, rays)
+        return _attr_channels(out, p, meta), _unpack(counts[:p], meta)
+    t, sidx, counts = fn(tmin_arr, seed_arr, scal, *consts, rays)
     t = _unpack(t[:p], meta)
     sidx = _unpack(sidx[:p], meta)
     counts = _unpack(counts[:p], meta)

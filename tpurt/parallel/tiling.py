@@ -89,20 +89,22 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
             # for this shard's band (same path as render_frame_fn).
             gbuf, vis_all = gbuffer_multi_shadow_fused_production(
                 bvh, tri_mesh, cam, cfg, lights, shade_table,
-                rays=(origins, dirs))
+                rays=(origins, dirs), attr_tables=attr_tables)
         elif (shade_table is not None and not isinstance(bvh, ChunkedAccel)
                 and fused_soft_multi_applicable(cfg, bvh, lights)):
             # Soft light 0 + hard directional extras, one kernel.
             gbuf, vis_all = gbuffer_soft_multi_shadow_fused_production(
                 bvh, tri_mesh, cam, cfg, lights, shade_table,
-                key=jax.random.fold_in(key, 0), rays=(origins, dirs))
+                key=jax.random.fold_in(key, 0), rays=(origins, dirs),
+                attr_tables=attr_tables)
         elif (shade_table is not None and not isinstance(bvh, ChunkedAccel)
                 and fused_shadow_applicable(cfg, bvh, lights)):
             # Fused primary+shadow kernel for light 0 on this shard's
             # band — the same production path as render_frame_fn.
             gbuf, vis0 = gbuffer_shadow_fused_production(
                 bvh, tri_mesh, cam, cfg, lights[0], shade_table,
-                key=jax.random.fold_in(key, 0), rays=(origins, dirs))
+                key=jax.random.fold_in(key, 0), rays=(origins, dirs),
+                attr_tables=attr_tables)
         elif (attr_tables is not None and cfg.use_pallas
                 and isinstance(bvh, WideBVH)):
             # Attribute-tracked closest hit on this shard's band — the

@@ -218,13 +218,22 @@ def gbuffer_attr_pass(bvh, attr_tables, mesh: Mesh, cam: Camera,
     of what the kernel already selected. Same output contract as
     gbuffer_pass; Pallas 8-wide accel only."""
     from ..kernels.traverse import trace_closest_attrs_pallas
-    from .shading import oct_decode, unpack_rgb
     if rays is None:
         origins, dirs = generate_rays(cam, width, height, jitter)
     else:
         origins, dirs = rays
     at0, at1 = attr_tables
-    ch = trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs)
+    ch = trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs,
+                                    textured=mesh.textured)
+    return gbuf_from_attr_channels(ch, origins, dirs, cam, mesh)
+
+
+def gbuf_from_attr_channels(ch, origins, dirs, cam: Camera,
+                            mesh: Mesh) -> Dict[str, jnp.ndarray]:
+    """Attr-channel dict (kernels/traverse._attr_channels contract) ->
+    full G-buffer: pure elementwise decode shared by gbuffer_attr_pass
+    and the fused primary+shadow attr productions."""
+    from .shading import oct_decode, unpack_rgb
     valid = ch["sidx"] >= 0
     t = ch["t"]
     position = origins + dirs * jnp.where(valid, t, 0.0)[..., None]

@@ -108,12 +108,33 @@ def make_shade_table(bvh: LBVH, mesh: Mesh) -> jnp.ndarray:
 
 ATTR_STRIDE = 16
 # Per-triangle attribute lane layout inside a leaf attr row (base 16*j):
-#   [0:2] oct(n0)  [2:4] oct(n1)  [4:6] oct(n2)
-#   [6]   packed 8-bit rgb albedo
-#   [7]   texture layer as float (-1 = untextured)
-#   [8:10] uv0    [10:12] uv1-uv0    [12:14] uv2-uv0
-#   [14]  ORIGINAL triangle id as an exact float VALUE (< 2^24)
-#   [15]  pad
+#   [0]   oct(n0) PACKED: 12-bit fixed point per component, exact float
+#   [1]   oct(n1) packed   (pack_oct12 — ints < 2^24, so the float VALUE
+#   [2]   oct(n2) packed    is exact; unpacked in XLA post, never in-kernel)
+#   [3]   packed 8-bit rgb albedo
+#   [4]   texture layer as float (-1 = untextured)
+#   [5:7] uv0    [7:9] uv1-uv0    [9:11] uv2-uv0
+#   [11]  ORIGINAL triangle id as an exact float VALUE (< 2^24)
+#   [12:16] pad
+# Scalar lane reads are THE attr-tracking cost (probe r3ae: extra row
+# loads and loop carries are ~free; each per-candidate vreg->sreg lane
+# extract is not), so the layout minimizes reads per candidate: packed
+# oct (3) + kd (1) + tid (1) untextured; + layer (1) + uv (6) textured.
+
+
+def pack_oct12(e: jnp.ndarray) -> jnp.ndarray:
+    """Octahedral pair [..., 2] in [-1, 1] -> ONE exact-integer float:
+    12-bit fixed point per component (q0*4096 + q1 < 2^24)."""
+    q = jnp.clip(jnp.round((e + 1.0) * (0.5 * 4095.0)), 0, 4095)
+    return q[..., 0] * 4096.0 + q[..., 1]
+
+
+def unpack_oct12(p: jnp.ndarray) -> jnp.ndarray:
+    """pack_oct12 inverse -> [..., 2] in [-1, 1] (quantized to 12 bits:
+    ~5e-4 per component, ~1e-3 rad of normal error — shading-grade)."""
+    hi = jnp.floor(p * (1.0 / 4096.0))
+    lo = p - hi * 4096.0
+    return jnp.stack([hi, lo], axis=-1) * (2.0 / 4095.0) - 1.0
 
 
 def make_leaf_attr_rows(bvh: LBVH, mesh: Mesh):
@@ -132,9 +153,9 @@ def make_leaf_attr_rows(bvh: LBVH, mesh: Mesh):
     k = bvh.leaf_size
     assert k <= 14, "attr rows support leaf_size <= 14 (14*16 = 224 lanes)"
     tri = mesh.indices[bvh.tri_id]            # [Tpad, 3]
-    n0 = oct_encode(mesh.normals[tri[:, 0]])
-    n1 = oct_encode(mesh.normals[tri[:, 1]])
-    n2 = oct_encode(mesh.normals[tri[:, 2]])
+    n0 = pack_oct12(oct_encode(mesh.normals[tri[:, 0]]))[:, None]
+    n1 = pack_oct12(oct_encode(mesh.normals[tri[:, 1]]))[:, None]
+    n2 = pack_oct12(oct_encode(mesh.normals[tri[:, 2]]))[:, None]
     alb = pack_rgb(mesh.albedo[bvh.tri_id])[:, None]
     if mesh.textured:
         uv0 = mesh.uv[tri[:, 0]]
@@ -147,7 +168,7 @@ def make_leaf_attr_rows(bvh: LBVH, mesh: Mesh):
         d2 = jnp.zeros((tri.shape[0], 2), jnp.float32)
         layer = jnp.full((tri.shape[0], 1), -1.0, jnp.float32)
     tid = bvh.tri_id.astype(jnp.float32)[:, None]   # exact for < 2^24 tris
-    pad = jnp.zeros((tri.shape[0], 1), jnp.float32)
+    pad = jnp.zeros((tri.shape[0], 4), jnp.float32)
     rows16 = jnp.concatenate(
         [n0, n1, n2, alb, layer, uv0, d1, d2, tid, pad],
         axis=1).astype(jnp.float32)                 # [Tpad, 16]
