@@ -20,6 +20,14 @@ import os
 import sys
 import time
 
+# The remote compile helper's AOT fallback path enforces a 16 MiB scoped
+# VMEM limit that the production kernels' const blocks (accel + attr
+# rows, ~20 MiB+) exceed — the device-backed path takes them fine. The
+# axon client forwards this per compile request (read from the env by
+# the Rust compile_override_flags), so set it before any compile.
+os.environ.setdefault("AXON_LIBTPU_OVERRIDES",
+                      "--xla_tpu_scoped_vmem_limit_kib=65536")
+
 import numpy as np
 
 

@@ -380,3 +380,27 @@ def test_deferred_boxes_rebuild_bitexact():
                                   np.asarray(defer.root_min))
     np.testing.assert_array_equal(np.asarray(full.root_max),
                                   np.asarray(defer.root_max))
+
+
+def test_extra_payload_attr_tables_bitexact():
+    """Attr tables assembled from co-sorted payload columns
+    (build_lbvh(extra_payload=...) + leaf_attr_rows_from_sorted) must be
+    bit-identical to the post-build gather path (make_leaf_attr_rows) —
+    probe r3ac measured the gather path at ~16 ms of the Sponza rebuild,
+    so the rebuild rides the sort instead."""
+    from tpurt.passes.shading import (attr_payload_columns,
+                                      leaf_attr_rows_from_sorted,
+                                      make_leaf_attr_rows)
+    from tpurt.scenes import teapot_scene
+    mesh = teapot_scene(2000)
+    v = jnp.asarray(mesh.vertices)
+    i = jnp.asarray(mesh.indices)
+    cols = attr_payload_columns(mesh)
+    bvh, scols = build_lbvh(v, i, leaf_size=14, boxes="defer",
+                            extra_payload=cols)
+    at_p = leaf_attr_rows_from_sorted(scols, bvh.tri_id, bvh.num_leaves,
+                                      14, mesh.textured)
+    at_g = make_leaf_attr_rows(
+        build_lbvh(v, i, leaf_size=14, boxes="defer"), mesh)
+    for a, b in zip(at_p, at_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -276,3 +276,25 @@ def test_soft_tracer_gated_to_wide_accels(scene, monkeypatch):
     cfg8 = RenderConfig(use_pallas=True, bvh_width=8)
     assert make_soft_tracer(cfg8, bvh) is None          # binary accel
     assert make_soft_tracer(cfg8, build_wide(bvh)) is not None
+
+
+def test_rebuild_mode_attr_tables_follow_geometry(scene):
+    """Rebuild mode with the ray G-buffer: attr tables ride the per-frame
+    sort (tables="attr" trims the unused shade tables), and a deformed
+    frame must match a fresh static render of the same geometry."""
+    import dataclasses
+    from tpurt.scenes import deform
+    mesh, cam, light = scene
+    cfg = RenderConfig(width=64, height=48, use_pallas=True, gbuffer="ray")
+    r = Renderer(mesh, cam, light, cfg, mode="rebuild")
+    assert r.attr_tables is not None
+    r.set_vertices(deform(mesh, time=0.3))
+    img = np.asarray(r.render_frame()["image"])
+    assert r.shade_table is None        # trimmed: strategy never reads it
+    m2 = r.mesh
+    r_static = Renderer(
+        dataclasses.replace(m2, vertices=np.asarray(m2.vertices),
+                            normals=np.asarray(m2.normals)),
+        cam, light, dataclasses.replace(cfg, sah=False))
+    want = np.asarray(r_static.render_frame()["image"])
+    np.testing.assert_array_equal(img, want)

@@ -121,21 +121,41 @@ def make_point_soft_tracer(cfg: RenderConfig, bvh):
     return soft
 
 
-@partial(jax.jit, static_argnames=("leaf_size", "nw_pad", "attrs"))
+@partial(jax.jit, static_argnames=("leaf_size", "nw_pad", "tables",
+                                   "textured"))
 def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
-                   attrs: bool = False):
-    """Config-2 hot path: LBVH build + 8-wide collapse + shading table as ONE
-    device program — no host syncs. The wide-node count rides along as a
-    device scalar so callers can check pad overflow opportunistically (XLA
-    CSE merges it with the identical mask inside widen_lbvh)."""
-    bvh = build_lbvh(vertices, indices, leaf_size=leaf_size, boxes="defer")
+                   tables: str = "st", textured: bool = False):
+    """Config-2 hot path: LBVH build + 8-wide collapse + shading tables as
+    ONE device program — no host syncs. The wide-node count rides along as
+    a device scalar so callers can check pad overflow opportunistically
+    (XLA CSE merges it with the identical mask inside widen_lbvh).
+
+    tables — which shading tables this frame strategy actually reads
+    (probe r3ac: tri_id-keyed table gathers serialize after the sort and
+    cost ~16 ms; unused tables are pure waste):
+      "attr": attr rows only, riding the Morton sort as payload columns
+              (~+0.1 ms each) — the ray + in-kernel-attrs strategy.
+      "sto":  original-order table only (raster G-buffer; ~+0.2 ms).
+      "st":   sorted + original shade tables (ray without attr tracking).
+    """
+    extra = ()
+    from .passes.shading import (attr_payload_columns,
+                                 leaf_attr_rows_from_sorted)
+    if tables == "attr":
+        extra = attr_payload_columns(mesh)
+    r = build_lbvh(vertices, indices, leaf_size=leaf_size, boxes="defer",
+                   extra_payload=extra)
+    bvh, extras = r if extra else (r, ())
     # "fixed" frontier: the area collapse's 64-sweep reachability is a
     # once-per-scene cost the per-frame rebuild cannot afford (wide.py
     # FRONTIER_MODE note); the count below must use the same mode.
     wide = widen_lbvh(bvh, nw_pad=nw_pad, mode="fixed")
-    st = make_shade_table(bvh, mesh)
-    st_orig = make_shade_table_orig(mesh)
-    at = make_leaf_attr_rows(bvh, mesh) if attrs else None
+    st = make_shade_table(bvh, mesh) if tables == "st" else None
+    st_orig = make_shade_table_orig(mesh) if tables in ("st", "sto") \
+        else None
+    at = leaf_attr_rows_from_sorted(
+        extras, bvh.tri_id, bvh.num_leaves, leaf_size,
+        textured) if tables == "attr" else None
     return bvh, wide, st, st_orig, at, wide_count_device(bvh, mode="fixed")
 
 
@@ -528,11 +548,11 @@ def render_frame_fn(bvh: LBVH, mesh: Mesh, cam: Camera,
                     attr_tables=None) -> Dict[str, jnp.ndarray]:
     """One fused frame: G-buffer -> per-light shadow batches -> composite."""
     num_lights = len(lights)
-    fusedN = (fused_multi_applicable(cfg, bvh, lights)
-              and shade_table is not None)
-    fusedSM = (not fusedN and shade_table is not None
+    tabs = shade_table is not None or attr_tables is not None
+    fusedN = tabs and fused_multi_applicable(cfg, bvh, lights)
+    fusedSM = (not fusedN and tabs
                and fused_soft_multi_applicable(cfg, bvh, lights))
-    fused0 = (not fusedN and not fusedSM and shade_table is not None
+    fused0 = (not fusedN and not fusedSM and tabs
               and fused_shadow_applicable(cfg, bvh, lights))
     if fusedN:
         gbuf, shadows = gbuffer_multi_shadow_fused_production(
@@ -836,11 +856,14 @@ class Renderer:
                 if self._nw_pad is not None:
                     # Fused build+collapse+shading-table: one device program,
                     # no host sync (VERDICT r1 item 2 — the old path paid a
-                    # ~150 ms count_wide round trip every frame).
+                    # ~150 ms count_wide round trip every frame). Only the
+                    # tables THIS frame strategy reads are built (r3ac).
+                    tables = "attr" if self.attr_tables is not None else (
+                        "sto" if use_raster_gbuffer(self.config) else "st")
                     bvh, accel, st, st_orig, at, cnt = _rebuild_fused(
                         self.mesh.vertices, self.mesh.indices, self.mesh,
                         self.config.leaf_size, self._nw_pad,
-                        attrs=self.attr_tables is not None)
+                        tables=tables, textured=bool(self.mesh.textured))
                     overflow = False
                     if self._geom_dirty:
                         # Geometry changed since the pad was chosen: check
@@ -860,6 +883,9 @@ class Renderer:
                         self.accel = self._make_accel()
                     else:
                         self.bvh, self.accel = bvh, accel
+                        # Tables the strategy skipped are None-d: a stale
+                        # table from the previous topology must never be
+                        # readable by accident.
                         self.shade_table = st
                         self.shade_table_orig = st_orig
                         if at is not None:
@@ -1017,12 +1043,13 @@ class Renderer:
         shadows) and shadow_ms only the remaining unfused lights."""
         cfg = self.config
         st = self.shade_table if cfg.use_pallas else None
-        fusedN = (st is not None
+        tabs = st is not None or self.attr_tables is not None
+        fusedN = (tabs
                   and fused_multi_applicable(cfg, self.accel, self.lights))
-        fusedSM = (not fusedN and st is not None
+        fusedSM = (not fusedN and tabs
                    and fused_soft_multi_applicable(cfg, self.accel,
                                                    self.lights))
-        fused0 = (not fusedN and not fusedSM and st is not None
+        fused0 = (not fusedN and not fusedSM and tabs
                   and fused_shadow_applicable(cfg, self.accel, self.lights))
         masks = []
         if fusedN:

@@ -458,7 +458,8 @@ def _leaf_boxes(v0, e1, e2, leaf_size: int):
 
 def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                leaf_size: int = 4, morton_bits: int = 30,
-               builder: str = "auto", boxes: str = "full") -> LBVH:
+               builder: str = "auto", boxes: str = "full",
+               extra_payload: tuple = ()) -> LBVH:
     """Full on-device build: sort + topology + boxes. jit-able; all shapes
     depend only on (num_triangles, leaf_size).
 
@@ -468,6 +469,12 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     traversal quality on the benchmark scenes measured equal, so 30 is the
     default, but 60 is the safer choice for very dense or thin-feature
     meshes).
+
+    extra_payload: additional per-triangle [T] columns to co-sort with
+    the Morton keys (~+0.1 ms each vs ~ms-scale post-sort gathers that
+    would serialize after the build — probe r3ac measured the tri_id-
+    keyed attr-table gathers at ~16 ms on Sponza). When non-empty the
+    return becomes (LBVH, tuple-of-sorted-columns).
 
     builder: "search" = Karras binary searches + RMQ boxes in XLA;
     "kernel" = the Pallas Cartesian-stack build kernel
@@ -515,6 +522,12 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                e1[:, 0], e1[:, 1], e1[:, 2],
                e2[:, 0], e2[:, 1], e2[:, 2],
                tri[:, 0], tri[:, 1], tri[:, 2])
+    n_extra = len(extra_payload)
+    if n_extra:
+        # Pad like idx: repeat the last triangle's values.
+        payload += tuple(
+            jnp.concatenate([c, jnp.broadcast_to(c[-1:], (pad,))])
+            if pad else c for c in extra_payload)
     if builder == "auto":
         from ..kernels.traverse import _compiled_backend
         builder = "kernel" if _compiled_backend() else "search"
@@ -548,6 +561,7 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     se1 = jnp.stack(s[4:7], axis=1)
     se2 = jnp.stack(s[7:10], axis=1)
     tri_sorted = jnp.stack(s[10:13], axis=1)
+    sorted_extras = tuple(s[13:13 + n_extra])
     lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
 
     if builder == "kernel":
@@ -564,18 +578,20 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
         # round ~1 ulp from the originals — this keeps the deferred path
         # bit-identical to the full path's RMQ root).
         pb2 = jnp.concatenate([lmin, -lmax], axis=1).min(axis=0)
-        return LBVH(nodes_box=None, nodes_child=child, nodes_first=first,
-                    nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
-                    tri_sorted=tri_sorted, tri_id=tri_id,
-                    root_min=pb2[:3], root_max=-pb2[3:],
-                    leaf_size=leaf_size)
+        out = LBVH(nodes_box=None, nodes_child=child, nodes_first=first,
+                   nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
+                   tri_sorted=tri_sorted, tri_id=tri_id,
+                   root_min=pb2[:3], root_max=-pb2[3:],
+                   leaf_size=leaf_size)
+        return (out, sorted_extras) if n_extra else out
     nodes_box, root_min, root_max = _assemble_node_boxes(
         lmin, lmax, child, first, last)
 
-    return LBVH(nodes_box=nodes_box, nodes_child=child, nodes_first=first,
-                nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
-                tri_sorted=tri_sorted, tri_id=tri_id, root_min=root_min,
-                root_max=root_max, leaf_size=leaf_size)
+    out = LBVH(nodes_box=nodes_box, nodes_child=child, nodes_first=first,
+               nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
+               tri_sorted=tri_sorted, tri_id=tri_id, root_min=root_min,
+               root_max=root_max, leaf_size=leaf_size)
+    return (out, sorted_extras) if n_extra else out
 
 
 def refit_lbvh(bvh: LBVH, vertices: jnp.ndarray, indices: jnp.ndarray) -> LBVH:

@@ -83,21 +83,22 @@ def _local_frame(trace_closest, trace_any, tri_mesh: TriMesh, cam: Camera,
                            gbuffer_multi_shadow_fused_production,
                            gbuffer_shadow_fused_production,
                            gbuffer_soft_multi_shadow_fused_production)
-        if (shade_table is not None and not isinstance(bvh, ChunkedAccel)
+        tabs = shade_table is not None or attr_tables is not None
+        if (tabs and not isinstance(bvh, ChunkedAccel)
                 and fused_multi_applicable(cfg, bvh, lights)):
             # All-hard light set: one kernel yields every light's shadow
             # for this shard's band (same path as render_frame_fn).
             gbuf, vis_all = gbuffer_multi_shadow_fused_production(
                 bvh, tri_mesh, cam, cfg, lights, shade_table,
                 rays=(origins, dirs), attr_tables=attr_tables)
-        elif (shade_table is not None and not isinstance(bvh, ChunkedAccel)
+        elif (tabs and not isinstance(bvh, ChunkedAccel)
                 and fused_soft_multi_applicable(cfg, bvh, lights)):
             # Soft light 0 + hard directional extras, one kernel.
             gbuf, vis_all = gbuffer_soft_multi_shadow_fused_production(
                 bvh, tri_mesh, cam, cfg, lights, shade_table,
                 key=jax.random.fold_in(key, 0), rays=(origins, dirs),
                 attr_tables=attr_tables)
-        elif (shade_table is not None and not isinstance(bvh, ChunkedAccel)
+        elif (tabs and not isinstance(bvh, ChunkedAccel)
                 and fused_shadow_applicable(cfg, bvh, lights)):
             # Fused primary+shadow kernel for light 0 on this shard's
             # band — the same production path as render_frame_fn.

@@ -184,6 +184,56 @@ def make_leaf_attr_rows(bvh: LBVH, mesh: Mesh):
     return at0, at1
 
 
+def attr_payload_columns(mesh: Mesh):
+    """Per-triangle ORIGINAL-ORDER attr columns ([T] f32 each) to ride a
+    rebuild's Morton sort as payload operands (bvh/lbvh.build_lbvh
+    ``extra_payload``): packed oct normals x3 + packed kd, plus
+    layer/uv0/d1/d2 for textured meshes. Probe r3ac measured the
+    tri_id-keyed post-build gathers at ~16 ms of the Sponza rebuild
+    (they serialize after the sort); payload operands cost ~0.1 ms each
+    and the original-order gathers here overlap the build."""
+    tri = mesh.indices
+    cols = (pack_oct12(oct_encode(mesh.normals[tri[:, 0]])),
+            pack_oct12(oct_encode(mesh.normals[tri[:, 1]])),
+            pack_oct12(oct_encode(mesh.normals[tri[:, 2]])),
+            pack_rgb(mesh.albedo))
+    if mesh.textured:
+        uv0 = mesh.uv[tri[:, 0]]
+        d1 = mesh.uv[tri[:, 1]] - uv0
+        d2 = mesh.uv[tri[:, 2]] - uv0
+        cols += (mesh.tri_tex.astype(jnp.float32),
+                 uv0[:, 0], uv0[:, 1], d1[:, 0], d1[:, 1],
+                 d2[:, 0], d2[:, 1])
+    return cols
+
+
+def leaf_attr_rows_from_sorted(cols, tri_id, num_leaves: int, k: int,
+                               textured: bool):
+    """Assemble the (at0, at1) leaf attr rows from SORTED payload columns
+    (attr_payload_columns order) + the sorted original ids — the
+    rebuild-path twin of make_leaf_attr_rows (identical output)."""
+    tpad = tri_id.shape[0]
+    z = jnp.zeros((tpad,), jnp.float32)
+    if textured:
+        lay, u0u, u0v, d1u, d1v, d2u, d2v = cols[4:11]
+    else:
+        lay = jnp.full((tpad,), -1.0, jnp.float32)
+        u0u = u0v = d1u = d1v = d2u = d2v = z
+    rows16 = jnp.stack(
+        [cols[0], cols[1], cols[2], cols[3], lay,
+         u0u, u0v, d1u, d1v, d2u, d2v,
+         tri_id.astype(jnp.float32), z, z, z, z], axis=1)   # [Tpad, 16]
+    per_leaf = rows16.reshape(num_leaves, k * ATTR_STRIDE)
+    lo = per_leaf[:, :min(k, 8) * ATTR_STRIDE]
+    at0 = jnp.pad(lo, ((0, 0), (0, 128 - lo.shape[1])))
+    if k > 8:
+        hi = per_leaf[:, 8 * ATTR_STRIDE:]
+        at1 = jnp.pad(hi, ((0, 0), (0, 128 - hi.shape[1])))
+    else:
+        at1 = jnp.zeros((1, 128), jnp.float32)
+    return at0, at1
+
+
 def table_tri_id(rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Original triangle ids out of gathered rows (lane 16); -1 invalid."""
     tid = jax.lax.bitcast_convert_type(rows[..., 16], jnp.int32)
