@@ -55,18 +55,20 @@ def main():
     def bld(v, i):
         return build_lbvh(v, i, leaf_size=LEAF, boxes="defer")
 
-    # Baseline: build alone / build+widen.
-    log(f"build alone: "
-        f"{timed(lambda: jax.jit(lambda v, i: jnp.sum(bld(v, i).tri_v0))(v, i)):.2f} ms")
-    log(f"build+widen: "
-        f"{timed(lambda: jax.jit(lambda v, i: jnp.sum(W.widen_lbvh(bld(v, i), nw_pad=nw_pad, mode='fixed').nodes))(v, i)):.2f} ms")
+    # Baseline: build alone / build+widen. (Define the jitted fns ONCE:
+    # a fresh lambda inside timed() retraces every call, ~1.9 s each.)
+    f_build = jax.jit(lambda v, i: jnp.sum(bld(v, i).tri_v0))
+    log(f"build alone: {timed(lambda: f_build(v, i)):.2f} ms")
+    f_widen = jax.jit(lambda v, i: jnp.sum(
+        W.widen_lbvh(bld(v, i), nw_pad=nw_pad, mode='fixed').nodes))
+    log(f"build+widen: {timed(lambda: f_widen(v, i)):.2f} ms")
 
     # a. + leaf boxes.
     def fa(v, i):
         b = bld(v, i)
         lmin, lmax = W._leaf_boxes_from_tris(b)
         return jnp.sum(lmin) + jnp.sum(lmax)
-    log(f"build+leafboxes: {timed(lambda: jax.jit(fa)(v, i)):.2f} ms")
+    log(f"build+leafboxes: {timed(lambda g=jax.jit(fa): g(v, i)):.2f} ms")
 
     # b. + RMQ table (query all leaves' trivial ranges to force the table).
     def fb(v, i):
@@ -75,7 +77,7 @@ def main():
         q = jnp.arange(b.num_leaves, dtype=jnp.int32)
         wmin, wmax = range_boxes(lmin, lmax, q[:64], q[:64] + 7)
         return jnp.sum(wmin) + jnp.sum(wmax)
-    log(f"build+leafboxes+RMQ(64q): {timed(lambda: jax.jit(fb)(v, i)):.2f} ms")
+    log(f"build+leafboxes+RMQ(64q): {timed(lambda g=jax.jit(fb): g(v, i)):.2f} ms")
 
     # c. + frontier machinery (fixed cut + mask + cumsum + nonzero).
     def fc(v, i):
@@ -85,7 +87,7 @@ def main():
         src = jnp.nonzero(wide, size=nw_pad,
                           fill_value=b.nodes_child.shape[0] - 1)[0]
         return jnp.sum(front[src]) + jnp.sum(ids)
-    log(f"build+frontier: {timed(lambda: jax.jit(fc)(v, i)):.2f} ms")
+    log(f"build+frontier: {timed(lambda g=jax.jit(fc): g(v, i)):.2f} ms")
 
     # Payload-attr rebuild (the production tables="attr" program).
     from tpurt.app import _rebuild_fused
@@ -94,11 +96,11 @@ def main():
                              textured=False)
         return (jnp.sum(out[1].nodes) + jnp.sum(out[4][0])
                 + jnp.sum(out[4][1]))
-    log(f"rebuild+collapse+ATTR(payload): {timed(lambda: jax.jit(fr)(v, i)):.2f} ms")
+    log(f"rebuild+collapse+ATTR(payload): {timed(lambda g=jax.jit(fr): g(v, i)):.2f} ms")
     def fs(v, i):
         out = _rebuild_fused(v, i, mesh, LEAF, nw_pad, tables="sto")
         return jnp.sum(out[1].nodes) + jnp.sum(out[3])
-    log(f"rebuild+collapse+STO(prod):     {timed(lambda: jax.jit(fs)(v, i)):.2f} ms")
+    log(f"rebuild+collapse+STO(prod):     {timed(lambda g=jax.jit(fs): g(v, i)):.2f} ms")
 
     # Grid-semantics A/B on the hot shadow kernel (VERDICT r2 weak #9).
     from tpurt.bvh.sah import build_sah_lbvh
