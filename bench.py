@@ -324,14 +324,15 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     try:
         result.update(bench_extras(mesh, cam, bvh, accel, gbuf, trace_any,
                                    leaf_size, st0, trace_closest,
-                                   static_bvh, static_accel))
+                                   static_bvh, static_accel, at_tabs))
     except Exception as e:  # noqa: BLE001
         log(f"extras failed: {type(e).__name__}: {str(e)[:300]}")
     return result
 
 
 def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
-                 trace_closest, static_bvh=None, static_accel=None):
+                 trace_closest, static_bvh=None, static_accel=None,
+                 at_tabs=None):
     if static_bvh is None:
         static_bvh, static_accel = bvh, accel
     """Configs 3 (soft shadows spp=8), 4 (refit steady state), 5 (4K
@@ -425,16 +426,18 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
         log(f"config 4 failed: {type(e).__name__}: {str(e)[:160]}")
 
     # Config 5: 4K G-buffer + 2-light shadow batches, sorted vs unsorted.
-    # Primary visibility at 4K uses the raster path (the production
-    # strategy on compiled TPU); ray-cast is the fallback. Tries the
-    # static (SAH) accel, retries on the Morton accel on compile failure.
+    # Primary visibility at 4K uses the attribute-tracked closest hit
+    # (the production strategy); raster/ray-cast are the fallbacks.
+    # Tries the static (SAH) accel, retries on the Morton accel on
+    # compile failure.
     W4, H4 = 3840, 2160
     for c5name in ("sah", "morton"):
         try:
             out.update(_config5(mesh, cam, static_accel if c5name == "sah"
                                 else accel,
                                 static_bvh if c5name == "sah" else bvh,
-                                trace_any, trace_closest, st0, W4, H4))
+                                trace_any, trace_closest, st0, W4, H4,
+                                at_tabs if c5name == "sah" else None))
             break
         except Exception as e:  # noqa: BLE001
             log(f"config 5 ({c5name}) failed: {type(e).__name__}: "
@@ -443,7 +446,7 @@ def bench_extras(mesh, cam, bvh, accel, gbuf, trace_any, leaf_size, st0,
 
 
 def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
-             st0, W4, H4):
+             st0, W4, H4, at_tabs=None):
     import jax
     import jax.numpy as jnp
     from tpurt.bvh.wide import WideBVH, order_children_for_point
@@ -457,27 +460,38 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
     if isinstance(static_accel, WideBVH):
         gb_accel4 = jax.jit(order_children_for_point)(static_accel,
                                                       cam.position)
-    # mesh/cam enter every 4K G-buffer jit as ARGUMENTS (closure-captured
-    # device arrays would be baked into the program as giant constants).
-    try:
-        from tpurt.passes.gbuffer import gbuffer_raster_pass
-        from tpurt.kernels.traverse import _compiled_backend
-        assert _compiled_backend()
-        gb4 = jax.jit(lambda a, m, c: gbuffer_raster_pass(m, c, W4, H4))
-        gb4(gb_accel4, mesh, cam)
-    except Exception:  # noqa: BLE001 - ray-cast fallback
-        if st0 is not None:
-            from tpurt.kernels.traverse import trace_closest_pallas
-            gb4 = jax.jit(lambda a, m, c: gbuffer_pass(
-                lambda o, d: trace_closest_pallas(a, o, d,
-                                                  return_sorted=True),
-                m, c, W4, H4, shade_table=st0))
-        else:
-            gb4 = jax.jit(lambda a, m, c: gbuffer_pass(
-                lambda o, d: trace_closest(a, o, d), m, c, W4, H4))
+    # mesh/cam (and the attr tables) enter every 4K G-buffer jit as
+    # ARGUMENTS (closure-captured device arrays would be baked into the
+    # program as giant constants).
+    if at_tabs is not None:
+        # The production path: attribute-tracked closest hit.
+        from tpurt.passes.gbuffer import gbuffer_attr_pass
+        _gb4 = jax.jit(lambda a, m, c, t0, t1: gbuffer_attr_pass(
+            a, (t0, t1), m, c, W4, H4))
+        gb4 = lambda a, m, c: _gb4(a, m, c, at_tabs[0], at_tabs[1])
+        _gb4s = jax.jit(lambda a, m, c, t0, t1: gb_consume(
+            gbuffer_attr_pass(a, (t0, t1), m, c, W4, H4)))
+        gb4s = lambda a, m, c: _gb4s(a, m, c, at_tabs[0], at_tabs[1])
+    else:
+        try:
+            from tpurt.passes.gbuffer import gbuffer_raster_pass
+            from tpurt.kernels.traverse import _compiled_backend
+            assert _compiled_backend()
+            gb4 = jax.jit(lambda a, m, c: gbuffer_raster_pass(m, c, W4, H4))
+            gb4(gb_accel4, mesh, cam)
+        except Exception:  # noqa: BLE001 - ray-cast fallback
+            if st0 is not None:
+                from tpurt.kernels.traverse import trace_closest_pallas
+                gb4 = jax.jit(lambda a, m, c: gbuffer_pass(
+                    lambda o, d: trace_closest_pallas(a, o, d,
+                                                      return_sorted=True),
+                    m, c, W4, H4, shade_table=st0))
+            else:
+                gb4 = jax.jit(lambda a, m, c: gbuffer_pass(
+                    lambda o, d: trace_closest(a, o, d), m, c, W4, H4))
+        gb4s = jax.jit(lambda a, m, c: gb_consume(gb4(a, m, c)))
     gbuf4 = gb4(gb_accel4, mesh, cam)
     valid4 = int(np.asarray(gbuf4["valid"]).sum())
-    gb4s = jax.jit(lambda a, m, c: gb_consume(gb4(a, m, c)))
     out["gbuffer_4k_ms"] = round(
         timed(lambda: gb4s(gb_accel4, mesh, cam), 5) * 1e3, 2)
     # Deferred (z16) raster at 4K — fault-tolerant comparison point; the
@@ -553,15 +567,19 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
         cfg4 = _RC4(width=W4, height=H4,
                     leaf_size=getattr(static_accel, "leaf_size", 14),
                     gbuffer="ray")
-        fr4 = jax.jit(lambda a, m, c, k, s: jnp.sum(_rff(
-            a, m, c, l2, k, cfg4, shade_table=s)["image"]))
+        fr4 = jax.jit(lambda a, m, c, k, s, at: jnp.sum(_rff(
+            a, m, c, l2, k, cfg4, shade_table=s,
+            attr_tables=at)["image"]))
         out["frame_4k_2light_ms"] = round(timed(
-            lambda: fr4(static_accel, mesh, cam, k4, st4), 5) * 1e3, 2)
+            lambda: fr4(static_accel, mesh, cam, k4, st4, at_tabs),
+            5) * 1e3, 2)
         cfg4f = _dc2.replace(cfg4, fused_shadow=True)
-        fr4f = jax.jit(lambda a, m, c, k, s: jnp.sum(_rff(
-            a, m, c, l2, k, cfg4f, shade_table=s)["image"]))
+        fr4f = jax.jit(lambda a, m, c, k, s, at: jnp.sum(_rff(
+            a, m, c, l2, k, cfg4f, shade_table=s,
+            attr_tables=at)["image"]))
         out["frame_4k_2light_fused_ms"] = round(timed(
-            lambda: fr4f(static_accel, mesh, cam, k4, st4), 5) * 1e3, 2)
+            lambda: fr4f(static_accel, mesh, cam, k4, st4, at_tabs),
+            5) * 1e3, 2)
         log(f"frame 4K 2-light: unfused {out['frame_4k_2light_ms']} ms, "
             f"multi-fused {out['frame_4k_2light_fused_ms']} ms")
     except Exception as e:  # noqa: BLE001

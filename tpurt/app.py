@@ -377,17 +377,15 @@ def gbuffer_soft_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
 
     height = rays[0].shape[0] if rays is not None else cfg.height
     if attr_tables is not None:
-        from .camera import generate_rays
-        from .passes.gbuffer import gbuf_from_attr_channels
-        origins, dirs = rays if rays is not None else \
-            generate_rays(cam, cfg.width, height)
-        ch, counts, occm = trace_closest_soft_multi_shadow_pallas(
-            gb_accel, origins, dirs, light0, extra_dirs, cfg.spp, seed,
-            cfg.shadow_bias, attr_tables=attr_tables,
-            textured=mesh.textured)
-        vis_out["vis0"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
-        vis_out["occm"] = occm
-        gbuf = gbuf_from_attr_channels(ch, origins, dirs, cam, mesh)
+        def trace_ch(o, d):
+            ch, counts, occm = trace_closest_soft_multi_shadow_pallas(
+                gb_accel, o, d, light0, extra_dirs, cfg.spp, seed,
+                cfg.shadow_bias, attr_tables=attr_tables,
+                textured=mesh.textured)
+            vis_out["vis0"] = 1.0 - counts.astype(jnp.float32) / cfg.spp
+            vis_out["occm"] = occm
+            return ch
+        gbuf = _fused_attr_gbuf(trace_ch, mesh, cam, cfg, rays, height)
     else:
         def tracer(o, d):
             t, sidx, counts, occm = trace_closest_soft_multi_shadow_pallas(
@@ -406,6 +404,18 @@ def gbuffer_soft_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
         v = jnp.where(((occm >> (li - 1)) & 1) > 0, 0.0, 1.0)
         vises.append(jnp.where(gbuf["valid"], v, 1.0))
     return gbuf, vises
+
+
+def _fused_attr_gbuf(trace_ch, mesh, cam, cfg, rays, height):
+    """Shared attr-mode dispatch for the fused productions: materialize
+    the rays (a shard passes its band), run the fused kernel thunk
+    (returns the attr channel dict), decode to a full G-buffer."""
+    from .camera import generate_rays
+    from .passes.gbuffer import gbuf_from_attr_channels
+    origins, dirs = rays if rays is not None else \
+        generate_rays(cam, cfg.width, height)
+    ch = trace_ch(origins, dirs)
+    return gbuf_from_attr_channels(ch, origins, dirs, cam, mesh)
 
 
 def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
@@ -435,15 +445,13 @@ def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
 
     height = rays[0].shape[0] if rays is not None else cfg.height
     if attr_tables is not None:
-        from .camera import generate_rays
-        from .passes.gbuffer import gbuf_from_attr_channels
-        origins, dirs = rays if rays is not None else \
-            generate_rays(cam, cfg.width, height)
-        ch, occm = trace_closest_multi_shadow_pallas(
-            gb_accel, origins, dirs, spec, cfg.shadow_bias,
-            attr_tables=attr_tables, textured=mesh.textured)
-        vis_out["occm"] = occm
-        gbuf = gbuf_from_attr_channels(ch, origins, dirs, cam, mesh)
+        def trace_ch(o, d):
+            ch, occm = trace_closest_multi_shadow_pallas(
+                gb_accel, o, d, spec, cfg.shadow_bias,
+                attr_tables=attr_tables, textured=mesh.textured)
+            vis_out["occm"] = occm
+            return ch
+        gbuf = _fused_attr_gbuf(trace_ch, mesh, cam, cfg, rays, height)
     else:
         def tracer(o, d):
             t, sidx, occm = trace_closest_multi_shadow_pallas(
@@ -522,12 +530,9 @@ def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
 
     height = rays[0].shape[0] if rays is not None else cfg.height
     if attr_tables is not None:
-        from .camera import generate_rays
-        from .passes.gbuffer import gbuf_from_attr_channels
-        origins, dirs = rays if rays is not None else \
-            generate_rays(cam, cfg.width, height)
-        ch = trace(origins, dirs, attr_tables)[0]
-        gbuf = gbuf_from_attr_channels(ch, origins, dirs, cam, mesh)
+        gbuf = _fused_attr_gbuf(
+            lambda o, d: trace(o, d, attr_tables)[0],
+            mesh, cam, cfg, rays, height)
     else:
         def tracer(o, d):
             t, sidx = trace(o, d, None)[:2]
@@ -779,13 +784,21 @@ class Renderer:
         takes the ray-cast path + fits in VMEM alongside the wide accel."""
         if not self.config.inkernel_attrs:
             return False
+        if self.config.seeded_gbuffer:
+            # The seeded two-pass trace exists only on the shade-table
+            # path; honor the explicit flag rather than silently ignoring
+            # it (it is a measured-out variant kept for reproducibility).
+            return False
         if use_raster_gbuffer(self.config):
             # The raster G-buffer keys by original tri id; attr rows would
             # be built per rebuild and never read.
             return False
         from .kernels.pack import wide_vmem_bytes
         ntris = int(self.bvh.tri_v0.shape[0])
-        attr_bytes = 2 * self.bvh.num_leaves * 512
+        # at1 is a (1, 128) dummy for leaf_size <= 8 (one row per leaf
+        # otherwise) — match make_leaf_attr_rows exactly.
+        rows = (2 if self.config.leaf_size > 8 else 1)
+        attr_bytes = rows * self.bvh.num_leaves * 512 + 512
         total = wide_vmem_bytes(nw_pad, ntris, self.config.leaf_size) \
             + attr_bytes + self._VMEM_OVERHEAD
         return total <= self._VMEM_BUDGET_ATTR

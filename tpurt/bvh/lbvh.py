@@ -531,12 +531,15 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     if builder == "auto":
         from ..kernels.traverse import _compiled_backend
         builder = "kernel" if _compiled_backend() else "search"
-    # The Cartesian-stack topology kernel keeps ~8 i32 arrays of n_leaves
-    # entries in SMEM (outputs + stack scratch); past ~30k leaves that
-    # exceeds the 1 MB SMEM capacity (measured: 82k leaves wants 2.5 MB).
-    # Big scenes fall back to the XLA search builder.
-    if builder == "kernel" and tpad // leaf_size > 30_000:
-        builder = "search"
+        # The Cartesian-stack topology kernel keeps ~8 i32 arrays of
+        # n_leaves entries in SMEM (outputs + stack scratch); past ~30k
+        # leaves that exceeds the 1 MB SMEM capacity (measured: 82k
+        # leaves wants 2.5 MB). Auto falls back to the XLA search builder
+        # for big scenes; an EXPLICIT builder="kernel" is honored (the
+        # Mosaic compile will fail loudly) so A/B probes never silently
+        # measure the wrong builder.
+        if builder == "kernel" and tpad // leaf_size > 30_000:
+            builder = "search"
     if morton_bits == 60:
         if builder == "kernel":
             from ..kernels.build import morton_codes60_pallas

@@ -1679,8 +1679,8 @@ def _w8_closest_walk_attr(k: int, max_iters: int, textured: bool, ns_ref,
 
 
 def _write_attr_out(out_ref, b, res):
-    """Store an attr walk's 18-tuple as the ATTR_CH channels of packet b
-    (sorted idx rides as an exact float value; t = _BIG on miss)."""
+    """Store an attr walk's ATTR_CH-tuple (15) as the channels of packet
+    b (sorted idx rides as an exact float value; t = _BIG on miss)."""
     best_t, best_i = res[0], res[1]
     out_ref[b, 0] = jnp.where(best_i >= 0, best_t, _BIG)
     out_ref[b, 1] = best_i.astype(jnp.float32)
@@ -2740,35 +2740,13 @@ def trace_closest_soft_multi_shadow_pallas(bvh, origins, dirs, light0,
     if interpret is True:
         # prng_seed needs the TPU-semantics interpreter (zero bit stream).
         interpret = pltpu.InterpretParams()
-    const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
-                             lambda i, *_: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
     vma = getattr(jax.typeof(rays), "vma", None)
-    consts = [packed.nodes, packed.tris]
-    if attrs:
-        consts += [attr_tables[0], attr_tables[1]]
-        out_specs = (attr_spec, out_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
-                                          jnp.float32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
-    else:
-        out_specs = (out_spec, out_spec, out_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
-                                          vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    consts, in_specs, out_specs, out_shape = _fused_specs(
+        packed, attr_tables, pb, batch, vma, extra_i32=2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(pb // batch,),
-        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
@@ -2833,33 +2811,13 @@ def trace_closest_point_soft_shadow_pallas(bvh, origins, dirs, light_pos,
     if interpret is True:
         # prng_seed needs the TPU-semantics interpreter (zero bit stream).
         interpret = pltpu.InterpretParams()
-    const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
-                             lambda i, *_: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
     vma = getattr(jax.typeof(rays), "vma", None)
-    consts = [packed.nodes, packed.tris]
-    if attrs:
-        consts += [attr_tables[0], attr_tables[1]]
-        out_specs = (attr_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
-                                          jnp.float32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
-    else:
-        out_specs = (out_spec, out_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
-                                          vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    consts, in_specs, out_specs, out_shape = _fused_specs(
+        packed, attr_tables, pb, batch, vma, extra_i32=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(pb // batch,),
-        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
@@ -3019,6 +2977,39 @@ def trace_closest_pallas(bvh, origins, dirs, t_max=_BIG, cfg=None,
     return t, tri_id
 
 
+def _fused_specs(packed, attr_tables, pb, batch, vma, extra_i32: int):
+    """Shared pallas_call plumbing for the five fused primary+shadow
+    wrappers: const operand list (accel +, with attr tables, the leaf
+    attr rows), in_specs, out_specs and out_shape. The leading outputs
+    are (t f32, sidx i32) — replaced by ONE ATTR_CH-channel f32 output
+    when attr tables ride along — followed by ``extra_i32`` i32 outputs
+    (occlusion / counts / masks)."""
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    i32_out = jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma)
+    consts = [packed.nodes, packed.tris]
+    if attr_tables is not None:
+        consts += [attr_tables[0], attr_tables[1]]
+        attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
+                                 lambda i, *_: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs = (attr_spec,) + (out_spec,) * extra_i32
+        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
+                                          jnp.float32, vma=vma),) \
+            + (i32_out,) * extra_i32
+    else:
+        out_specs = (out_spec,) * (2 + extra_i32)
+        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
+                                          vma=vma), i32_out) \
+            + (i32_out,) * extra_i32
+    in_specs = [const_spec(c.shape) for c in consts] + [ray_spec]
+    return consts, in_specs, out_specs, out_shape
+
+
 def trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs, t_max=_BIG,
                                t_min: float = 0.0, textured: bool = False,
                                interpret: Optional[bool] = None):
@@ -3119,33 +3110,13 @@ def trace_closest_shadow_pallas(bvh, origins, dirs, light_dir, bias,
         iter_cap = _ITER_CAP_OVERRIDE
     if interpret is None:
         interpret = not _compiled_backend()
-    const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
-                             lambda i, *_: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
     vma = getattr(jax.typeof(rays), "vma", None)
-    consts = [packed.nodes, packed.tris]
-    if attrs:
-        consts += [attr_tables[0], attr_tables[1]]
-        out_specs = (attr_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
-                                          jnp.float32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
-    else:
-        out_specs = (out_spec, out_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
-                                          vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    consts, in_specs, out_specs, out_shape = _fused_specs(
+        packed, attr_tables, pb, batch, vma, extra_i32=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(pb // batch,),
-        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
@@ -3216,33 +3187,13 @@ def trace_closest_multi_shadow_pallas(bvh, origins, dirs, lights, bias,
         iter_cap = _ITER_CAP_OVERRIDE
     if interpret is None:
         interpret = not _compiled_backend()
-    const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
-                             lambda i, *_: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
     vma = getattr(jax.typeof(rays), "vma", None)
-    consts = [packed.nodes, packed.tris]
-    if attrs:
-        consts += [attr_tables[0], attr_tables[1]]
-        out_specs = (attr_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
-                                          jnp.float32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
-    else:
-        out_specs = (out_spec, out_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
-                                          vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    consts, in_specs, out_specs, out_shape = _fused_specs(
+        packed, attr_tables, pb, batch, vma, extra_i32=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(pb // batch,),
-        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
@@ -3309,33 +3260,13 @@ def trace_closest_soft_shadow_pallas(bvh, origins, dirs, axis_dir, cone_cos,
     if interpret is True:
         # prng_seed needs the TPU-semantics interpreter (zero bit stream).
         interpret = pltpu.InterpretParams()
-    const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((batch, 8, 128), lambda i, *_: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    attr_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
-                             lambda i, *_: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
     vma = getattr(jax.typeof(rays), "vma", None)
-    consts = [packed.nodes, packed.tris]
-    if attrs:
-        consts += [attr_tables[0], attr_tables[1]]
-        out_specs = (attr_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
-                                          jnp.float32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
-    else:
-        out_specs = (out_spec, out_spec, out_spec)
-        out_shape = (jax.ShapeDtypeStruct((pb, 8, 128), jnp.float32,
-                                          vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma),
-                     jax.ShapeDtypeStruct((pb, 8, 128), jnp.int32, vma=vma))
+    consts, in_specs, out_specs, out_shape = _fused_specs(
+        packed, attr_tables, pb, batch, vma, extra_i32=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(pb // batch,),
-        in_specs=[const_spec(c.shape) for c in consts] + [ray_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )

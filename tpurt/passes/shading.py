@@ -137,6 +137,22 @@ def unpack_oct12(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([hi, lo], axis=-1) * (2.0 / 4095.0) - 1.0
 
 
+def _pack_attr_rows(rows16, num_leaves: int, k: int):
+    """[Tpad, 16] per-triangle attr rows -> the (at0, at1) leaf-row pair.
+    THE shared packing tail: make_leaf_attr_rows (static/gather path) and
+    leaf_attr_rows_from_sorted (rebuild/payload path) must stay
+    bit-identical (tests/test_lbvh.py pins it), so both call this."""
+    per_leaf = rows16.reshape(num_leaves, k * ATTR_STRIDE)
+    lo = per_leaf[:, :min(k, 8) * ATTR_STRIDE]
+    at0 = jnp.pad(lo, ((0, 0), (0, 128 - lo.shape[1])))
+    if k > 8:
+        hi = per_leaf[:, 8 * ATTR_STRIDE:]
+        at1 = jnp.pad(hi, ((0, 0), (0, 128 - hi.shape[1])))
+    else:
+        at1 = jnp.zeros((1, 128), jnp.float32)
+    return at0, at1
+
+
 def make_leaf_attr_rows(bvh: LBVH, mesh: Mesh):
     """Leaf-major shading attributes for the in-kernel attribute-tracked
     closest hit (kernels/traverse.trace_closest_attrs_pallas).
@@ -173,15 +189,7 @@ def make_leaf_attr_rows(bvh: LBVH, mesh: Mesh):
         [n0, n1, n2, alb, layer, uv0, d1, d2, tid, pad],
         axis=1).astype(jnp.float32)                 # [Tpad, 16]
     n_leaves = bvh.num_leaves
-    per_leaf = rows16.reshape(n_leaves, k * ATTR_STRIDE)
-    lo = per_leaf[:, :min(k, 8) * ATTR_STRIDE]
-    at0 = jnp.pad(lo, ((0, 0), (0, 128 - lo.shape[1])))
-    if k > 8:
-        hi = per_leaf[:, 8 * ATTR_STRIDE:]
-        at1 = jnp.pad(hi, ((0, 0), (0, 128 - hi.shape[1])))
-    else:
-        at1 = jnp.zeros((1, 128), jnp.float32)
-    return at0, at1
+    return _pack_attr_rows(rows16, n_leaves, k)
 
 
 def attr_payload_columns(mesh: Mesh):
@@ -223,15 +231,7 @@ def leaf_attr_rows_from_sorted(cols, tri_id, num_leaves: int, k: int,
         [cols[0], cols[1], cols[2], cols[3], lay,
          u0u, u0v, d1u, d1v, d2u, d2v,
          tri_id.astype(jnp.float32), z, z, z, z], axis=1)   # [Tpad, 16]
-    per_leaf = rows16.reshape(num_leaves, k * ATTR_STRIDE)
-    lo = per_leaf[:, :min(k, 8) * ATTR_STRIDE]
-    at0 = jnp.pad(lo, ((0, 0), (0, 128 - lo.shape[1])))
-    if k > 8:
-        hi = per_leaf[:, 8 * ATTR_STRIDE:]
-        at1 = jnp.pad(hi, ((0, 0), (0, 128 - hi.shape[1])))
-    else:
-        at1 = jnp.zeros((1, 128), jnp.float32)
-    return at0, at1
+    return _pack_attr_rows(rows16, num_leaves, k)
 
 
 def table_tri_id(rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
