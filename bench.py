@@ -317,7 +317,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     if gbrd_ms is not None:
         result["gbuffer_raster_deferred_ms"] = round(gbrd_ms, 2)
     if frame_fused_ms is not None:
-        result["frame_fused_ms"] = round(frame_fused_ms, 2)
+        result["frame_unfused_ms"] = round(frame_fused_ms, 2)
 
     # ---- BASELINE configs 3/4/5 (fault-tolerant: the headline metric above
     # must survive an extras failure) -------------------------------------
@@ -566,7 +566,7 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
         k4 = jax.random.PRNGKey(0)
         cfg4 = _RC4(width=W4, height=H4,
                     leaf_size=getattr(static_accel, "leaf_size", 14),
-                    gbuffer="ray")
+                    gbuffer="ray", fused_shadow=False)
         fr4 = jax.jit(lambda a, m, c, k, s, at: jnp.sum(_rff(
             a, m, c, l2, k, cfg4, shade_table=s,
             attr_tables=at)["image"]))

@@ -152,10 +152,11 @@ def main(argv=None) -> int:
                    help="raster G-buffer with z-only records + one "
                         "shade-table gather (deferred shading) instead "
                         "of self-shading 32-float records")
-    p.add_argument("--fused-shadow", action="store_true",
-                   help="trace light-0's shadow inside the closest-hit "
-                        "kernel (ray G-buffer path; "
-                        "kernels/traverse.py trace_closest_shadow_pallas)")
+    p.add_argument("--no-fused-shadow", action="store_true",
+                   help="disable the fused primary+shadow kernels "
+                        "(default ON for applicable light sets on the ray "
+                        "G-buffer path; kernels/traverse.py "
+                        "trace_closest_*_shadow_pallas)")
     p.add_argument("--no-inkernel-attrs", action="store_true",
                    help="disable the attribute-tracked closest-hit "
                         "G-buffer (fall back to the one-gather packed "
@@ -213,7 +214,7 @@ def main(argv=None) -> int:
                        leaf_size=leaf_size, seed=args.seed,
                        gbuffer=args.gbuffer, sah=not args.no_sah,
                        raster_deferred=args.raster_deferred,
-                       fused_shadow=args.fused_shadow,
+                       fused_shadow=not args.no_fused_shadow,
                        inkernel_attrs=not args.no_inkernel_attrs)
 
     from .app import Renderer

@@ -236,13 +236,16 @@ class RenderConfig:
     # available (the reference's own startup strategy; measured +17%
     # shadow and 2x closest-hit throughput vs the on-device Morton tree).
     sah: bool = True
-    # Fused primary+shadow kernel: when the ray-cast G-buffer runs on the
-    # batched 8-wide Pallas path and light 0 is directional, trace its
-    # hard shadow ray inside the closest-hit kernel (phase 2), skipping
-    # the XLA raygen + packet re-layout round trip
-    # (kernels/traverse.py trace_closest_shadow_pallas). Off until the
-    # on-TPU measurement lands (probe r3z).
-    fused_shadow: bool = False
+    # Fused primary+shadow kernels: when the ray-cast G-buffer runs on
+    # the batched 8-wide Pallas path, trace the applicable lights'
+    # shadows inside the closest-hit kernel (phase 2) — no XLA raygen,
+    # no packet re-layout, one dispatch (kernels/traverse.py
+    # trace_closest_*_shadow_pallas). Default ON: with the attr-tracked
+    # phase 1 the fused frame measures equal-or-faster at every shape
+    # (1080p 41.5 vs 42.0 ms; 4K 2-light 151.7 vs 155.6) and the hard
+    # paths are bit-exact vs unfused. Light sets outside the fused
+    # matrix fall back per-light automatically.
+    fused_shadow: bool = True
     # Attribute-tracked closest hit: the traversal kernel selects the
     # winner's full shading attributes in registers, so the ray-cast
     # G-buffer needs ZERO per-pixel gathers — measured 13.5 vs 27.0 ms
