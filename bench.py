@@ -205,9 +205,12 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
         # production _rebuild_fused choice); static accels above use the
         # default area frontier.
         nw_pad = round_up_bucket(max(count_wide(bvh, mode="fixed"), 1))
-        rebuild = jax.jit(lambda v, i: jnp.sum(widen_lbvh(
-            build_lbvh(v, i, leaf_size=leaf_size, boxes="defer"),
-            nw_pad=nw_pad, mode="fixed").nodes))
+        def _rebuild(v, i):
+            b, dep = build_lbvh(v, i, leaf_size=leaf_size, boxes="defer",
+                                want_depth=True)
+            return jnp.sum(widen_lbvh(b, nw_pad=nw_pad, mode="fixed",
+                                      depths=dep).nodes)
+        rebuild = jax.jit(_rebuild)
         rebuild_ms = timed(lambda: rebuild(mesh.vertices, mesh.indices),
                            40) * 1e3
         widen_ms = max(rebuild_ms - build_ms, 0.0)
@@ -222,9 +225,12 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     rebuilt_shadow_ms = None
     if use_pallas and bvh_width == 8:
         try:
-            kw = jax.jit(lambda v, i: widen_lbvh(
-                build_lbvh(v, i, leaf_size=leaf_size, boxes="defer"),
-                nw_pad=nw_pad, mode="fixed"))(mesh.vertices, mesh.indices)
+            def _reb_acc(v, i):
+                b, dep = build_lbvh(v, i, leaf_size=leaf_size,
+                                    boxes="defer", want_depth=True)
+                return widen_lbvh(b, nw_pad=nw_pad, mode="fixed",
+                                  depths=dep)
+            kw = jax.jit(_reb_acc)(mesh.vertices, mesh.indices)
             rebuilt_shadow_ms = timed(
                 lambda: shade(kw, so, sd, stm), 32) * 1e3
             log(f"rebuilt-tree (morton) shadow trace: "

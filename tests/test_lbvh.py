@@ -323,6 +323,63 @@ def test_builder_kernel_topology_exact_vs_scan():
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+@pytest.mark.slow
+def test_builder_kernel_depth_output():
+    """topology_pallas(want_depth=True): the in-kernel reverse-finalize
+    depth sweep must equal wide.node_depths (the XLA pointer-doubling
+    pass it replaces in the fused rebuild), and the depth-carrying call
+    must not perturb child/first/last."""
+    from tpurt.bvh.lbvh import adjacent_deltas
+    from tpurt.bvh.morton import morton_of_points
+    from tpurt.bvh.wide import node_depths
+    from tpurt.kernels.build import topology_pallas
+    from tpurt.scenes import random_soup
+    for nt, leaf, seed in [(9, 1, 0), (700, 4, 11), (2000, 7, 3)]:
+        mesh = random_soup(nt, seed=seed)
+        v = np.asarray(mesh.vertices)
+        idx = np.asarray(mesh.indices)
+        v0, v1, v2 = v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]
+        tmin = np.minimum(np.minimum(v0, v1), v2)
+        tmax = np.maximum(np.maximum(v0, v1), v2)
+        c = (tmin + tmax) * 0.5
+        chi = morton_of_points(jnp.asarray(c), jnp.asarray(tmin.min(0)),
+                               jnp.asarray(tmax.max(0)))
+        srt = jnp.sort(chi)
+        lc = (srt[:(srt.shape[0] // leaf) * leaf:leaf], None)
+        d = adjacent_deltas(lc)
+        c1, f1, l1 = topology_pallas(d, interpret=True)
+        c2, f2, l2, dep = topology_pallas(d, interpret=True,
+                                          want_depth=True)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(dep),
+                                      np.asarray(node_depths(c1)))
+
+
+def test_build_lbvh_want_depth_widen_parity():
+    """build_lbvh(want_depth=True) + widen_lbvh(depths=...) must produce
+    the identical wide accel as the depth-free path (the fused rebuild
+    rides this), and the search builder must return depth=None."""
+    from tpurt.bvh.wide import (round_up_bucket, wide_count_device,
+                                widen_lbvh)
+    from tpurt.scenes import random_soup
+    mesh = random_soup(900, seed=5)
+    v, idx = jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices)
+    b_k, dep = build_lbvh(v, idx, leaf_size=4, builder="kernel",
+                          boxes="defer", want_depth=True)
+    assert dep is not None
+    _, dep_s = build_lbvh(v, idx, leaf_size=4, builder="search",
+                          boxes="defer", want_depth=True)
+    assert dep_s is None
+    nw = round_up_bucket(
+        max(int(wide_count_device(b_k, mode="fixed", depths=dep)), 1), 64)
+    w1 = widen_lbvh(b_k, nw_pad=nw, mode="fixed", depths=dep)
+    w2 = widen_lbvh(b_k, nw_pad=nw, mode="fixed")
+    np.testing.assert_array_equal(np.asarray(w1.nodes),
+                                  np.asarray(w2.nodes))
+
+
 def test_morton_codes_kernel_bitexact():
     """morton_codes_pallas must equal the XLA morton_of_points bit-for-bit
     (same quantize clamp, same dilation) — it feeds the sort keys, so any

@@ -144,19 +144,25 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
     if tables == "attr":
         extra = attr_payload_columns(mesh)
     r = build_lbvh(vertices, indices, leaf_size=leaf_size, boxes="defer",
-                   extra_payload=extra)
-    bvh, extras = r if extra else (r, ())
+                   extra_payload=extra, want_depth=True)
+    if extra:
+        bvh, extras, depth = r
+    else:
+        (bvh, depth), extras = r, ()
     # "fixed" frontier: the area collapse's 64-sweep reachability is a
     # once-per-scene cost the per-frame rebuild cannot afford (wide.py
-    # FRONTIER_MODE note); the count below must use the same mode.
-    wide = widen_lbvh(bvh, nw_pad=nw_pad, mode="fixed")
+    # FRONTIER_MODE note); the count below must use the same mode. The
+    # kernel builder's depth output replaces the pointer-doubling pass
+    # (None on search-builder fallbacks — widen recomputes depths then).
+    wide = widen_lbvh(bvh, nw_pad=nw_pad, mode="fixed", depths=depth)
     st = make_shade_table(bvh, mesh) if tables == "st" else None
     st_orig = make_shade_table_orig(mesh) if tables in ("st", "sto") \
         else None
     at = leaf_attr_rows_from_sorted(
         extras, bvh.tri_id, bvh.num_leaves, leaf_size,
         textured) if tables == "attr" else None
-    return bvh, wide, st, st_orig, at, wide_count_device(bvh, mode="fixed")
+    return bvh, wide, st, st_orig, at, wide_count_device(bvh, mode="fixed",
+                                                         depths=depth)
 
 
 @partial(jax.jit, static_argnames=("attrs",))

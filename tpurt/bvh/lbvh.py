@@ -459,7 +459,7 @@ def _leaf_boxes(v0, e1, e2, leaf_size: int):
 def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                leaf_size: int = 4, morton_bits: int = 30,
                builder: str = "auto", boxes: str = "full",
-               extra_payload: tuple = ()) -> LBVH:
+               extra_payload: tuple = (), want_depth: bool = False) -> LBVH:
     """Full on-device build: sort + topology + boxes. jit-able; all shapes
     depend only on (num_triangles, leaf_size).
 
@@ -489,7 +489,15 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     rebuild (build + 8-wide collapse in one program) only ever reads the
     ~Ni/7 wide nodes' boxes, which widen_lbvh then queries straight from
     the RMQ sparse table — skipping the all-nodes box assembly (probe
-    r3s: ~1.9 ms of the Sponza rebuild)."""
+    r3s: ~1.9 ms of the Sponza rebuild).
+
+    want_depth: append per-node depths (i32[Ni], root = 0) to the return
+    tuple — free from the kernel builder's finalize sweep, None from the
+    search builder (callers fall back to wide.node_depths). The fused
+    rebuild feeds this to widen_lbvh so the fixed-frontier wide mask
+    skips the XLA pointer-doubling depth pass. Return value: LBVH, plus
+    sorted extras when extra_payload is non-empty, plus depth when
+    want_depth — in that order."""
     num_tris = int(indices.shape[0])
     tpad = _round_up(max(num_tris, 2 * leaf_size), leaf_size)
     pad = tpad - num_tris
@@ -573,14 +581,29 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     sorted_extras = tuple(s[13:13 + n_extra])
     lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
 
+    depth = None
     if builder == "kernel":
         # Scalar-core Cartesian-stack topology (kernels/build.py) + XLA
         # RMQ boxes — the measured-fastest split; the all-in-one kernel
         # (topology_and_boxes_pallas) loses on serial VMEM row access.
         from ..kernels.build import topology_pallas
-        child, first, last = topology_pallas(adjacent_deltas(leaf_codes))
+        r = topology_pallas(adjacent_deltas(leaf_codes),
+                            want_depth=want_depth)
+        if want_depth:
+            child, first, last, depth = r
+        else:
+            child, first, last = r
     else:
         child, first, last = karras_topology(leaf_codes)
+
+    def ret(out):
+        r = (out,)
+        if n_extra:
+            r += (sorted_extras,)
+        if want_depth:
+            r += (depth,)
+        return r if len(r) > 1 else out
+
     if boxes == "defer":
         # Root box = reduction over the LEAF boxes (not the raw scene
         # bounds: leaf boxes use reconstructed corners v0+e1/v0+e2, which
@@ -592,7 +615,7 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                    tri_sorted=tri_sorted, tri_id=tri_id,
                    root_min=pb2[:3], root_max=-pb2[3:],
                    leaf_size=leaf_size)
-        return (out, sorted_extras) if n_extra else out
+        return ret(out)
     nodes_box, root_min, root_max = _assemble_node_boxes(
         lmin, lmax, child, first, last)
 
@@ -600,7 +623,7 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
                tri_sorted=tri_sorted, tri_id=tri_id, root_min=root_min,
                root_max=root_max, leaf_size=leaf_size)
-    return (out, sorted_extras) if n_extra else out
+    return ret(out)
 
 
 def refit_lbvh(bvh: LBVH, vertices: jnp.ndarray, indices: jnp.ndarray) -> LBVH:

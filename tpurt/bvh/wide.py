@@ -318,7 +318,7 @@ def wide_roots_reachable(child: jnp.ndarray, front: jnp.ndarray,
 FRONTIER_MODE = "area"
 
 
-def _front_and_mask(child, nodes_box=None, mode=None):
+def _front_and_mask(child, nodes_box=None, mode=None, depths=None):
     mode = mode or FRONTIER_MODE
     if mode == "area" and nodes_box is None:
         # Deferred-box builds (build_lbvh(boxes="defer")) carry no node
@@ -333,6 +333,11 @@ def _front_and_mask(child, nodes_box=None, mode=None):
         front = frontiers_adaptive(child)
         return front, wide_roots_reachable(child, front)
     front = frontiers(child)
+    if depths is not None:
+        # Pre-computed depths (the build kernel's finalize sweep,
+        # build_lbvh(want_depth=True)) skip node_depths' pointer-doubling
+        # pass — the fixed cut's mask is exactly depth % 3 == 0.
+        return front, depths % 3 == 0
     return front, wide_roots(child, front)
 
 
@@ -351,12 +356,16 @@ def count_wide(bvh: LBVH, mode: str = None) -> int:
                               mode=mode or FRONTIER_MODE))
 
 
-def wide_count_device(bvh: LBVH, mode: str = None) -> jnp.ndarray:
+def wide_count_device(bvh: LBVH, mode: str = None,
+                      depths=None) -> jnp.ndarray:
     """Jittable wide-node count as a DEVICE scalar — lets a fused
     rebuild+collapse program expose the count for opportunistic overflow
     checking without a per-frame host sync (XLA CSE merges this with the
-    mask computed inside widen_lbvh in the same program)."""
-    _, mask = _front_and_mask(bvh.nodes_child, bvh.nodes_box, mode=mode)
+    mask computed inside widen_lbvh in the same program). ``depths`` must
+    match what the widen was given, or the count measures a different
+    mask."""
+    _, mask = _front_and_mask(bvh.nodes_child, bvh.nodes_box, mode=mode,
+                              depths=depths)
     return jnp.sum(mask)
 
 
@@ -512,16 +521,19 @@ def widen_from_plan(plan, bvh: LBVH, leaf_boxes=None) -> WideBVH:
 
 
 def widen_lbvh(bvh: LBVH, nw_pad: int, from_node_boxes: bool = False,
-               mode: str = None) -> WideBVH:
+               mode: str = None, depths=None) -> WideBVH:
     """Collapse to 8-wide. ``nw_pad`` must be >= count_wide(bvh) (static;
     round up to a bucket to avoid recompiles across frames).
     ``from_node_boxes`` takes the leaf slots' boxes from the stored
     per-child node boxes (leaf_boxes_from_nodes) — strictly tighter on
     SBVH topologies, identical on Karras/object trees. ``mode`` overrides
-    the module FRONTIER_MODE (fixed/bfs/area)."""
+    the module FRONTIER_MODE (fixed/bfs/area). ``depths`` (i32[Ni], from
+    build_lbvh(want_depth=True)) short-circuits the fixed cut's
+    node_depths pass."""
     child = bvh.nodes_child
     ni = child.shape[0]
-    front, wide = _front_and_mask(child, bvh.nodes_box, mode=mode)
+    front, wide = _front_and_mask(child, bvh.nodes_box, mode=mode,
+                                  depths=depths)
 
     # Dense id for every wide binary node (garbage elsewhere).
     ids = jnp.cumsum(wide.astype(jnp.int32)) - 1

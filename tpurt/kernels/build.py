@@ -57,14 +57,27 @@ def _group8(row, g):
     return jnp.where((g & 1) > 0, q[:, 8:16], q[:, 0:8])
 
 
-def _build_kernel(ni: int, with_boxes: bool, d_ref, lbox_ref, nbox_ref,
-                  childl_ref, childr_ref, first_ref, last_ref, root_ref,
-                  stack_ref, lc_ref, rc_ref):
+def _build_kernel(ni: int, with_boxes: bool, with_depth: bool, d_ref,
+                  lbox_ref, nbox_ref, childl_ref, childr_ref, first_ref,
+                  last_ref, depth_ref, root_ref, stack_ref, seq_ref):
     """See module docstring. with_boxes=False skips the per-finalize box
     unions (measured on a v5e: each dynamic VMEM row access in the serial
     sweep costs ~470 cycles, making the in-kernel box pass SLOWER than the
     XLA RMQ it replaces — the scalar-core topology alone is the win:
-    ~2.5 ms vs ~6.9 ms of sequential XLA gathers)."""
+    ~2.5 ms vs ~6.9 ms of sequential XLA gathers).
+
+    The child arrays double as the build scratch (lc is final at push
+    time; rc's tentative values live in childr until finalize rewrites
+    the leaf encoding) — SMEM is the binding resource for the kernel's
+    leaf-count gate, and the fold also drops one read+write per node.
+
+    with_depth=True additionally emits every node's depth (root = 0):
+    ``seq_ref`` records the finalize order (children-first by
+    construction), so one extra serial sweep in REVERSE seq order visits
+    parents before children and assigns depth[child] = depth[node] + 1.
+    This replaces the XLA pointer-doubling depth pass (7 sequential
+    [Ni,2] gathers) that the fixed-frontier 8-wide collapse needs —
+    the per-frame rebuild's wide mask is just depth % 3 == 0."""
 
     def leaf_box8(leaf):
         row = lbox_ref[pl.ds(leaf >> 4, 1), :]
@@ -93,17 +106,19 @@ def _build_kernel(ni: int, with_boxes: bool, d_ref, lbox_ref, nbox_ref,
         return jax.lax.cond(ref < 0, lambda: -ref - 1,
                             lambda: last_ref[ref])
 
-    def finalize(x):
+    def finalize(x, k):
         """x's children are final: record child refs, range, and write
         x's 16-float node record [Lbox(6) pad2 Rbox(6) pad2]... packed as
-        [Lmin,Lmax,Rmin,Rmax, 0,0,0,0] to match lbvh nodes_box order."""
-        lc = lc_ref[x]
-        rc = rc_ref[x]
+        [Lmin,Lmax,Rmin,Rmax, 0,0,0,0] to match lbvh nodes_box order.
+        ``k`` is the finalize ordinal (pops so far) for the seq record."""
+        lc = childl_ref[x]
+        rc = childr_ref[x]
         rc = jnp.where(rc == _NONE, -(x + 2), rc)      # right leaf x+1
-        childl_ref[x] = lc
         childr_ref[x] = rc
         first_ref[x] = first_of(lc)
         last_ref[x] = last_of(rc)
+        if with_depth:
+            seq_ref[k] = x
         if not with_boxes:
             return
         lb = box_of(lc)                                 # (1,8) min3 max3 _
@@ -130,7 +145,7 @@ def _build_kernel(ni: int, with_boxes: bool, d_ref, lbox_ref, nbox_ref,
         # g's rc slot is first touched when a LATER gap claims g from the
         # stack top, so initializing it here (g is pushed exactly once)
         # replaces the separate init sweep — one serial pass instead of two.
-        rc_ref[g] = jnp.int32(_NONE)
+        childr_ref[g] = jnp.int32(_NONE)
         dg = d_ref[g]
 
         def cond(c):
@@ -141,16 +156,18 @@ def _build_kernel(ni: int, with_boxes: bool, d_ref, lbox_ref, nbox_ref,
         def pop(c):
             sp, _ = c
             x = stack_ref[sp - 1]
-            finalize(x)
+            # pops so far = pushes so far (g) - current stack size (sp).
+            finalize(x, g - sp)
             return sp - 1, x
 
         sp, last_popped = jax.lax.while_loop(cond, pop,
                                              (sp, jnp.int32(_NONE)))
-        lc_ref[g] = jnp.where(last_popped == _NONE, -(g + 1), last_popped)
+        childl_ref[g] = jnp.where(last_popped == _NONE, -(g + 1),
+                                  last_popped)
 
         @pl.when(sp > 0)
         def _():
-            rc_ref[stack_ref[sp - 1]] = g
+            childr_ref[stack_ref[sp - 1]] = g
 
         stack_ref[sp] = g
         return sp + 1
@@ -164,14 +181,39 @@ def _build_kernel(ni: int, with_boxes: bool, d_ref, lbox_ref, nbox_ref,
 
     def drain(c):
         sp = c
-        finalize(stack_ref[sp - 1])
+        finalize(stack_ref[sp - 1], ni - sp)
         return sp - 1
 
     jax.lax.while_loop(drain_cond, drain, sp)
     root_ref[0] = stack_ref[0]
 
+    if with_depth:
+        # Reverse finalize order visits parents before children (finalize
+        # is children-first): seq[ni-1] is the root; each node hands
+        # depth+1 to its internal children. O(ni) serial SMEM ops.
+        depth_ref[stack_ref[0]] = jnp.int32(0)
 
-def _topology_call(d, lbox, ni, nip, with_boxes, interpret):
+        def depth_body(k, _):
+            x = seq_ref[ni - 1 - k]
+            dc = depth_ref[x] + 1
+            lc = childl_ref[x]
+            rc = childr_ref[x]
+
+            @pl.when(lc >= 0)
+            def _():
+                depth_ref[lc] = dc
+
+            @pl.when(rc >= 0)
+            def _():
+                depth_ref[rc] = dc
+
+            return 0
+
+        jax.lax.fori_loop(0, ni, depth_body, 0, unroll=False)
+
+
+def _topology_call(d, lbox, ni, nip, with_boxes, interpret,
+                   with_depth=False):
     out_shape = (
         jax.ShapeDtypeStruct(((nip // 8) if with_boxes else 1, 128),
                              jnp.float32),                    # node boxes
@@ -179,6 +221,8 @@ def _topology_call(d, lbox, ni, nip, with_boxes, interpret):
         jax.ShapeDtypeStruct((ni,), jnp.int32),               # child_r
         jax.ShapeDtypeStruct((ni,), jnp.int32),               # first
         jax.ShapeDtypeStruct((ni,), jnp.int32),               # last
+        jax.ShapeDtypeStruct((ni if with_depth else 1,),
+                             jnp.int32),                      # depth
         jax.ShapeDtypeStruct((1,), jnp.int32),                # root gap
     )
     smem_out = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -187,13 +231,14 @@ def _topology_call(d, lbox, ni, nip, with_boxes, interpret):
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   smem_out, smem_out, smem_out, smem_out, smem_out),
+                   smem_out, smem_out, smem_out, smem_out, smem_out,
+                   smem_out),
         scratch_shapes=[pltpu.SMEM((ni + 1,), jnp.int32),   # stack
-                        pltpu.SMEM((ni,), jnp.int32),       # lc
-                        pltpu.SMEM((ni,), jnp.int32)],      # rc
+                        pltpu.SMEM((ni if with_depth else 1,),
+                                   jnp.int32)],             # finalize seq
     )
     fn = pl.pallas_call(
-        functools.partial(_build_kernel, ni, with_boxes),
+        functools.partial(_build_kernel, ni, with_boxes, with_depth),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -217,18 +262,26 @@ def _renumber(root, cl, cr, first, last):
     return swap_rows(child), swap_rows(first), swap_rows(last), swap_rows
 
 
-def topology_pallas(d: jnp.ndarray, interpret=None):
+def topology_pallas(d: jnp.ndarray, interpret=None, want_depth=False):
     """Scalar-core Karras topology only (the production kernel mode):
     (child i32[ni,2], first, last) with root = node 0 — drop-in for
     lbvh.karras_topology; boxes stay on the XLA RMQ path. Measured v5e,
-    Sponza 20.5k leaves: ~2.5 ms vs ~6.9 ms for the gather-bound search."""
+    Sponza 20.5k leaves: ~2.5 ms vs ~6.9 ms for the gather-bound search.
+
+    want_depth=True returns (child, first, last, depth) with depth[n] the
+    node's depth (root row = 0) — feeds the fixed-frontier collapse's
+    wide mask without the XLA pointer-doubling pass (bvh/wide.py
+    node_depths: a scatter + 7 sequential gathers)."""
     ni = int(d.shape[0])
     if interpret is None:
         interpret = not _compiled_backend()
     lbox = jnp.zeros((1, 128), jnp.float32)
-    _, cl, cr, first, last, root = _topology_call(
-        d, lbox, ni, 8, with_boxes=False, interpret=interpret)
-    child, first, last, _ = _renumber(root[0], cl, cr, first, last)
+    _, cl, cr, first, last, depth, root = _topology_call(
+        d, lbox, ni, 8, with_boxes=False, interpret=interpret,
+        with_depth=want_depth)
+    child, first, last, swap_rows = _renumber(root[0], cl, cr, first, last)
+    if want_depth:
+        return child, first, last, swap_rows(depth)
     return child, first, last
 
 
@@ -254,7 +307,7 @@ def topology_and_boxes_pallas(d: jnp.ndarray, leaf_min: jnp.ndarray,
     lbox = lb8.reshape(nlp // 16, 128)
     nip = -(-ni // 8) * 8
 
-    nbox_packed, cl, cr, first, last, root = _topology_call(
+    nbox_packed, cl, cr, first, last, _, root = _topology_call(
         d, lbox, ni, nip, with_boxes=True, interpret=interpret)
     root = root[0]
     child, first, last, swap_rows = _renumber(root, cl, cr, first, last)
