@@ -289,14 +289,14 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                                    st, st_orig, at_tabs), 20) * 1e3
     log(f"frame (gbuffer+shadow+composite): {frame_ms:.2f} ms; "
         f"build+trace: {rebuild_ms + shadow_s*1e3:.2f} ms")
-    # Fused primary+shadow frame: light-0's hard shadow traced inside the
-    # closest-hit kernel (RenderConfig.fused_shadow). Fault-tolerant
-    # comparison point; the winner becomes the default once measured.
+    # Unfused comparison frame: frame_ms above measures the production
+    # default (fused_shadow=True); this re-measures with the fusion OFF so
+    # the delta stays visible round over round.
     frame_fused_ms = None
     if use_pallas and bvh_width == 8:
         try:
             import dataclasses as _dc
-            cfgf = _dc.replace(cfg, gbuffer="ray", fused_shadow=True)
+            cfgf = _dc.replace(cfg, gbuffer="ray", fused_shadow=False)
             framef = jax.jit(
                 lambda a, mesh, cam, lights, key, st, sto, at:
                 jnp.sum(render_frame_fn(a, mesh, cam, lights, key, cfgf,
