@@ -18,9 +18,28 @@ from tpurt.scenes import random_soup
 pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """The full-suite SIGSEGV (VERDICT r3) crashed 3/3 inside
+    compilation_cache.put_executable_and_time (zstd serialization of a
+    fresh executable) while THIS module's compile storm ran late in the
+    suite. Property tests compile dozens of unique tiny programs that a
+    cache can never amortize anyway — disable the persistent cache for
+    the module so the crash site is never reached."""
+    import jax
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @st.composite
 def scene_and_rays(draw):
-    nt = draw(st.integers(min_value=9, max_value=120))
+    # nt is drawn from fixed buckets, not a continuous range: every
+    # distinct triangle count is a distinct XLA program, and the compile
+    # storm (not the checking) is what made this module take 4+ minutes
+    # per test. Seeds (content) stay fully random.
+    nt = draw(st.sampled_from([9, 16, 33, 64, 120]))
     mesh_seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
     ray_seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
     leaf = draw(st.sampled_from([1, 2, 4, 7]))

@@ -89,6 +89,13 @@ def available() -> bool:
     return load_library() is not None
 
 
+def ensure_native() -> bool:
+    """Build+load the native library eagerly (no-op when already loaded).
+    Callers that time the first native call (bench.py) use this to keep
+    the one-time g++ compile out of their measured sections."""
+    return available()
+
+
 def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
