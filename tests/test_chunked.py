@@ -96,3 +96,26 @@ def test_renderer_chunked_image_matches(scene):
     got = np.asarray(r.render_frame()["image"])
     diff = np.abs(got - want).max(axis=-1)
     assert (diff > 2e-2).mean() < 0.005
+
+
+def test_widen_guard_blocks_device_crashing_sizes():
+    """The 1M-tri single wide accel crashed the TPU device (NOTES_ROUND3
+    §G); widen_lbvh must refuse such sizes at trace time with a pointer
+    to the chunked path (VERDICT r3 missing #4)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tpurt.bvh.lbvh import build_lbvh
+    from tpurt.bvh.wide import SAFE_WIDEN_BYTES, widen_lbvh
+    from tpurt.scenes import random_soup
+
+    mesh = random_soup(64, seed=3)
+    bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
+                     leaf_size=4)
+    too_big = SAFE_WIDEN_BYTES // 512 + 1024
+    with pytest.raises(ValueError, match="chunked"):
+        widen_lbvh(bvh, nw_pad=too_big)
+    # The escape hatch stays available for isolation probes (tiny tree,
+    # huge pad: wasteful but harmless here).
+    w = widen_lbvh(bvh, nw_pad=1024, mode="fixed")
+    assert w.num_wide == 1024

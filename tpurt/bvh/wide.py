@@ -520,8 +520,20 @@ def widen_from_plan(plan, bvh: LBVH, leaf_boxes=None) -> WideBVH:
                    num_wide=nw_pad, leaf_size=k)
 
 
+# Single-accel size guard: a ~56 MB wide accel (1M tris, nw_pad 27.6k)
+# crashed the DEVICE inside the pure-XLA widen program (UNAVAILABLE,
+# reproduced twice, wedges the remote-TPU tunnel for hours —
+# NOTES_ROUND3 §G). Until the root cause is isolated, any widen whose
+# projected accel exceeds this budget raises at TRACE time (static
+# shapes; zero device cost) and points at the chunked path, which covers
+# the same scenes with per-chunk accels well under the limit.
+SAFE_WIDEN_BYTES = 40_000_000
+_ROW_BYTES = 512          # one 128-lane f32 row (nodes and leaf rows alike)
+
+
 def widen_lbvh(bvh: LBVH, nw_pad: int, from_node_boxes: bool = False,
-               mode: str = None, depths=None) -> WideBVH:
+               mode: str = None, depths=None,
+               unsafe_large_accel: bool = False) -> WideBVH:
     """Collapse to 8-wide. ``nw_pad`` must be >= count_wide(bvh) (static;
     round up to a bucket to avoid recompiles across frames).
     ``from_node_boxes`` takes the leaf slots' boxes from the stored
@@ -529,9 +541,18 @@ def widen_lbvh(bvh: LBVH, nw_pad: int, from_node_boxes: bool = False,
     SBVH topologies, identical on Karras/object trees. ``mode`` overrides
     the module FRONTIER_MODE (fixed/bfs/area). ``depths`` (i32[Ni], from
     build_lbvh(want_depth=True)) short-circuits the fixed cut's
-    node_depths pass."""
+    node_depths pass. ``unsafe_large_accel=True`` bypasses the
+    SAFE_WIDEN_BYTES device-crash guard (isolation probes only)."""
     child = bvh.nodes_child
     ni = child.shape[0]
+    est_bytes = (nw_pad + bvh.num_leaves) * _ROW_BYTES
+    if est_bytes > SAFE_WIDEN_BYTES and not unsafe_large_accel:
+        raise ValueError(
+            f"single wide accel would be ~{est_bytes/1e6:.0f} MB "
+            f"(> {SAFE_WIDEN_BYTES/1e6:.0f} MB guard): accels this size "
+            f"crashed the TPU device in the widen program (NOTES_ROUND3 "
+            f"§G). Use bvh.chunked.build_chunked (Renderer does this "
+            f"automatically) or pass unsafe_large_accel=True to probe.")
     front, wide = _front_and_mask(child, bvh.nodes_box, mode=mode,
                                   depths=depths)
 
@@ -635,7 +656,8 @@ def round_up_bucket(n: int, bucket: int = 1024) -> int:
 
 
 _widen_jit = jax.jit(widen_lbvh,
-                     static_argnames=("nw_pad", "from_node_boxes", "mode"))
+                     static_argnames=("nw_pad", "from_node_boxes", "mode",
+                                      "unsafe_large_accel"))
 
 
 @partial(jax.jit, static_argnames=("mode",))
