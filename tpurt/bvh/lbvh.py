@@ -227,8 +227,9 @@ def adjacent_deltas(leaf_codes) -> jnp.ndarray:
     return jnp.where(xh == 0, d_lo, jax.lax.clz(xh).astype(jnp.int32))
 
 
-def karras_topology_scan(leaf_codes) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                              jnp.ndarray]:
+def karras_topology_scan(leaf_codes, d_override=None,
+                         d_max: int = 96) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                   jnp.ndarray]:
     """Karras topology via the Cartesian-tree / all-nearest-smaller-values
     formulation — same contract as karras_topology, different cost shape.
 
@@ -258,10 +259,17 @@ def karras_topology_scan(leaf_codes) -> Tuple[jnp.ndarray, jnp.ndarray,
     n = int(leaf_codes[0].shape[0])
     assert n >= 2, "need at least two leaves"
     ni = n - 1
-    delta = _make_delta(leaf_codes)
     g = jnp.arange(ni, dtype=jnp.int32)
-    d = delta(g, g + 1)                     # D[g] in [0, 96]
-    nv = 98
+    if d_override is not None:
+        # Priority-steered topology (e.g. kernels.build
+        # sweep_sah_priorities): the min-Cartesian tree over ANY priority
+        # array is a valid contiguous-range tree; d_max must bound the
+        # override's values.
+        d = d_override.astype(jnp.int32)
+    else:
+        delta = _make_delta(leaf_codes)
+        d = delta(g, g + 1)                 # D[g] in [0, 96]
+    nv = d_max + 2
 
     # L[g]: running max of g where D <= v, per threshold v.
     le = d[:, None] <= jnp.arange(nv, dtype=jnp.int32)[None, :]
@@ -459,7 +467,8 @@ def _leaf_boxes(v0, e1, e2, leaf_size: int):
 def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                leaf_size: int = 4, morton_bits: int = 30,
                builder: str = "auto", boxes: str = "full",
-               extra_payload: tuple = (), want_depth: bool = False) -> LBVH:
+               extra_payload: tuple = (), want_depth: bool = False,
+               top_sah: bool = False) -> LBVH:
     """Full on-device build: sort + topology + boxes. jit-able; all shapes
     depend only on (num_triangles, leaf_size).
 
@@ -490,6 +499,11 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     ~Ni/7 wide nodes' boxes, which widen_lbvh then queries straight from
     the RMQ sparse table — skipping the all-nodes box assembly (probe
     r3s: ~1.9 ms of the Sponza rebuild).
+
+    top_sah: re-choose the top ~log2(n_leaves/64) levels of the topology
+    by a sweep-SAH over the Morton order (kernels/build.py
+    sweep_sah_priorities) — higher-quality trees for per-frame rebuilds
+    at ~1 ms extra; Morton structure below the cut is unchanged.
 
     want_depth: append per-node depths (i32[Ni], root = 0) to the return
     tuple — free from the kernel builder's finalize sweep, None from the
@@ -582,17 +596,30 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
 
     depth = None
+    d = None
+    if top_sah:
+        # Config-2 rebuilt-tree quality: re-choose the TOP splits by a
+        # sweep-SAH over the Morton order (kernels/build.py
+        # sweep_sah_priorities — the Cartesian-tree priorities steer the
+        # unchanged topology kernel; leaf ranges stay contiguous).
+        from ..kernels.build import sweep_sah_priorities
+        d = sweep_sah_priorities(adjacent_deltas(leaf_codes), lmin, lmax)
     if builder == "kernel":
         # Scalar-core Cartesian-stack topology (kernels/build.py) + XLA
         # RMQ boxes — the measured-fastest split; the all-in-one kernel
         # (topology_and_boxes_pallas) loses on serial VMEM row access.
         from ..kernels.build import topology_pallas
-        r = topology_pallas(adjacent_deltas(leaf_codes),
+        r = topology_pallas(d if d is not None
+                            else adjacent_deltas(leaf_codes),
                             want_depth=want_depth)
         if want_depth:
             child, first, last, depth = r
         else:
             child, first, last = r
+    elif d is not None:
+        from ..kernels.build import SWEEP_MAXD
+        child, first, last = karras_topology_scan(leaf_codes, d_override=d,
+                                                  d_max=96 + SWEEP_MAXD)
     else:
         child, first, last = karras_topology(leaf_codes)
 
