@@ -638,6 +638,41 @@ def order_children_for_direction(wide: WideBVH, direction) -> WideBVH:
     return _apply_child_order(wide, rows, key)
 
 
+def order_children_octant(wide: WideBVH) -> WideBVH:
+    """Octant SLOT assignment for near-first closest-hit traversal
+    (kernels/traverse._octant_visit): place each child in the slot whose
+    3-bit index matches the child centroid's octant relative to the node
+    center (x -> bit 2, y -> bit 1, z -> bit 0 — the kernel's rank is
+    slot XOR ray-octant). Collisions resolve greedily slot-major by
+    Hamming distance of the codes; empty slots fill last. Camera/light
+    independent — apply once at accel build. Correctness does not depend
+    on slot order, so this composes with (and replaces) the any-hit area
+    ordering only as a measured choice."""
+    rows = wide.nodes.reshape(-1, WIDE_FACTOR, 16)
+    empty = rows[:, :, 0] > rows[:, :, 3]
+    center = (rows[:, :, 0:3] + rows[:, :, 3:6]) * 0.5
+    w = (~empty).astype(jnp.float32)
+    nc = (jnp.where(empty[..., None], 0.0, center).sum(axis=1)
+          / jnp.maximum(w.sum(axis=1), 1.0)[:, None])
+    code = (((center[:, :, 0] > nc[:, None, 0]).astype(jnp.int32) << 2)
+            | ((center[:, :, 1] > nc[:, None, 1]).astype(jnp.int32) << 1)
+            | (center[:, :, 2] > nc[:, None, 2]).astype(jnp.int32))
+    taken = jnp.zeros(code.shape, jnp.bool_)
+    child = jnp.arange(WIDE_FACTOR, dtype=jnp.int32)[None, :]
+    picks = []
+    for s in range(WIDE_FACTOR):
+        x = code ^ s
+        ham = (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1)
+        cost = ham + jnp.where(empty, 16, 0) + jnp.where(taken, 64, 0)
+        pick = jnp.argmin(cost, axis=1).astype(jnp.int32)    # (N,)
+        taken = taken | (child == pick[:, None])
+        picks.append(pick)
+    perm = jnp.stack(picks, axis=1)                          # slot s <- perm
+    ordered = jnp.take_along_axis(rows, perm[:, :, None], axis=1)
+    return dataclasses.replace(wide,
+                               nodes=ordered.reshape(wide.nodes.shape))
+
+
 def _apply_child_order(wide: WideBVH, rows, key) -> WideBVH:
     # Empty slots (inverted boxes) sort to the front (pushed first, popped
     # last, and their guard kills them anyway).
