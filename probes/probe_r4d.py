@@ -121,12 +121,14 @@ def main():
     from tpurt.kernels.traverse import to_packets
     from tpurt.scenes import sponza_interior_camera, sponza_scene
 
+    leaf = int(os.environ.get("R4D_LEAF", "14"))
     W, H = 1920, 1080
     host_mesh = sponza_scene(260_000)
     cam = sponza_interior_camera()
-    sah = build_sah_lbvh(host_mesh, 14)
+    sah = build_sah_lbvh(host_mesh, leaf)
     wide = build_wide(sah)
     k = wide.leaf_size
+    log(f"leaf_size={k} wide_nodes={wide.num_wide}")
 
     o, d = generate_rays(cam, W, H)
     comps = [to_packets(jnp.asarray(x[..., c]).reshape(H, W))
