@@ -33,7 +33,7 @@ def log(*a):
 
 
 def walk_packet(nodes, ox, oy, oz, dx, dy, dz, tmax, leaf_tris, k,
-                xor_oct=False):
+                xor_oct=False, return_t=False):
     """Exact mirror of _closest_w8_b_impl for ONE packet (1024 lanes).
     nodes: (Nw, 8, 16) rows; leaf_tris: (L, k, 9). Returns (pops,
     leaf_tests)."""
@@ -107,6 +107,8 @@ def walk_packet(nodes, ox, oy, oz, dx, dy, dz, tmax, leaf_tris, k,
             else:
                 pushed.append(ref)
         stack.extend(pushed)
+    if return_t:
+        return pops, leaves, best_t
     return pops, leaves
 
 

@@ -157,6 +157,39 @@ def test_top_sah_root_lands_on_cluster_gap():
     assert c_steer <= c_plain * 1.02, (c_steer, c_plain)
 
 
+def test_rebuild_fused_top_sah_traces_correctly():
+    """Config-2 plumbing: the fused per-frame rebuild with top_sah=True
+    (app._rebuild_fused -> build_lbvh(top_sah=True, boxes='defer') ->
+    fixed-frontier widen) yields an accel whose closest hits agree with
+    brute force."""
+    from tpurt.app import _rebuild_fused
+    from tpurt.bvh.wide import count_wide, round_up_bucket
+    from tpurt.kernels.traverse import trace_closest_pallas
+
+    mesh = random_soup(700, seed=31)
+    v = jnp.asarray(mesh.vertices)
+    i = jnp.asarray(mesh.indices)
+    b0 = build_lbvh(v, i, leaf_size=4, top_sah=True)
+    nw = round_up_bucket(max(count_wide(b0, mode="fixed"), 1), 64)
+
+    class _M:  # minimal mesh stand-in for the "st" tables
+        pass
+
+    from tpurt.scenes import random_soup as _rs
+    full = _rs(700, seed=31)
+    _, wide, _, _, _, cnt = _rebuild_fused(v, i, full, 4, nw,
+                                           tables="st", top_sah=True)
+    assert int(cnt) <= nw
+    rng = np.random.default_rng(9)
+    o = rng.uniform(-9, 9, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    wt, _ = brute_force_closest(mesh, o, d)
+    jt, _ = trace_closest_pallas(wide, jnp.asarray(o), jnp.asarray(d),
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(jt), wt, rtol=3e-4, atol=1e-6)
+
+
 def test_top_sah_no_harm_on_random_soup():
     """On a uniform soup (no structure for the sweep to exploit) the
     steered tree must stay within a small factor of the Morton tree —

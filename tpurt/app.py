@@ -122,9 +122,10 @@ def make_point_soft_tracer(cfg: RenderConfig, bvh):
 
 
 @partial(jax.jit, static_argnames=("leaf_size", "nw_pad", "tables",
-                                   "textured"))
+                                   "textured", "top_sah"))
 def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
-                   tables: str = "st", textured: bool = False):
+                   tables: str = "st", textured: bool = False,
+                   top_sah: bool = False):
     """Config-2 hot path: LBVH build + 8-wide collapse + shading tables as
     ONE device program — no host syncs. The wide-node count rides along as
     a device scalar so callers can check pad overflow opportunistically
@@ -144,7 +145,7 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
     if tables == "attr":
         extra = attr_payload_columns(mesh)
     r = build_lbvh(vertices, indices, leaf_size=leaf_size, boxes="defer",
-                   extra_payload=extra, want_depth=True)
+                   extra_payload=extra, want_depth=True, top_sah=top_sah)
     if extra:
         bvh, extras, depth = r
     else:
@@ -631,8 +632,12 @@ class Renderer:
         self.camera = camera
         self.lights = list(lights)
         self.mesh = jax.device_put(mesh)
-        self._build_jit = jax.jit(partial(build_lbvh,
-                                          leaf_size=config.leaf_size))
+        # Rebuild-mode on-device builds honor top_sah so the wide-node
+        # count (fixed cut = depth % 3 == 0, a function of topology) is
+        # counted on the same trees the per-frame rebuild produces.
+        self._build_jit = jax.jit(partial(
+            build_lbvh, leaf_size=config.leaf_size,
+            top_sah=(config.top_sah and mode == "rebuild")))
         self._refit_jit = jax.jit(refit_lbvh)
         self.frame_index = 0
         self._geom_dirty = False
@@ -882,7 +887,8 @@ class Renderer:
                     bvh, accel, st, st_orig, at, cnt = _rebuild_fused(
                         self.mesh.vertices, self.mesh.indices, self.mesh,
                         self.config.leaf_size, self._nw_pad,
-                        tables=tables, textured=bool(self.mesh.textured))
+                        tables=tables, textured=bool(self.mesh.textured),
+                        top_sah=self.config.top_sah)
                     overflow = False
                     if self._geom_dirty:
                         # Geometry changed since the pad was chosen: check

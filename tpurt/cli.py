@@ -161,6 +161,11 @@ def main(argv=None) -> int:
                    help="disable the attribute-tracked closest-hit "
                         "G-buffer (fall back to the one-gather packed "
                         "shade table)")
+    p.add_argument("--top-sah", action="store_true",
+                   help="rebuild mode: re-choose the top levels of the "
+                        "per-frame Morton topology by a sweep-SAH over "
+                        "leaf-block boxes (config-2 tree-quality lever; "
+                        "kernels/build.sweep_sah_priorities)")
     p.add_argument("--no-sah", action="store_true",
                    help="skip the native host SAH build for static "
                         "scenes (use the on-device Morton LBVH)")
@@ -215,7 +220,8 @@ def main(argv=None) -> int:
                        gbuffer=args.gbuffer, sah=not args.no_sah,
                        raster_deferred=args.raster_deferred,
                        fused_shadow=not args.no_fused_shadow,
-                       inkernel_attrs=not args.no_inkernel_attrs)
+                       inkernel_attrs=not args.no_inkernel_attrs,
+                       top_sah=args.top_sah)
 
     from .app import Renderer
     r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"],

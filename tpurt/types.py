@@ -253,6 +253,12 @@ class RenderConfig:
     # Applies on the batched 8-wide Pallas path when the accel + attr
     # rows fit the VMEM budget; other paths ignore it.
     inkernel_attrs: bool = True
+    # Rebuild-mode tree quality: re-choose the top ~8 levels of the
+    # per-frame Morton topology by a sweep-SAH over 8-leaf block boxes
+    # (kernels/build.sweep_sah_priorities — the Cartesian-tree priorities
+    # steer the unchanged topology kernel). Config-2 quality lever; flip
+    # per measurement (probes/probe_r4b.py).
+    top_sah: bool = False
 
     @property
     def num_pixels(self) -> int:
