@@ -117,18 +117,57 @@ def main():
     ldir = np.float32([0.25, 0.9, 0.2])
     ldir /= np.linalg.norm(ldir)
 
-    def morton_accel(top_sah):
-        b, dep = build_lbvh(v, i, leaf_size=leaf, boxes="defer",
-                            want_depth=True, top_sah=top_sah)
+    def morton_accel(top_sah, bits=30, ls=None):
+        ls = ls or leaf
+        b, dep = build_lbvh(v, i, leaf_size=ls, boxes="defer",
+                            want_depth=True, top_sah=top_sah,
+                            morton_bits=bits)
         nw = round_up_bucket(max(count_wide(
-            build_lbvh(v, i, leaf_size=leaf, top_sah=top_sah),
-            mode="fixed"), 1))
+            build_lbvh(v, i, leaf_size=ls, top_sah=top_sah,
+                       morton_bits=bits), mode="fixed"), 1))
         return widen_lbvh(b, nw_pad=nw, mode="fixed", depths=dep)
 
-    accels = [("SBVH leaf14 (static)", build_wide(
-        build_sah_lbvh(host_mesh, leaf))),
-        ("Morton fixed widen (r3)", morton_accel(False)),
-        ("top_sah fixed widen", morton_accel(True))]
+    if os.environ.get("R4F_SET") == "deep":
+        # Full-depth sweep: every split above 8-leaf blocks chosen by
+        # SAH (min_blocks 2, depth cap 32) — the max quality this
+        # representation can express at block granularity.
+        def full_accel(bvh, mode):
+            nw = round_up_bucket(max(count_wide(bvh, mode=mode), 1))
+            return widen_lbvh(bvh, nw_pad=nw, mode=mode)
+
+        deep = (8, 32, 1)
+        m_deep = build_lbvh(v, i, leaf_size=leaf, top_sah=deep)
+        b4 = (4, 32, 1)
+        m_b4 = build_lbvh(v, i, leaf_size=leaf, top_sah=b4)
+        accels = [("deep sweep (8,32,1) AREA", full_accel(m_deep, "area")),
+                  ("deep sweep (8,32,1) fixed", full_accel(m_deep,
+                                                           "fixed")),
+                  ("deep sweep (4,32,1) AREA", full_accel(m_b4, "area"))]
+    elif os.environ.get("R4F_SET") == "ext2":
+        # Decompose tree quality vs collapse quality.
+        from tpurt.bvh.wide import build_wide as _bw
+
+        def full_accel(bvh, mode):
+            nw = round_up_bucket(max(count_wide(bvh, mode=mode), 1))
+            return widen_lbvh(bvh, nw_pad=nw, mode=mode)
+
+        mor = build_lbvh(v, i, leaf_size=leaf)
+        mor_ts = build_lbvh(v, i, leaf_size=leaf, top_sah=True)
+        sah = build_sah_lbvh(host_mesh, leaf)
+        accels = [("Morton30 AREA widen", full_accel(mor, "area")),
+                  ("Morton30 BFS widen", full_accel(mor, "bfs")),
+                  ("Morton30+topsah AREA", full_accel(mor_ts, "area")),
+                  ("SBVH FIXED widen", full_accel(sah, "fixed"))]
+    elif os.environ.get("R4F_SET") == "ext":
+        accels = [("Morton60 fixed", morton_accel(False, bits=60)),
+                  ("Morton60 + top_sah", morton_accel(True, bits=60)),
+                  ("Morton60 leaf8 fixed", morton_accel(False, bits=60,
+                                                        ls=8))]
+    else:
+        accels = [("SBVH leaf14 (static)", build_wide(
+            build_sah_lbvh(host_mesh, leaf))),
+            ("Morton fixed widen (r3)", morton_accel(False)),
+            ("top_sah fixed widen", morton_accel(True))]
 
     o, d = generate_rays(cam, W, H)
     comps = [to_packets(jnp.asarray(x[..., c]).reshape(H, W))
@@ -139,10 +178,12 @@ def main():
     tmax = np.full_like(comps[0], 3.0e38)
 
     def tris_of(w):
+        k = w.leaf_size
         rows = np.asarray(w.tris)
-        return rows[:, :9 * leaf].reshape(rows.shape[0], leaf, 9)
+        return rows[:, :9 * k].reshape(rows.shape[0], k, 9)
 
     for name, acc in accels:
+        leaf = acc.leaf_size
         accp = order_children_for_point(acc, cam.position)
         nodes = np.asarray(accp.nodes).reshape(-1, 8, 16)
         lt = tris_of(accp)

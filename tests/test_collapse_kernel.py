@@ -1,0 +1,81 @@
+"""Area-greedy collapse kernel (kernels/build.collapse_area_pallas +
+wide.widen_area_kernel) vs the XLA area widen (wide.frontiers_area +
+64-sweep reachability): same greedy rule, so the wide-node SET and child
+structure must match up to id renumbering — traces must agree exactly.
+This is the per-frame path that makes the measured-best collapse (probe
+r4f: shadow 22.7 vs 32.8 pops/packet on Morton trees) affordable in the
+config-2 rebuild."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.bvh.lbvh import build_lbvh
+from tpurt.bvh.wide import (EMPTY, count_wide, round_up_bucket,
+                            widen_area_kernel, widen_lbvh)
+from tpurt.kernels.traverse import trace_any_pallas, trace_closest_pallas
+from tpurt.scenes import random_soup
+
+
+def _rays(rng, n, extent=8.0):
+    o = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("nt,leaf,seed", [(900, 4, 0), (2000, 8, 3),
+                                          (250, 2, 5)])
+def test_kernel_collapse_matches_xla_area_widen(nt, leaf, seed):
+    mesh = random_soup(nt, seed=seed)
+    v = jnp.asarray(mesh.vertices)
+    i = jnp.asarray(mesh.indices)
+    full = build_lbvh(v, i, leaf_size=leaf)
+    nw = count_wide(full, mode="area")
+    nw_pad = round_up_bucket(max(nw, 1), 64)
+    ref_acc = widen_lbvh(full, nw_pad=nw_pad, mode="area")
+
+    deferred = build_lbvh(v, i, leaf_size=leaf, boxes="defer")
+    acc, count = widen_area_kernel(deferred, nw_pad)
+    assert int(count) == nw, (int(count), nw)
+
+    o, d = _rays(np.random.default_rng(seed), 600)
+    t0, i0 = trace_closest_pallas(ref_acc, o, d, interpret=True)
+    t1, i1 = trace_closest_pallas(acc, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    tm = jnp.full((600,), 25.0, jnp.float32)
+    h0 = trace_any_pallas(ref_acc, o, d, tm, interpret=True)
+    h1 = trace_any_pallas(acc, o, d, tm, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
+
+def test_kernel_collapse_structure():
+    """Structural invariants: root is wide id 0; every wide row's children
+    are dense ids < count or leaves; leaf coverage is a partition."""
+    mesh = random_soup(700, seed=9)
+    v = jnp.asarray(mesh.vertices)
+    i = jnp.asarray(mesh.indices)
+    deferred = build_lbvh(v, i, leaf_size=4, boxes="defer")
+    nw_pad = round_up_bucket(
+        max(count_wide(build_lbvh(v, i, leaf_size=4), mode="area"), 1), 64)
+    acc, count = widen_area_kernel(deferred, nw_pad)
+    count = int(count)
+    rows = np.asarray(acc.nodes).reshape(-1, 8, 16)
+    refs = rows[:, :, 6].astype(np.int64)
+    empty = rows[:, :, 0] > rows[:, :, 3]
+    nl = deferred.num_leaves
+    seen = np.zeros(nl, bool)
+    for w in range(count):
+        for s in range(8):
+            if empty[w, s]:
+                continue
+            r = int(refs[w, s])
+            if r >= 0:
+                assert 0 < r < count          # dense id, not self/root
+            else:
+                leaf = -r - 1
+                assert 0 <= leaf < nl
+                assert not seen[leaf], "leaf referenced twice"
+                seen[leaf] = True
+    assert seen.all(), "every leaf reachable exactly once"

@@ -122,10 +122,10 @@ def make_point_soft_tracer(cfg: RenderConfig, bvh):
 
 
 @partial(jax.jit, static_argnames=("leaf_size", "nw_pad", "tables",
-                                   "textured", "top_sah"))
+                                   "textured", "top_sah", "collapse"))
 def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
                    tables: str = "st", textured: bool = False,
-                   top_sah: bool = False):
+                   top_sah: bool = False, collapse: str = "fixed"):
     """Config-2 hot path: LBVH build + 8-wide collapse + shading tables as
     ONE device program — no host syncs. The wide-node count rides along as
     a device scalar so callers can check pad overflow opportunistically
@@ -150,20 +150,29 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
         bvh, extras, depth = r
     else:
         (bvh, depth), extras = r, ()
-    # "fixed" frontier: the area collapse's 64-sweep reachability is a
-    # once-per-scene cost the per-frame rebuild cannot afford (wide.py
-    # FRONTIER_MODE note); the count below must use the same mode. The
-    # kernel builder's depth output replaces the pointer-doubling pass
-    # (None on search-builder fallbacks — widen recomputes depths then).
-    wide = widen_lbvh(bvh, nw_pad=nw_pad, mode="fixed", depths=depth)
+    # Collapse frontier: "fixed" = depth-3 cut (cheapest; the kernel
+    # builder's depth output replaces the pointer-doubling pass, None on
+    # search-builder fallbacks — widen recomputes depths then). "area" =
+    # the SAH-greedy collapse via the scalar-core kernel
+    # (wide.widen_area_kernel — the XLA area mode's 64-sweep reachability
+    # is a once-per-scene cost this per-frame path cannot afford; probe
+    # r4f counts the area frontier ~30% fewer traversal pops on Morton
+    # trees). The setup-time count must use the same mode.
+    if collapse == "area":
+        from .bvh.wide import widen_area_kernel
+        wide, cnt = widen_area_kernel(bvh, nw_pad)
+    else:
+        wide = widen_lbvh(bvh, nw_pad=nw_pad, mode="fixed", depths=depth)
+        cnt = None
     st = make_shade_table(bvh, mesh) if tables == "st" else None
     st_orig = make_shade_table_orig(mesh) if tables in ("st", "sto") \
         else None
     at = leaf_attr_rows_from_sorted(
         extras, bvh.tri_id, bvh.num_leaves, leaf_size,
         textured) if tables == "attr" else None
-    return bvh, wide, st, st_orig, at, wide_count_device(bvh, mode="fixed",
-                                                         depths=depth)
+    if cnt is None:
+        cnt = wide_count_device(bvh, mode="fixed", depths=depth)
+    return bvh, wide, st, st_orig, at, cnt
 
 
 @partial(jax.jit, static_argnames=("attrs",))
@@ -737,11 +746,13 @@ class Renderer:
         if self.config.use_pallas and self.config.bvh_width == 8:
             from .bvh.wide import count_wide, make_wide_plan, round_up_bucket
             from .kernels.pack import wide_vmem_bytes
-            # The rebuild hot path collapses with the cheap "fixed"
-            # frontier every frame, so its pad must be counted the same
-            # way; static/refit scenes take the default (area — probe
-            # r3u: ~8% faster shadow trace at identical results).
-            collapse_mode = "fixed" if self.mode == "rebuild" else None
+            # The rebuild hot path collapses with config.rebuild_collapse
+            # every frame ("fixed" cut, or "area" via the scalar-core
+            # collapse kernel), so its pad must be counted the same way;
+            # static/refit scenes take the default (area — probe r3u:
+            # ~8% faster shadow trace at identical results).
+            collapse_mode = (self.config.rebuild_collapse
+                             if self.mode == "rebuild" else None)
             nw_pad = round_up_bucket(
                 max(count_wide(self.bvh, mode=collapse_mode), 1))
             # The BVH's OWN padded triangle count (SAH leaves repeat-pad).
@@ -888,7 +899,8 @@ class Renderer:
                         self.mesh.vertices, self.mesh.indices, self.mesh,
                         self.config.leaf_size, self._nw_pad,
                         tables=tables, textured=bool(self.mesh.textured),
-                        top_sah=self.config.top_sah)
+                        top_sah=self.config.top_sah,
+                        collapse=self.config.rebuild_collapse)
                     overflow = False
                     if self._geom_dirty:
                         # Geometry changed since the pad was chosen: check

@@ -602,8 +602,14 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
         # sweep-SAH over the Morton order (kernels/build.py
         # sweep_sah_priorities — the Cartesian-tree priorities steer the
         # unchanged topology kernel; leaf ranges stay contiguous).
+        # top_sah may be True (defaults) or a (block, maxd, min_blocks)
+        # tuple for deeper/coarser sweeps.
         from ..kernels.build import sweep_sah_priorities
-        d = sweep_sah_priorities(adjacent_deltas(leaf_codes), lmin, lmax)
+        kw = {}
+        if isinstance(top_sah, tuple):
+            kw = dict(zip(("block", "maxd", "min_blocks"), top_sah))
+        d = sweep_sah_priorities(adjacent_deltas(leaf_codes), lmin, lmax,
+                                 **kw)
     if builder == "kernel":
         # Scalar-core Cartesian-stack topology (kernels/build.py) + XLA
         # RMQ boxes — the measured-fastest split; the all-in-one kernel
@@ -618,8 +624,9 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
             child, first, last = r
     elif d is not None:
         from ..kernels.build import SWEEP_MAXD
+        maxd = top_sah[1] if isinstance(top_sah, tuple) else SWEEP_MAXD
         child, first, last = karras_topology_scan(leaf_codes, d_override=d,
-                                                  d_max=96 + SWEEP_MAXD)
+                                                  d_max=96 + maxd)
     else:
         child, first, last = karras_topology(leaf_codes)
 

@@ -598,6 +598,65 @@ def widen_lbvh(bvh: LBVH, nw_pad: int, from_node_boxes: bool = False,
                    num_wide=nw_pad, leaf_size=k)
 
 
+def widen_area_kernel(bvh: LBVH, nw_pad: int):
+    """AREA-greedy 8-wide collapse for the PER-FRAME rebuild: the whole
+    frontier/reachability/remap pass runs in one scalar-core Pallas
+    kernel (kernels/build.collapse_area_pallas — the XLA area collapse
+    needs a 64-sweep scatter reachability pass, ~20x too hot per frame),
+    followed by the same one-gather row assembly as the deferred widen.
+
+    Works on deferred-box builds (build_lbvh(boxes="defer")): node boxes
+    (both the expansion key areas and the assembled child boxes) are RMQ
+    range queries over the leaf boxes. Returns (WideBVH, count) — count >
+    nw_pad means the pad overflowed and rows were dropped; callers
+    recover exactly like the fixed-cut pad overflow."""
+    from .lbvh import range_boxes
+    from ..kernels.build import collapse_area_pallas
+    child = bvh.nodes_child
+    ni = child.shape[0]
+    leaf_min, leaf_max = _leaf_boxes_from_tris(bvh)
+    # Expansion key: every internal node's surface area (one batched RMQ).
+    amin, amax = range_boxes(leaf_min, leaf_max, bvh.nodes_first,
+                             bvh.nodes_last)
+    ext = jnp.maximum(amax - amin, 0.0)
+    area = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+            + ext[:, 2] * ext[:, 0])
+    front, src, count = collapse_area_pallas(child[:, 0], child[:, 1],
+                                             area, nw_pad)
+
+    # Row assembly (mirrors _assemble_wide_nodes_deferred, but the kernel
+    # already emitted DENSE wide ids so no remap gather is needed).
+    nl = leaf_min.shape[0]
+    fl = jnp.stack([bvh.nodes_first, bvh.nodes_last], axis=1)[src]
+    wmin, wmax = range_boxes(leaf_min, leaf_max, fl[:, 0], fl[:, 1])
+    table = jnp.concatenate([
+        jnp.concatenate([wmin, wmax], axis=1),             # dense wide ids
+        jnp.concatenate([leaf_min, leaf_max], axis=1),
+        jnp.concatenate([jnp.full((1, 3), 3.4e38, jnp.float32),
+                         jnp.full((1, 3), -3.4e38, jnp.float32)], axis=1),
+    ])
+    safe = jnp.minimum(front, nw_pad - 1)      # overflow refs -> clamped
+    row = jnp.where(front >= 0, safe,
+                    jnp.where(front == EMPTY, nw_pad + nl,
+                              nw_pad + (-front - 1)))
+    rec = table[row.reshape(-1)]                           # [Nw*8, 6]
+    kref = jnp.where(front >= 0, safe.astype(jnp.float32),
+                     jnp.where(front == EMPTY, -1.0,
+                               front.astype(jnp.float32)))
+    rec = jnp.concatenate([rec, kref.reshape(-1, 1),
+                           jnp.zeros((nw_pad * 8, 9), jnp.float32)], axis=1)
+    nodes = rec.reshape(nw_pad, 128)
+
+    k = bvh.leaf_size
+    tri9 = jnp.stack([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
+    tri9 = tri9.reshape(bvh.num_leaves, k * 9)
+    tris = jnp.pad(tri9, ((0, 0), (0, 128 - k * 9)))
+    wide = WideBVH(nodes=nodes, tris=tris, tri_id=bvh.tri_id,
+                   root_min=bvh.root_min, root_max=bvh.root_max,
+                   num_wide=nw_pad, leaf_size=k)
+    return wide, count
+
+
 def order_children_for_point(wide: WideBVH, point) -> WideBVH:
     """Per-frame near-first child ordering for a shared ray ORIGIN (primary
     rays: the camera). Children are permuted inside each 128-lane row so the

@@ -166,6 +166,12 @@ def main(argv=None) -> int:
                         "per-frame Morton topology by a sweep-SAH over "
                         "leaf-block boxes (config-2 tree-quality lever; "
                         "kernels/build.sweep_sah_priorities)")
+    p.add_argument("--rebuild-collapse", choices=("fixed", "area"),
+                   default="fixed",
+                   help="rebuild mode: 8-wide collapse frontier — 'fixed' "
+                        "depth-3 cut or 'area' SAH-greedy via the "
+                        "scalar-core collapse kernel "
+                        "(wide.widen_area_kernel)")
     p.add_argument("--no-sah", action="store_true",
                    help="skip the native host SAH build for static "
                         "scenes (use the on-device Morton LBVH)")
@@ -221,7 +227,8 @@ def main(argv=None) -> int:
                        raster_deferred=args.raster_deferred,
                        fused_shadow=not args.no_fused_shadow,
                        inkernel_attrs=not args.no_inkernel_attrs,
-                       top_sah=args.top_sah)
+                       top_sah=args.top_sah,
+                       rebuild_collapse=args.rebuild_collapse)
 
     from .app import Renderer
     r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"],

@@ -466,7 +466,8 @@ SWEEP_MAXD = 21          # top-tree depth cap; priorities 0..MAXD-1
 SWEEP_MIN_BLOCKS = 8     # stop splitting below this many blocks (R)
 
 
-def _sweep_sah_kernel(nb: int, ni: int, maxn: int, bx_ref,
+def _sweep_sah_kernel(nb: int, ni: int, maxn: int, block: int,
+                      maxd: int, min_blocks: int, bx_ref,
                       gaps_ref, ranks_ref, sa_ref, stka_ref, stkb_ref,
                       stkd_ref):
     """Scalar-core sweep: explicit range stack, two passes per node over
@@ -545,12 +546,12 @@ def _sweep_sah_kernel(nb: int, ni: int, maxn: int, bx_ref,
                                    big, a), unroll=False)
             return r[7]
 
-        do = (n > SWEEP_MIN_BLOCKS) & (dep < SWEEP_MAXD) & (nout < maxn)
+        do = (n > min_blocks) & (dep < maxd) & (nout < maxn)
         bj = jax.lax.cond(do, split, lambda: a)
 
         def emit(sp):
             # gap between leaf blocks bj and bj+1 => leaf gap id
-            gaps_ref[nout] = (bj + 1) * SWEEP_BLOCK - 1
+            gaps_ref[nout] = (bj + 1) * block - 1
             ranks_ref[nout] = dep
             stka_ref[sp] = a
             stkb_ref[sp] = bj
@@ -579,30 +580,35 @@ def _sweep_sah_kernel(nb: int, ni: int, maxn: int, bx_ref,
 
 
 def sweep_sah_priorities(d: jnp.ndarray, leaf_min: jnp.ndarray,
-                         leaf_max: jnp.ndarray, interpret=None
+                         leaf_max: jnp.ndarray, interpret=None,
+                         block: int = SWEEP_BLOCK, maxd: int = SWEEP_MAXD,
+                         min_blocks: int = SWEEP_MIN_BLOCKS
                          ) -> jnp.ndarray:
     """D -> D' (see block comment above): adjacent-delta priorities with
-    the top tree re-chosen by a sweep-SAH over 8-leaf block boxes. The
-    result feeds topology_pallas / karras-from-deltas unchanged. Cost:
-    one scalar-core kernel, O(nb log nb) SMEM work (~1 ms Sponza)."""
+    the top tree re-chosen by a sweep-SAH over ``block``-leaf block
+    boxes, down to ranges of ``min_blocks`` blocks or depth ``maxd``.
+    The result feeds topology_pallas / karras-from-deltas unchanged.
+    Cost: one scalar-core kernel, O(nb log nb) SMEM work (~1 ms Sponza
+    at the 8/21/8 defaults)."""
     if interpret is None:
         interpret = not _compiled_backend()
     ni = int(d.shape[0])
     nl = ni + 1
-    nb = -(-nl // SWEEP_BLOCK)
-    pad = nb * SWEEP_BLOCK - nl
+    nb = -(-nl // block)
+    pad = nb * block - nl
     lmin = jnp.concatenate([leaf_min, jnp.broadcast_to(
         leaf_min[-1:], (pad, 3))]) if pad else leaf_min
     lmax = jnp.concatenate([leaf_max, jnp.broadcast_to(
         leaf_max[-1:], (pad, 3))]) if pad else leaf_max
-    bmin = lmin.reshape(nb, SWEEP_BLOCK, 3).min(axis=1)
-    bmax = lmax.reshape(nb, SWEEP_BLOCK, 3).max(axis=1)
+    bmin = lmin.reshape(nb, block, 3).min(axis=1)
+    bmax = lmax.reshape(nb, block, 3).max(axis=1)
     bx = jnp.concatenate([bmin, bmax], axis=1).reshape(-1)   # [nb*6]
-    maxn = 2 * (nb // SWEEP_MIN_BLOCKS + 2)
+    maxn = 2 * (nb // max(min_blocks, 1) + 2)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     gaps, ranks = pl.pallas_call(
-        functools.partial(_sweep_sah_kernel, nb, ni, maxn),
+        functools.partial(_sweep_sah_kernel, nb, ni, maxn, block, maxd,
+                          min_blocks),
         in_specs=[smem],
         out_specs=(smem, smem),
         out_shape=(jax.ShapeDtypeStruct((maxn,), jnp.int32),
@@ -613,5 +619,143 @@ def sweep_sah_priorities(d: jnp.ndarray, leaf_min: jnp.ndarray,
                         pltpu.SMEM((maxn + 2,), jnp.int32)], # stack depth
         interpret=interpret,
     )(bx)
-    dprime = d.astype(jnp.int32) + jnp.int32(SWEEP_MAXD)
+    dprime = d.astype(jnp.int32) + jnp.int32(maxd)
     return dprime.at[gaps].set(ranks, mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# Area-greedy 8-wide collapse kernel (config-2 rebuild quality)
+# ---------------------------------------------------------------------------
+#
+# The AREA collapse (wide.frontiers_area: expand the largest-area internal
+# slot until the wide node has 8 children) beats the fixed depth-3 cut by
+# ~30% traversal pops on Morton trees (probe r4f: shadow 22.7 vs 32.8
+# pops/packet, closest 32.9 vs 44.4) but its XLA formulation needs a
+# 64-sweep scatter reachability pass that a per-frame rebuild cannot
+# afford. This kernel does the WHOLE collapse — reachability, frontier
+# choice, dense wide ids, kernel-ref remap — in ONE serial scalar-core
+# pass: a BFS queue of wide roots in SMEM (a child's wide id IS its queue
+# position, so refs are remapped at push time with no second pass), with
+# per-node greedy expansion over 8 register slots keyed by node surface
+# area (f32[ni] in SMEM, ~80 KB at the 20k-leaf Sponza scale).
+#
+# ~300 scalar ops per wide node x ~3k wide nodes ≈ 1 ms, replacing the
+# ~20 ms sweep pass. Same SMEM-bound leaf gate as topology_pallas.
+
+_C_EMPTY = -(1 << 31)      # wide.EMPTY (int32 min) as a plain int
+
+
+def _collapse_area_kernel(ni: int, nw_pad: int, childl_ref, childr_ref,
+                          area_ref, front_ref, src_ref, count_ref,
+                          queue_ref):
+    """See block comment. Outputs:
+    front_ref i32[nw_pad*8] — slot refs ALREADY in kernel convention
+      (>= 0: dense wide id = BFS queue position; < 0: leaf as
+      -(leaf_id+1); _C_EMPTY: empty slot),
+    src_ref   i32[nw_pad]   — binary node id of each wide root (box
+      lookup key; pad rows hold 0 and are never referenced),
+    count_ref i32[1]        — number of wide nodes produced (> nw_pad
+      means the pad overflowed and the accel must be rebuilt bigger;
+      slots past nw_pad are dropped, never written)."""
+
+    def fill(i, _):
+        front_ref[i * 8 + 0] = jnp.int32(_C_EMPTY)
+        front_ref[i * 8 + 1] = jnp.int32(_C_EMPTY)
+        front_ref[i * 8 + 2] = jnp.int32(_C_EMPTY)
+        front_ref[i * 8 + 3] = jnp.int32(_C_EMPTY)
+        front_ref[i * 8 + 4] = jnp.int32(_C_EMPTY)
+        front_ref[i * 8 + 5] = jnp.int32(_C_EMPTY)
+        front_ref[i * 8 + 6] = jnp.int32(_C_EMPTY)
+        front_ref[i * 8 + 7] = jnp.int32(_C_EMPTY)
+        src_ref[i] = jnp.int32(0)
+        return 0
+
+    jax.lax.fori_loop(0, nw_pad, fill, 0, unroll=False)
+    queue_ref[0] = jnp.int32(0)
+
+    def cond(c):
+        head, tail = c
+        return head < jnp.minimum(tail, nw_pad)
+
+    def body(c):
+        head, tail = c
+        x = queue_ref[head]
+        src_ref[head] = x
+
+        def aof(ref):
+            # Expansion key: internal -> its surface area; leaf/EMPTY -> -1.
+            return jnp.where(ref >= 0,
+                             area_ref[jnp.maximum(ref, 0)],
+                             jnp.float32(-1.0))
+
+        slots = [childl_ref[x], childr_ref[x]] + \
+            [jnp.int32(_C_EMPTY)] * 6
+        keys = [aof(slots[0]), aof(slots[1])] + [jnp.float32(-1.0)] * 6
+        cnt = jnp.int32(2)
+
+        for _ in range(6):
+            # argmax over slot keys (first max wins, matching jnp.argmax
+            # in wide.frontiers_area).
+            best = keys[0]
+            bj = jnp.int32(0)
+            for s in range(1, 8):
+                better = keys[s] > best
+                best = jnp.where(better, keys[s], best)
+                bj = jnp.where(better, jnp.int32(s), bj)
+            can = (cnt < 8) & (best >= 0.0)
+            # ref = slots[bj] via select tree
+            ref = slots[0]
+            for s in range(1, 8):
+                ref = jnp.where(bj == s, slots[s], ref)
+            refc = jnp.maximum(ref, 0)
+            lc = childl_ref[refc]
+            rc = childr_ref[refc]
+            # replace slot bj with lc, append rc at slot cnt
+            for s in range(8):
+                put_l = can & (bj == s)
+                put_r = can & (cnt == s)
+                slots[s] = jnp.where(put_l, lc,
+                                     jnp.where(put_r, rc, slots[s]))
+                keys[s] = jnp.where(put_l, aof(lc),
+                                    jnp.where(put_r, aof(rc), keys[s]))
+            cnt = cnt + can.astype(jnp.int32)
+
+        # Emit: push internal slots (child wide id = its queue position).
+        for s in range(8):
+            ref = slots[s]
+            is_int = ref >= 0
+            push = is_int & (tail < nw_pad)
+            qpos = jnp.minimum(tail, nw_pad - 1)
+
+            @pl.when(push)
+            def _(qpos=qpos, ref=ref):
+                queue_ref[qpos] = ref
+
+            front_ref[head * 8 + s] = jnp.where(is_int, tail, ref)
+            tail = tail + is_int.astype(jnp.int32)
+        return head + 1, tail
+
+    _, tail = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+    count_ref[0] = tail
+
+
+def collapse_area_pallas(childl, childr, area, nw_pad: int,
+                         interpret=None):
+    """Binary topology + per-node surface areas -> BFS-ordered area-greedy
+    8-wide collapse (see _collapse_area_kernel). Returns (front
+    i32[nw_pad, 8] kernel refs, src i32[nw_pad] binary ids, count)."""
+    if interpret is None:
+        interpret = not _compiled_backend()
+    ni = int(childl.shape[0])
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    front, src, count = pl.pallas_call(
+        functools.partial(_collapse_area_kernel, ni, nw_pad),
+        in_specs=[smem, smem, smem],
+        out_specs=(smem, smem, smem),
+        out_shape=(jax.ShapeDtypeStruct((nw_pad * 8,), jnp.int32),
+                   jax.ShapeDtypeStruct((nw_pad,), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        scratch_shapes=[pltpu.SMEM((nw_pad + 8,), jnp.int32)],  # BFS queue
+        interpret=interpret,
+    )(childl, childr, area)
+    return front.reshape(nw_pad, 8), src, count[0]

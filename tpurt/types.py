@@ -259,6 +259,11 @@ class RenderConfig:
     # steer the unchanged topology kernel). Config-2 quality lever; flip
     # per measurement (probes/probe_r4b.py).
     top_sah: bool = False
+    # Rebuild-mode collapse frontier: "fixed" = depth-3 cut; "area" =
+    # SAH-greedy collapse via the scalar-core kernel
+    # (wide.widen_area_kernel) — probe r4f counts ~30% fewer traversal
+    # pops on Morton trees. Flip per on-device measurement.
+    rebuild_collapse: str = "fixed"
 
     @property
     def num_pixels(self) -> int:
