@@ -1,15 +1,17 @@
-"""Probe r4b: sweep-SAH top-tree steering (kernels/build.py
-sweep_sah_priorities) measured on the real config-2 workload.
+"""Probe r4b (TPU): the config-2 decision matrix — per-frame rebuild
+cost + SAME-TREE shadow trace for every quality combo, against the
+static SBVH reference.
 
-Questions:
-  1. What does the priorities kernel cost on-device at Sponza scale
-     (~65k leaves -> 8k blocks, serial scalar sweep)?
-  2. Does the steered rebuilt tree trace FASTER than the plain Morton
-     tree on the 1080p Sponza shadow-ray set (r3: 20.25 vs 7.86 SBVH)?
-  3. What does the full fused rebuild cost with top_sah=True?
+Exact CPU packet-walk counts (probe r4f) rank the candidates:
+  shadow pops/packet — SBVH 3.0 | Morton fixed 32.8 | Morton area 22.7 |
+  top_sah fixed 28.4 | top_sah area 16.8 (deep sweep adds nothing).
+This probe prices them on-device:
 
-Variants: plain leaf14 fixed (r3 baseline), top_sah leaf14 fixed, and
-a couple of SWEEP knob settings if the default disappoints.
+  matrix: {plain, top_sah} x {fixed cut, area collapse kernel}
+  per cell: fused rebuild ms (build+collapse as one program) and the
+  rebuilt tree's own 1080p shadow trace ms -> same-tree total.
+
+Also times sweep_sah_priorities alone (the steering kernel's cost).
 """
 
 import os
@@ -18,7 +20,6 @@ import time
 
 os.environ.setdefault("AXON_LIBTPU_OVERRIDES",
                       "--xla_tpu_scoped_vmem_limit_kib=65536")
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -52,13 +53,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from tpurt.bvh.lbvh import (adjacent_deltas, build_lbvh,
-                                morton_of_points, sah_cost, _leaf_boxes)
+                                morton_of_points, _leaf_boxes)
     from tpurt.bvh.sah import build_sah_lbvh
     from tpurt.bvh.wide import (build_wide, count_wide, round_up_bucket,
-                                widen_lbvh)
+                                widen_area_kernel, widen_lbvh)
     from tpurt.kernels.build import sweep_sah_priorities
     from tpurt.kernels.traverse import (trace_any_pallas,
-                                        trace_any_pallas_stats,
                                         trace_closest_pallas)
     from tpurt.passes.gbuffer import gbuffer_pass
     from tpurt.passes.shadow import shadow_ray_batch
@@ -67,12 +67,13 @@ def main():
     from tpurt.types import Light
 
     W, H = 1920, 1080
+    leaf = 14
     host_mesh = sponza_scene(260_000)
     mesh = jax.device_put(host_mesh)
     cam = sponza_interior_camera()
     light = Light.directional((0.25, 0.9, 0.2))
 
-    sah = build_sah_lbvh(host_mesh, 14)
+    sah = build_sah_lbvh(host_mesh, leaf)
     sbvh = jax.device_put(sah)
     sacc = build_wide(sbvh)
     st0 = jax.jit(make_shade_table)(sbvh, mesh)
@@ -81,38 +82,20 @@ def main():
                                           gather_tri_id=False),
         m, c, W, H, shade_table=st))
     gbuf = gb(sacc, mesh, cam, st0)
-    shadow_rays = jax.jit(lambda g, l, b: shadow_ray_batch(
-        g, l, 1e-3, None, scene_bounds=(b.root_min, b.root_max)))
-    so, sd, stm = shadow_rays(gbuf, light, sbvh)
+    so, sd, stm = jax.jit(lambda g, l, b: shadow_ray_batch(
+        g, l, 1e-3, None, scene_bounds=(b.root_min, b.root_max)))(
+            gbuf, light, sbvh)
 
     shade = jax.jit(lambda a, o, d, tm: jnp.sum(
         trace_any_pallas(a, o, d, tm).astype(jnp.int32)))
 
-    def report(name, accel, rebuild_fn, bvh=None):
-        reb_ms = timed(rebuild_fn, 20) * 1e3 if rebuild_fn else 0.0
-        tr_ms = timed(lambda: shade(accel, so, sd, stm), 32) * 1e3
-        it = float(np.asarray(jax.jit(
-            lambda a, o, d, tm: jnp.mean(trace_any_pallas_stats(
-                a, o, d, tm)[1].astype(jnp.float32)))(
-                    accel, so, sd, stm)))
-        cost = float(sah_cost(bvh)) if bvh is not None else float("nan")
-        log(f"{name:30s} rebuild {reb_ms:7.2f}  trace {tr_ms:6.2f}  "
-            f"total {reb_ms + tr_ms:6.2f}  iters {it:6.1f}  sah {cost:8.2f}")
+    sref_ms = timed(lambda: shade(sacc, so, sd, stm), 32) * 1e3
+    log(f"SBVH static shadow trace: {sref_ms:.2f} ms")
 
-    report("SBVH static (ref)", sacc, None, sbvh)
-
-    leaf, bits = 14, 30
-
-    # 1. Priorities kernel cost alone (on top of a built tree's inputs).
-    b0 = build_lbvh(mesh.vertices, mesh.indices, leaf_size=leaf,
-                    morton_bits=bits)
-    nl = b0.num_leaves
-    log(f"leaves={nl} blocks={-(-nl // 8)}")
-    v0a, e1a, e2a = b0.tri_v0, b0.tri_e1, b0.tri_e2
+    # Steering kernel cost alone.
+    b0 = build_lbvh(mesh.vertices, mesh.indices, leaf_size=leaf)
 
     def prio_only(v0, e1, e2):
-        # Codes recomputed from the (already sorted) triangle stream —
-        # measures leafboxes + deltas + the sweep kernel itself.
         v1, v2 = v0 + e1, v0 + e2
         tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
         tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
@@ -122,34 +105,47 @@ def main():
         d = adjacent_deltas((chi[::leaf], None))
         return jnp.sum(sweep_sah_priorities(d, lmin, lmax))
 
-    pj = jax.jit(prio_only)
     try:
-        ms = timed(lambda: pj(v0a, e1a, e2a), 20) * 1e3
+        pj = jax.jit(prio_only)
+        ms = timed(lambda: pj(b0.tri_v0, b0.tri_e1, b0.tri_e2), 20) * 1e3
         log(f"sweep_sah_priorities (+codes+leafboxes): {ms:.2f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"priorities kernel FAILED: {type(e).__name__}: {str(e)[:300]}")
 
-    # 2. Rebuilt-tree variants.
-    for name, ts in [("plain leaf14 fixed", False),
-                     ("top_sah leaf14 fixed", True)]:
-        try:
-            b = build_lbvh(mesh.vertices, mesh.indices, leaf_size=leaf,
-                           morton_bits=bits, top_sah=ts)
-            nw = round_up_bucket(max(count_wide(b, mode="fixed"), 1))
+    for ts in (False, True):
+        for collapse in ("fixed", "area"):
+            name = f"{'top_sah' if ts else 'plain  '} {collapse}"
+            try:
+                b1 = build_lbvh(mesh.vertices, mesh.indices,
+                                leaf_size=leaf, top_sah=ts)
+                nw = round_up_bucket(max(count_wide(
+                    b1, mode=collapse), 1))
 
-            def reb(v, i, _ts=ts, _nw=nw):
-                bb, dep = build_lbvh(v, i, leaf_size=leaf, morton_bits=bits,
-                                     boxes="defer", want_depth=True,
-                                     top_sah=_ts)
-                return widen_lbvh(bb, nw_pad=_nw, mode="fixed", depths=dep)
+                if collapse == "area":
+                    def reb(v, i, _ts=ts, _nw=nw):
+                        bb = build_lbvh(v, i, leaf_size=leaf,
+                                        boxes="defer", top_sah=_ts)
+                        w, _ = widen_area_kernel(bb, _nw)
+                        return w
+                else:
+                    def reb(v, i, _ts=ts, _nw=nw):
+                        bb, dep = build_lbvh(v, i, leaf_size=leaf,
+                                             boxes="defer",
+                                             want_depth=True, top_sah=_ts)
+                        return widen_lbvh(bb, nw_pad=_nw, mode="fixed",
+                                          depths=dep)
 
-            rebj = jax.jit(lambda v, i: reb(v, i))
-            accel = rebj(mesh.vertices, mesh.indices)
-            reb_s = jax.jit(lambda v, i: jnp.sum(reb(v, i).nodes))
-            report(name, accel, lambda: reb_s(mesh.vertices, mesh.indices),
-                   b)
-        except Exception as e:  # noqa: BLE001
-            log(f"{name:30s} FAILED {type(e).__name__}: {str(e)[:300]}")
+                rebj = jax.jit(lambda v, i: reb(v, i))
+                accel = rebj(mesh.vertices, mesh.indices)
+                reb_s = jax.jit(lambda v, i: jnp.sum(reb(v, i).nodes))
+                reb_ms = timed(lambda: reb_s(mesh.vertices,
+                                             mesh.indices), 20) * 1e3
+                tr_ms = timed(lambda: shade(accel, so, sd, stm), 32) * 1e3
+                log(f"{name}: rebuild {reb_ms:6.2f}  trace {tr_ms:6.2f}"
+                    f"  same-tree total {reb_ms + tr_ms:6.2f} ms"
+                    f"  (nw_pad {nw})")
+            except Exception as e:  # noqa: BLE001
+                log(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}")
 
 
 if __name__ == "__main__":
