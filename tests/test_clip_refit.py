@@ -75,6 +75,7 @@ def test_refit_identity_never_loosens_stored_boxes(sbvh_scene):
     assert (np.asarray(lmax) <= smax + 2e-4 * ext).all()
 
 
+@pytest.mark.slow
 def test_refit_identity_occlusion_matches_static(sbvh_scene):
     mesh, sah, plan = sbvh_scene
     static = build_wide(sah, from_node_boxes=True)

@@ -36,6 +36,7 @@ def scene():
     return mesh, bvh, wide, cam
 
 
+@pytest.mark.slow
 def test_fused_matches_separate_passes(scene):
     mesh, bvh, wide, cam = scene
     o, d = generate_rays(cam, 64, 48)
@@ -169,6 +170,7 @@ def test_fused_sharded_matches_unsharded(scene):
     assert (diff > 1e-3).mean() <= 2e-3
 
 
+@pytest.mark.slow
 def test_fused_multi_light_frame_matches_unfused(scene):
     """An all-hard multi-light set takes the N-light fused kernel
     (fused_multi_applicable); the composite must match the fully-unfused
@@ -195,6 +197,7 @@ def test_fused_multi_light_frame_matches_unfused(scene):
     assert (diff > 1e-3).mean() <= 2e-3
 
 
+@pytest.mark.slow
 def test_multi_kernel_matches_single_fused_per_light(scene):
     """The N-light kernel must reproduce the single-light fused kernel
     bit-for-bit per light: identical phase-1 hit set, and each occ bit
@@ -281,6 +284,7 @@ def test_fused_point_soft_zero_rng_matches_hard(scene):
         np.asarray(counts), spp * np.asarray(occ_h).astype(np.int32))
 
 
+@pytest.mark.slow
 def test_fused_point_soft_frame_matches_scan(scene):
     """Point light at spp>1: on CPU-interpret the applicability gate must
     REJECT psoft fusion (zero PRNG stream). The fused production's raygen
@@ -383,6 +387,7 @@ def test_fused_soft_multi_gate(scene):
     assert not fused_soft_multi_applicable(cfg, wide, (sun, fill))
 
 
+@pytest.mark.slow
 def test_fused_attr_paths_match_table_paths(scene):
     """Every fused kernel family with attr tables (zero-gather fused
     frame) must match its shade-table twin up to the barycentric source

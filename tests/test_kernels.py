@@ -319,6 +319,7 @@ def test_point_soft_kernel_zero_rng_matches_hard():
 # Attribute-tracked closest hit (zero-gather G-buffer)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_attr_gbuffer_matches_table_path():
     """gbuffer_attr_pass (winner attributes selected inside the traversal
     kernel) vs gbuffer_pass over the packed shade table: hit set bit-exact,
@@ -365,6 +366,7 @@ def test_attr_gbuffer_matches_table_path():
     assert dots.min() > 1.0 - 5e-6
 
 
+@pytest.mark.slow
 def test_attr_gbuffer_textured_uv_layer():
     """The in-kernel interpolated uv + layer must reproduce the shade-table
     path's texture coordinates (the attr rows carry uv0/d1/d2 and the MT

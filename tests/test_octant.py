@@ -32,7 +32,7 @@ def _rays(rng, n, extent=8.0):
 
 @pytest.fixture(scope="module")
 def accels():
-    mesh = random_soup(900, seed=21)
+    mesh = random_soup(500, seed=21)
     bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),
                      leaf_size=8)
     wide = build_wide(bvh)
@@ -51,7 +51,7 @@ def test_octant_order_is_a_permutation(accels):
 
 def test_octant_order_closest_parity(accels):
     wide, oct_ = accels
-    o, d = _rays(np.random.default_rng(4), 700)
+    o, d = _rays(np.random.default_rng(4), 384)
     t0, i0 = trace_closest_pallas(wide, o, d, interpret=True)
     t1, i1 = trace_closest_pallas(oct_, o, d, interpret=True)
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
@@ -60,8 +60,8 @@ def test_octant_order_closest_parity(accels):
 
 def test_octant_order_anyhit_parity(accels):
     wide, oct_ = accels
-    o, d = _rays(np.random.default_rng(5), 700)
-    tm = jnp.full((700,), 30.0, jnp.float32)
+    o, d = _rays(np.random.default_rng(5), 384)
+    tm = jnp.full((384,), 30.0, jnp.float32)
     h0 = trace_any_pallas(wide, o, d, tm, interpret=True)
     h1 = trace_any_pallas(oct_, o, d, tm, interpret=True)
     np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))

@@ -94,7 +94,7 @@ def test_kernel_matches_numpy_reference(nt, leaf, seed):
     assert (dp_k < SWEEP_MAXD).sum() >= 1          # it actually split
 
 
-@pytest.mark.parametrize("nt,leaf", [(600, 4), (150, 2)])
+@pytest.mark.parametrize("nt,leaf", [(400, 4), (150, 2)])
 def test_top_sah_tree_traces_correctly(nt, leaf):
     """Steered priorities must still yield a valid tree: traversal agrees
     with brute force."""
@@ -166,7 +166,7 @@ def test_rebuild_fused_top_sah_traces_correctly():
     from tpurt.bvh.wide import count_wide, round_up_bucket
     from tpurt.kernels.traverse import trace_closest_pallas
 
-    mesh = random_soup(700, seed=31)
+    mesh = random_soup(400, seed=31)
     v = jnp.asarray(mesh.vertices)
     i = jnp.asarray(mesh.indices)
     b0 = build_lbvh(v, i, leaf_size=4, top_sah=True)
@@ -176,13 +176,13 @@ def test_rebuild_fused_top_sah_traces_correctly():
         pass
 
     from tpurt.scenes import random_soup as _rs
-    full = _rs(700, seed=31)
+    full = _rs(400, seed=31)
     _, wide, _, _, _, cnt = _rebuild_fused(v, i, full, 4, nw,
                                            tables="st", top_sah=True)
     assert int(cnt) <= nw
     rng = np.random.default_rng(9)
-    o = rng.uniform(-9, 9, (128, 3)).astype(np.float32)
-    d = rng.normal(size=(128, 3)).astype(np.float32)
+    o = rng.uniform(-9, 9, (96, 3)).astype(np.float32)
+    d = rng.normal(size=(96, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     wt, _ = brute_force_closest(mesh, o, d)
     jt, _ = trace_closest_pallas(wide, jnp.asarray(o), jnp.asarray(d),
@@ -194,7 +194,7 @@ def test_top_sah_no_harm_on_random_soup():
     """On a uniform soup (no structure for the sweep to exploit) the
     steered tree must stay within a small factor of the Morton tree —
     guards against the forced top splits degrading well-behaved scenes."""
-    mesh = random_soup(3000, seed=11)
+    mesh = random_soup(1200, seed=11)
     v = jnp.asarray(mesh.vertices)
     i = jnp.asarray(mesh.indices)
     plain = build_lbvh(v, i, leaf_size=4)
