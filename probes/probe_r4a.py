@@ -119,8 +119,10 @@ def main():
     report("SBVH static (ref)", sacc, None)
 
     def variant(leaf, bits, mode, order=None, transposed=False):
-        b0 = build_lbvh(mesh.vertices, mesh.indices, leaf_size=leaf,
-                        morton_bits=bits)
+        import functools as _ft
+        b0 = jax.jit(_ft.partial(build_lbvh, leaf_size=leaf,
+                                 morton_bits=bits))(
+            mesh.vertices, mesh.indices)
         nw = round_up_bucket(max(count_wide(b0, mode=mode), 1))
 
         if mode == "fixed":

@@ -92,8 +92,14 @@ def main():
     sref_ms = timed(lambda: shade(sacc, so, sd, stm), 32) * 1e3
     log(f"SBVH static shadow trace: {sref_ms:.2f} ms")
 
-    # Steering kernel cost alone.
-    b0 = build_lbvh(mesh.vertices, mesh.indices, leaf_size=leaf)
+    # Steering kernel cost alone. NOTE: every build_lbvh call in probes
+    # must be JITTED — the eager dispatch path crashes the device
+    # (FailedPrecondition poisoning, then a multi-hour tunnel wedge;
+    # burned two probe slots this round).
+    import functools
+    bj = jax.jit(functools.partial(build_lbvh, leaf_size=leaf))
+    b0 = bj(mesh.vertices, mesh.indices)
+    jax.block_until_ready(b0.nodes_box)
 
     def prio_only(v0, e1, e2):
         v1, v2 = v0 + e1, v0 + e2
@@ -116,8 +122,9 @@ def main():
         for collapse in ("fixed", "area"):
             name = f"{'top_sah' if ts else 'plain  '} {collapse}"
             try:
-                b1 = build_lbvh(mesh.vertices, mesh.indices,
-                                leaf_size=leaf, top_sah=ts)
+                b1 = jax.jit(functools.partial(
+                    build_lbvh, leaf_size=leaf, top_sah=ts))(
+                        mesh.vertices, mesh.indices)
                 nw = round_up_bucket(max(count_wide(
                     b1, mode=collapse), 1))
 

@@ -512,6 +512,20 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     skips the XLA pointer-doubling depth pass. Return value: LBVH, plus
     sorted extras when extra_payload is non-empty, plus depth when
     want_depth — in that order."""
+    # EAGER calls on compiled TPU backends are routed through an internal
+    # jit: the eager dispatch path (each of the ~30 build ops compiled
+    # and launched separately over the remote tunnel) has crashed the
+    # DEVICE into FailedPrecondition twice this round (probes r4a/r4b,
+    # each followed by a multi-hour tunnel wedge), and is pathologically
+    # slow even when it works. Inside jit (Tracer inputs) this is a
+    # no-op; CPU eager keeps the direct path (interpret-mode tests).
+    if not isinstance(vertices, jax.core.Tracer):
+        from ..kernels.traverse import _compiled_backend
+        if _compiled_backend():
+            return _build_lbvh_jitted(
+                vertices, indices, extra_payload, leaf_size=leaf_size,
+                morton_bits=morton_bits, builder=builder, boxes=boxes,
+                want_depth=want_depth, top_sah=top_sah)
     num_tris = int(indices.shape[0])
     tpad = _round_up(max(num_tris, 2 * leaf_size), leaf_size)
     pad = tpad - num_tris
@@ -658,6 +672,22 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                tri_sorted=tri_sorted, tri_id=tri_id, root_min=root_min,
                root_max=root_max, leaf_size=leaf_size)
     return ret(out)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=(
+    "leaf_size", "morton_bits", "builder", "boxes", "want_depth",
+    "top_sah"))
+def _build_lbvh_jitted(vertices, indices, extra_payload, *, leaf_size,
+                       morton_bits, builder, boxes, want_depth, top_sah):
+    """Jitted trampoline for eager build_lbvh calls on compiled backends
+    (see the guard at the top of build_lbvh)."""
+    return build_lbvh(vertices, indices, leaf_size=leaf_size,
+                      morton_bits=morton_bits, builder=builder, boxes=boxes,
+                      extra_payload=extra_payload, want_depth=want_depth,
+                      top_sah=top_sah)
 
 
 def refit_lbvh(bvh: LBVH, vertices: jnp.ndarray, indices: jnp.ndarray) -> LBVH:
