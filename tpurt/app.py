@@ -144,12 +144,21 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
                                  leaf_attr_rows_from_sorted)
     if tables == "attr":
         extra = attr_payload_columns(mesh)
+    # Depths only feed the fixed-cut mask; the area collapse kernel does
+    # not read them (skipping saves the build kernel's reverse-seq sweep).
+    want_depth = collapse != "area"
     r = build_lbvh(vertices, indices, leaf_size=leaf_size, boxes="defer",
-                   extra_payload=extra, want_depth=True, top_sah=top_sah)
-    if extra:
+                   extra_payload=extra, want_depth=want_depth,
+                   top_sah=top_sah)
+    depth = None
+    if extra and want_depth:
         bvh, extras, depth = r
-    else:
+    elif extra:
+        bvh, extras = r
+    elif want_depth:
         (bvh, depth), extras = r, ()
+    else:
+        bvh, extras = r, ()
     # Collapse frontier: "fixed" = depth-3 cut (cheapest; the kernel
     # builder's depth output replaces the pointer-doubling pass, None on
     # search-builder fallbacks — widen recomputes depths then). "area" =
