@@ -5,7 +5,7 @@
 # first r4b slot this round. Decision probes first.
 set -u
 cd "$(dirname "$0")/.."
-for p in probe_r4b probe_r4c probe_r4a; do
+for p in probe_r4b probe_r4c probe_r4a probe_r3y; do
   echo "=== $p ==="
   timeout 2400 python "probes/$p.py" 2>&1 | grep -v WARNING
   echo "=== $p rc=$? ==="
