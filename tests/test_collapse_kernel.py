@@ -50,6 +50,33 @@ def test_kernel_collapse_matches_xla_area_widen(nt, leaf, seed):
     np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
 
 
+def test_rebuild_fused_area_collapse_traces_correctly():
+    """Config-2 plumbing: _rebuild_fused(collapse='area') — the full
+    per-frame program with the collapse kernel inside — yields an accel
+    whose closest hits agree with brute force."""
+    from tpurt.app import _rebuild_fused
+    from tpurt.bvh.reference import brute_force_closest
+    from tpurt.scenes import random_soup as _rs
+
+    mesh = _rs(400, seed=13)
+    v = jnp.asarray(mesh.vertices)
+    i = jnp.asarray(mesh.indices)
+    b0 = build_lbvh(v, i, leaf_size=4, top_sah=True)
+    nw = round_up_bucket(max(count_wide(b0, mode="area"), 1), 64)
+    _, wide, _, _, _, cnt = _rebuild_fused(v, i, mesh, 4, nw,
+                                           tables="st", top_sah=True,
+                                           collapse="area")
+    assert int(cnt) <= nw
+    rng = np.random.default_rng(2)
+    o = rng.uniform(-9, 9, (96, 3)).astype(np.float32)
+    d = rng.normal(size=(96, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    wt, _ = brute_force_closest(mesh, o, d)
+    jt, _ = trace_closest_pallas(wide, jnp.asarray(o), jnp.asarray(d),
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(jt), wt, rtol=3e-4, atol=1e-6)
+
+
 def test_kernel_collapse_structure():
     """Structural invariants: root is wide id 0; every wide row's children
     are dense ids < count or leaves; leaf coverage is a partition."""
