@@ -10,9 +10,13 @@ Reports: chunked build time, chunks, any-hit shadow trace ms + Mrays/s,
 closest-hit G-buffer trace ms, and the same scene at 287k (single accel)
 for scaling context.
 """
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):

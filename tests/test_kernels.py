@@ -406,3 +406,97 @@ def test_attr_gbuffer_textured_uv_layer():
     assert duv.max() <= 1e-5, f"uv max|d|={duv.max()}"
     np.testing.assert_array_equal(np.asarray(ref["tex_layer"]),
                                   np.asarray(got["tex_layer"]))
+
+
+@pytest.mark.parametrize("leaf_size", [8, 16])
+@pytest.mark.slow
+def test_attr_gbuffer_w8t_matches_row_or_table(leaf_size):
+    """The w8t attribute-tracked G-buffer (transposed leaves + transposed
+    attr rows, zero per-candidate scalar reads) matches the row attr pass
+    (leaf 8 — identical winners on the same LBVH) / the shade-table path
+    (leaf 16 — the row attr kernel cannot hold 16-triangle leaves)."""
+    from tpurt.bvh.wide import build_wide, build_wide_t
+    from tpurt.passes.gbuffer import gbuffer_attr_pass, gbuffer_pass
+    from tpurt.passes.shading import (make_leaf_attr_rows,
+                                      make_leaf_attr_rows_t,
+                                      make_shade_table)
+    from tpurt.scenes import default_camera_for
+
+    mesh = teapot_scene(2500)
+    bvh = _build(mesh, leaf_size=leaf_size)
+    wide = build_wide(bvh)
+    accel_t = jax.jit(build_wide_t)(wide, bvh)
+    at_t = make_leaf_attr_rows_t(bvh, mesh)
+    cam = default_camera_for(mesh)
+    W, H = 96, 72
+
+    if leaf_size == 8:
+        at = make_leaf_attr_rows(bvh, mesh)
+        ref = gbuffer_attr_pass(wide, at, mesh, cam, W, H)
+    else:
+        st = make_shade_table(bvh, mesh)
+
+        def tracer(o, d):
+            return trace_closest_pallas(accel_t, o, d, return_sorted=True,
+                                        gather_tri_id=False)
+        ref = gbuffer_pass(tracer, mesh, cam, W, H, shade_table=st)
+    got = gbuffer_attr_pass(accel_t, at_t, mesh, cam, W, H)
+
+    np.testing.assert_array_equal(np.asarray(ref["valid"]),
+                                  np.asarray(got["valid"]))
+    np.testing.assert_array_equal(np.asarray(ref["tri_id"]),
+                                  np.asarray(got["tri_id"]))
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(ref["t"]), posinf=1e30),
+        np.nan_to_num(np.asarray(got["t"]), posinf=1e30),
+        rtol=1e-6, atol=1e-7)
+    vm = np.asarray(ref["valid"])
+    for key, tol in (("position", 1e-5), ("albedo", 0.0),
+                     ("depth", 1e-5), ("normal", 5e-3)):
+        a, b = np.asarray(ref[key]), np.asarray(got[key])
+        d = np.abs(a - b)[vm]
+        assert d.max() <= tol, f"{key}: max|d|={d.max()}"
+    # gnormal: same triangle -> same direction (row path normalizes the
+    # same cross product; table path at leaf 16 likewise).
+    dots = np.sum(np.asarray(ref["gnormal"]) * np.asarray(got["gnormal"]),
+                  axis=-1)[vm]
+    assert dots.min() > 1.0 - 1e-5
+
+
+def test_attr_gbuffer_w8t_textured_uv_layer():
+    """w8t in-kernel uv/layer tracking vs the shade-table path on a tiny
+    textured quad (fast tier: 2 triangles, leaf 8)."""
+    from tpurt.bvh.wide import build_wide, build_wide_t
+    from tpurt.passes.gbuffer import gbuffer_attr_pass, gbuffer_pass
+    from tpurt.passes.shading import make_leaf_attr_rows_t, make_shade_table
+    from tpurt.types import Camera, Mesh
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    n = np.tile(np.float32([0, 0, 1]), (4, 1))
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = v[:, :2].astype(np.float32)
+    atlas = np.zeros((2, 4, 4, 3), np.float32)
+    atlas[0, :, :, 0] = 1.0
+    mesh = Mesh(vertices=v, normals=n, indices=idx,
+                albedo=np.tile(np.float32([0.5, 0.5, 0.5]), (2, 1)),
+                uv=uv, tex_atlas=atlas, tri_tex=np.zeros(2, np.int32))
+    bvh = _build(mesh, leaf_size=8)
+    wide = build_wide(bvh)
+    accel_t = build_wide_t(wide, bvh)
+    st = make_shade_table(bvh, mesh)
+    at_t = make_leaf_attr_rows_t(bvh, mesh)
+    cam = Camera.look_at((0.5, 0.5, 2.2), (0.5, 0.5, 0.0), fov_y_deg=40.0)
+    W, H = 64, 64
+
+    def tracer(o, d):
+        return trace_closest_pallas(accel_t, o, d, return_sorted=True,
+                                    gather_tri_id=False)
+    ref = gbuffer_pass(tracer, mesh, cam, W, H, shade_table=st)
+    got = gbuffer_attr_pass(accel_t, at_t, mesh, cam, W, H)
+    vm = np.asarray(ref["valid"])
+    assert vm.any()
+    np.testing.assert_array_equal(vm, np.asarray(got["valid"]))
+    duv = np.abs(np.asarray(ref["uv"]) - np.asarray(got["uv"]))[vm]
+    assert duv.max() <= 1e-5, f"uv max|d|={duv.max()}"
+    np.testing.assert_array_equal(np.asarray(ref["tex_layer"]),
+                                  np.asarray(got["tex_layer"]))

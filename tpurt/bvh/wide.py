@@ -120,30 +120,41 @@ def leaves_per_block(leaf_size: int) -> int:
     return LEAVES_PER_BLOCK if leaf_size == 8 else LEAVES_PER_BLOCK16
 
 
+def transpose_leaf_rows(rows9: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[Tpad, 9] per-triangle field rows -> the transposed (sublane-major)
+    f32[ceil(nl/lpb), 8, 128] leaf-block layout (WideBVHT.tris_t lane map):
+    field f of triangle 8h+t of leaf j lives at [blk, t, unit*j + 9h + f].
+    Shared by the geometry (build_wide_t) and the transposed attr rows
+    (passes/shading.make_leaf_attr_rows_t) so both stay lane-aligned for
+    kernels/traverse._leaf_row_t."""
+    lpb = leaves_per_block(k)
+    nl = rows9.shape[0] // k
+    rows9 = rows9.reshape(nl, k, 9)
+    nlb = -(-nl // lpb)
+    lpad = nlb * lpb - nl
+    if lpad:
+        rows9 = jnp.concatenate(
+            [rows9, jnp.zeros((lpad, k, 9), rows9.dtype)])
+    if k == 8:
+        out = (rows9.reshape(nlb, lpb, k, 9)
+               .transpose(0, 2, 1, 3).reshape(nlb, 8, 126))
+    else:
+        # leaf j at lanes 18j, sublane group h in {0, 1}: tri 8h+t.
+        out = (rows9.reshape(nlb, lpb, 2, 8, 9)
+               .transpose(0, 3, 1, 2, 4).reshape(nlb, 8, 126))
+    return jnp.pad(out, ((0, 0), (0, 0), (0, 2)))
+
+
 def build_wide_t(wide: WideBVH, bvh: LBVH) -> WideBVHT:
     """WideBVH (row layout) + its LBVH -> hybrid WideBVHT (transposed
     leaves). Pure reshapes/transposes — jit-able, works for build and
     refit outputs. The triangle data comes from the LBVH (wide.tris rows
     cannot hold leaf_size 16)."""
     k = wide.leaf_size
-    lpb = leaves_per_block(k)
     tri9 = jnp.stack([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
     tri9 = tri9.reshape(-1, 9)          # [tri, (v0.xyz, e1.xyz, e2.xyz)]
     nl = tri9.shape[0] // k
-    tri9 = tri9.reshape(nl, k, 9)
-    nlb = -(-nl // lpb)
-    lpad = nlb * lpb - nl
-    if lpad:
-        tri9 = jnp.concatenate(
-            [tri9, jnp.zeros((lpad, k, 9), tri9.dtype)])
-    if k == 8:
-        tris_t = (tri9.reshape(nlb, lpb, k, 9)
-                  .transpose(0, 2, 1, 3).reshape(nlb, 8, 126))
-    else:
-        # leaf j at lanes 18j, sublane group h in {0, 1}: tri 8h+t.
-        tris_t = (tri9.reshape(nlb, lpb, 2, 8, 9)
-                  .transpose(0, 3, 1, 2, 4).reshape(nlb, 8, 126))
-    tris_t = jnp.pad(tris_t, ((0, 0), (0, 0), (0, 2)))
+    tris_t = transpose_leaf_rows(tri9, k)
     return WideBVHT(nodes=wide.nodes, tris_t=tris_t, tri_id=wide.tri_id,
                     root_min=wide.root_min, root_max=wide.root_max,
                     num_wide=wide.num_wide, num_leaves=nl, leaf_size=k)

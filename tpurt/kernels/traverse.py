@@ -2338,6 +2338,273 @@ def _closest_hit_kernel_w8t(k: int, max_iters: int, nb: int, tmin_ref,
     jax.lax.fori_loop(0, nb, per_packet, 0)
 
 
+def _w8t_closest_walk_attr(k: int, max_iters: int, textured: bool, ns_ref,
+                           tr_ref, a0_ref, a1_ref, stack_ref, ox, oy, oz,
+                           dx, dy, dz, ix, iy, iz, tmax, t_min):
+    """Transposed-leaf attribute-tracked closest hit — the w8t twin of
+    _w8_closest_walk_attr with ZERO per-candidate scalar lane reads.
+
+    The row walk's leaf test broadcasts every triangle field out of vector
+    registers (~9*k geometry + ~5/candidate attr vreg->sreg extracts per
+    leaf visit — THE G-buffer cost, probes r3ae/r4d/r4e); here triangles
+    live in SUBLANES (WideBVHT.tris_t), so the Möller–Trumbore runs as
+    (8,128) ops on static (8,1) field slices, and the winner's attributes
+    are selected by a one-hot sublane reduce from the TRANSPOSED attr rows
+    (shading.make_leaf_attr_rows_t — same lane geometry, same _leaf_row_t
+    alignment roll).
+
+    Cost shape per leaf visit: the MT/update loop marshals only the four
+    per-sub-block carries (best_t/i/u/v); the 8-11 attribute carries stay
+    (8,128) whole and are updated by full-height masks inside a per-sub-
+    block epilogue GUARDED by "did this leaf win any lane here" — leaf
+    visits that improve nothing skip all attribute work. Returns the
+    ATTR_CH tuple (_write_attr_out contract)."""
+    active0 = tmax > t_min
+    stack_ref[0] = jnp.int32(0)
+    zero = jnp.zeros(ox.shape, jnp.float32)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    groups = k // 8
+
+    def leaf_test(leaf_id, carry):
+        (best_t, best_i, bu, bv, uvu, uvv, kd, lay, tid,
+         o0, o1, o2, nx, ny, nz) = carry
+        row = _leaf_row_t(tr_ref, leaf_id, k)
+        arow = _leaf_row_t(a0_ref, leaf_id, k)
+        brow = _leaf_row_t(a1_ref, leaf_id, k) if textured else None
+        base = leaf_id * k
+        t_rows, i_rows, u_rows, v_rows = [], [], [], []
+        attrs = (uvu, uvv, kd, lay, tid, o0, o1, o2, nx, ny, nz)
+        for s in range(8):
+            dxs, dys, dzs = dx[s:s + 1], dy[s:s + 1], dz[s:s + 1]
+            oxs, oys, ozs = ox[s:s + 1], oy[s:s + 1], oz[s:s + 1]
+            bt_s = best_t[s:s + 1]
+            bi_s = best_i[s:s + 1]
+            bu_s = bu[s:s + 1]
+            bv_s = bv[s:s + 1]
+            act_s = active0[s:s + 1]
+            for h in range(groups):
+                g = 9 * h
+                v0x, v0y, v0z = row[:, g:g + 1], row[:, g + 1:g + 2], \
+                    row[:, g + 2:g + 3]
+                e1x, e1y, e1z = row[:, g + 3:g + 4], row[:, g + 4:g + 5], \
+                    row[:, g + 5:g + 6]
+                e2x, e2y, e2z = row[:, g + 6:g + 7], row[:, g + 7:g + 8], \
+                    row[:, g + 8:g + 9]
+                px = dys * e2z - dzs * e2y
+                py = dzs * e2x - dxs * e2z
+                pz = dxs * e2y - dys * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                ok = jnp.abs(det) >= 1e-9
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tx = oxs - v0x
+                ty = oys - v0y
+                tz = ozs - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dxs * qx + dys * qy + dzs * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
+                    & (u + v <= 1.0)
+                tv = jnp.where(ok & (t > t_min), t, _BIG)   # (8,128)
+                tm_s = jnp.min(tv, axis=0, keepdims=True)   # (1,128)
+                im_s = jnp.min(jnp.where(tv == tm_s, sub8, 8), axis=0,
+                               keepdims=True)
+                oneh = (sub8 == im_s) & (tv < _BIG)
+                better = (tm_s < bt_s) & act_s
+                bt_s = jnp.where(better, tm_s, bt_s)
+                bi_s = jnp.where(better, base + 8 * h + im_s, bi_s)
+                us = jnp.sum(jnp.where(oneh, u, 0.0), axis=0, keepdims=True)
+                vs = jnp.sum(jnp.where(oneh, v, 0.0), axis=0, keepdims=True)
+                bu_s = jnp.where(better, us, bu_s)
+                bv_s = jnp.where(better, vs, bv_s)
+
+            # Attribute epilogue for sub-block s: runs only if this leaf
+            # won at least one of its 128 lanes. bi_s in [base, base+k)
+            # <=> won during THIS visit (a leaf hangs under exactly one
+            # wide node; the EMPTY->leaf-0 re-visits recompute identical
+            # values). Attr carries update as FULL (8,128) arrays through
+            # sublane-s masks — no slicing, no concat, no scalar reads.
+            local = bi_s - base                             # (1,128)
+            inleaf = (local >= 0) & (local < k)
+            upd = (sub8 == s) & inleaf                      # (8,128)
+
+            def do_attrs(a, local=local, inleaf=inleaf, upd=upd,
+                         bu_s=bu_s, bv_s=bv_s):
+                (uvu, uvv, kd, lay, tid, o0, o1, o2, nx, ny, nz) = a
+                w = local & 7
+                gsel = local >> 3
+
+                def sel(src, f):
+                    acc = None
+                    for h in range(groups):
+                        oneh = inleaf & (gsel == h) & (sub8 == w)
+                        val = jnp.sum(
+                            jnp.where(oneh, src[:, 9 * h + f:9 * h + f + 1],
+                                      0.0), axis=0, keepdims=True)
+                        acc = val if acc is None else acc + val
+                    return acc
+
+                def selv(vals_by_group):
+                    acc = None
+                    for h in range(groups):
+                        oneh = inleaf & (gsel == h) & (sub8 == w)
+                        val = jnp.sum(
+                            jnp.where(oneh, vals_by_group[h], 0.0),
+                            axis=0, keepdims=True)
+                        acc = val if acc is None else acc + val
+                    return acc
+
+                o0 = jnp.where(upd, sel(arow, 0), o0)
+                o1 = jnp.where(upd, sel(arow, 1), o1)
+                o2 = jnp.where(upd, sel(arow, 2), o2)
+                kd = jnp.where(upd, sel(arow, 3), kd)
+                tid = jnp.where(upd, sel(arow, 4), tid)
+                gnx, gny, gnz = [], [], []
+                for h in range(groups):
+                    g = 9 * h
+                    e1x, e1y, e1z = row[:, g + 3:g + 4], \
+                        row[:, g + 4:g + 5], row[:, g + 5:g + 6]
+                    e2x, e2y, e2z = row[:, g + 6:g + 7], \
+                        row[:, g + 7:g + 8], row[:, g + 8:g + 9]
+                    gnx.append(e1y * e2z - e1z * e2y)
+                    gny.append(e1z * e2x - e1x * e2z)
+                    gnz.append(e1x * e2y - e1y * e2x)
+                nx = jnp.where(upd, selv(gnx), nx)
+                ny = jnp.where(upd, selv(gny), ny)
+                nz = jnp.where(upd, selv(gnz), nz)
+                if textured:
+                    lay = jnp.where(upd, sel(arow, 5), lay)
+                    u0u = sel(arow, 6)
+                    u0v = sel(arow, 7)
+                    d1u = sel(brow, 0)
+                    d1v = sel(brow, 1)
+                    d2u = sel(brow, 2)
+                    d2v = sel(brow, 3)
+                    uvu = jnp.where(upd, u0u + bu_s * d1u + bv_s * d2u, uvu)
+                    uvv = jnp.where(upd, u0v + bu_s * d1v + bv_s * d2v, uvv)
+                return (uvu, uvv, kd, lay, tid, o0, o1, o2, nx, ny, nz)
+
+            attrs = jax.lax.cond(jnp.any(inleaf), do_attrs, lambda a: a,
+                                 attrs)
+            t_rows.append(bt_s)
+            i_rows.append(bi_s)
+            u_rows.append(bu_s)
+            v_rows.append(bv_s)
+        (uvu, uvv, kd, lay, tid, o0, o1, o2, nx, ny, nz) = attrs
+        return (jnp.concatenate(t_rows, axis=0),
+                jnp.concatenate(i_rows, axis=0),
+                jnp.concatenate(u_rows, axis=0),
+                jnp.concatenate(v_rows, axis=0),
+                uvu, uvv, kd, lay, tid, o0, o1, o2, nx, ny, nz)
+
+    def cond(state):
+        it, sp = state[0], state[1]
+        return (sp > 0) & (it < max_iters)
+
+    def body(state):
+        it, sp = state[0], state[1]
+        carry = state[2:]
+        best_t = carry[0]
+        sp = sp - 1
+        node = stack_ref[sp]
+        rec = ns_ref[pl.ds(node, 1), :]
+        cap = jnp.where(active0, best_t, -_BIG)
+        hits = []
+        refs = []
+        valids = []
+        for c in range(8):
+            bb, ref = _wide_child(rec, c)
+            hits.append(_slab(rec, bb, ox, oy, oz, ix, iy, iz, t_min, cap))
+            refs.append(ref)
+            valids.append(rec[0, bb] <= rec[0, bb + 3])
+        anyhit = _child_anyhit8(hits, valids)
+        for c in range(8):
+            ref = refs[c]
+            is_leaf = ref < 0
+            carry = jax.lax.cond(
+                anyhit[c] & is_leaf,
+                lambda car, r=ref: leaf_test(jnp.maximum(-r - 1, 0), car),
+                lambda car: car, carry)
+            push = anyhit[c] & (~is_leaf)
+            stack_ref[sp] = jnp.where(push, ref, 0)
+            sp = sp + push.astype(jnp.int32)
+        return (it + 1, sp) + tuple(carry)
+
+    best_t0 = jnp.where(active0, tmax, -_BIG)
+    best_i0 = jnp.full(ox.shape, -1, jnp.int32)
+    lay0 = zero if textured else jnp.full(ox.shape, -1.0, jnp.float32)
+    init = (jnp.int32(0), jnp.int32(1), best_t0, best_i0, zero, zero,
+            zero, zero, zero, lay0) + tuple(zero for _ in range(7))
+    state = jax.lax.while_loop(cond, body, init)
+    return state[2:]
+
+
+def _closest_attr_kernel_w8t_b(k: int, max_iters: int, nb: int,
+                               textured: bool, tmin_ref, ns_ref, tr_ref,
+                               a0_ref, a1_ref, rays_ref, out_ref,
+                               stack_ref):
+    """Batched w8t attribute-tracked closest hit (transposed leaves +
+    transposed attr rows): ONE f32 output of ATTR_CH channels/packet."""
+    t_min = tmin_ref[0]
+
+    def per_packet(b, _):
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax = \
+            _packet_body_rays(rays_ref, b)
+        res = _w8t_closest_walk_attr(k, max_iters, textured, ns_ref,
+                                     tr_ref, a0_ref, a1_ref, stack_ref,
+                                     ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                     tmax, t_min)
+        _write_attr_out(out_ref, b, res)
+        return 0
+
+    jax.lax.fori_loop(0, nb, per_packet, 0, unroll=False)
+
+
+def _attr_call_t(packed, at0, at1, rays, t_min, interpret, batch,
+                 textured: bool = False):
+    """_common_call_t with the two TRANSPOSED leaf-attribute arrays as
+    extra VMEM inputs and one (pb, ATTR_CH, 8, 128) f32 output."""
+    from ..bvh.wide import WideBVHT
+    assert isinstance(packed, WideBVHT)
+    pb = rays.shape[0]
+    iter_cap = 2 * packed.num_wide + 64
+    if _ITER_CAP_OVERRIDE is not None:
+        iter_cap = _ITER_CAP_OVERRIDE
+    if interpret is None:
+        interpret = not _compiled_backend()
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((batch, 10, 8, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((batch, ATTR_CH, 8, 128),
+                            lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pb // batch,),
+        in_specs=[const_spec(packed.nodes.shape),
+                  const_spec(packed.tris_t.shape),
+                  const_spec(at0.shape), const_spec(at1.shape), ray_spec],
+        out_specs=(out_spec,),
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+    )
+    vma = getattr(jax.typeof(rays), "vma", None)
+    fn = pl.pallas_call(
+        functools.partial(_closest_attr_kernel_w8t_b, packed.leaf_size,
+                          iter_cap, batch, textured),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((pb, ATTR_CH, 8, 128),
+                                        jnp.float32, vma=vma),),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(_GRID_SEMANTICS,)),
+    )
+    tmin_arr = jnp.full((1,), t_min, jnp.float32)
+    return fn(tmin_arr, packed.nodes, packed.tris_t, at0, at1, rays)[0]
+
+
 def _common_call_t(packed, kernel, out_shapes, rays, t_min, interpret,
                    batch: int):
     from ..bvh.wide import WideBVHT
@@ -3077,6 +3344,26 @@ def trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs, t_max=_BIG,
     rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
                                         PACKETS_PER_STEP)
     out = _attr_call_b(packed, at0, at1, rays, t_min, interpret,
+                       PACKETS_PER_STEP, textured=textured)
+    return _attr_channels(out, p, meta)
+
+
+def trace_closest_attrs_pallas_t(bvh, at0_t, at1_t, origins, dirs,
+                                 t_max=_BIG, t_min: float = 0.0,
+                                 textured: bool = False,
+                                 interpret: Optional[bool] = None):
+    """w8t twin of trace_closest_attrs_pallas: transposed-leaf accel
+    (bvh/wide.WideBVHT, leaf_size 8 or 16) + TRANSPOSED attr rows
+    (passes/shading.make_leaf_attr_rows_t — from the SAME LBVH). The
+    walk selects the winner's attributes by one-hot sublane reduces
+    instead of per-candidate scalar lane reads (the row kernel's
+    G-buffer cost — probes r3ae/r4d). Same return contract."""
+    from ..bvh.wide import WideBVHT
+    assert isinstance(bvh, WideBVHT), \
+        "trace_closest_attrs_pallas_t needs a WideBVHT accel"
+    rays, p, meta = _ray_packets_packed(origins, dirs, t_max,
+                                        PACKETS_PER_STEP)
+    out = _attr_call_t(bvh, at0_t, at1_t, rays, t_min, interpret,
                        PACKETS_PER_STEP, textured=textured)
     return _attr_channels(out, p, meta)
 

@@ -217,14 +217,22 @@ def gbuffer_attr_pass(bvh, attr_tables, mesh: Mesh, cam: Camera,
     per-pixel gathers — only elementwise decode (oct normals, packed rgb)
     of what the kernel already selected. Same output contract as
     gbuffer_pass; Pallas 8-wide accel only."""
-    from ..kernels.traverse import trace_closest_attrs_pallas
+    from ..bvh.wide import WideBVHT
+    from ..kernels.traverse import (trace_closest_attrs_pallas,
+                                    trace_closest_attrs_pallas_t)
     if rays is None:
         origins, dirs = generate_rays(cam, width, height, jitter)
     else:
         origins, dirs = rays
     at0, at1 = attr_tables
-    ch = trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs,
-                                    textured=mesh.textured)
+    if isinstance(bvh, WideBVHT):
+        # Transposed-leaf accel: attr_tables must be the TRANSPOSED pair
+        # (shading.make_leaf_attr_rows_t).
+        ch = trace_closest_attrs_pallas_t(bvh, at0, at1, origins, dirs,
+                                          textured=mesh.textured)
+    else:
+        ch = trace_closest_attrs_pallas(bvh, at0, at1, origins, dirs,
+                                        textured=mesh.textured)
     return gbuf_from_attr_channels(ch, origins, dirs, cam, mesh)
 
 

@@ -192,6 +192,52 @@ def make_leaf_attr_rows(bvh: LBVH, mesh: Mesh):
     return _pack_attr_rows(rows16, n_leaves, k)
 
 
+def make_leaf_attr_rows_t(bvh: LBVH, mesh: Mesh):
+    """TRANSPOSED (sublane-major) leaf attribute rows for the w8t
+    attribute-tracked closest hit (kernels/traverse
+    trace_closest_attrs_pallas_t) — the WideBVHT twin of
+    make_leaf_attr_rows.
+
+    Two arrays mirroring WideBVHT.tris_t's lane geometry exactly
+    (bvh/wide.transpose_leaf_rows), so the kernel aligns them with the
+    same _leaf_row_t roll it uses for geometry:
+
+      at0_t[blk, t, unit*j + 9h + f], f in 0..8:
+        [oct(n0) packed, oct(n1) packed, oct(n2) packed, packed rgb kd,
+         ORIGINAL tri id (exact float), layer, uv0.u, uv0.v, 0]
+      at1_t (textured only; else a (1, 8, 128) dummy):
+        [d1.u, d1.v, d2.u, d2.v, 0, 0, 0, 0, 0]   (d1 = uv1-uv0 etc.)
+
+    Why a second array: a transposed field slot holds 9 lanes per
+    (leaf, group), and textured tracking needs 12 fields. The kernel
+    reads at1_t only when ``textured``."""
+    k = bvh.leaf_size
+    tri = mesh.indices[bvh.tri_id]            # [Tpad, 3]
+    n0 = pack_oct12(oct_encode(mesh.normals[tri[:, 0]]))[:, None]
+    n1 = pack_oct12(oct_encode(mesh.normals[tri[:, 1]]))[:, None]
+    n2 = pack_oct12(oct_encode(mesh.normals[tri[:, 2]]))[:, None]
+    alb = pack_rgb(mesh.albedo[bvh.tri_id])[:, None]
+    tid = bvh.tri_id.astype(jnp.float32)[:, None]   # exact for < 2^24 tris
+    z1 = jnp.zeros((tri.shape[0], 1), jnp.float32)
+    from ..bvh.wide import transpose_leaf_rows
+    if mesh.textured:
+        uv0 = mesh.uv[tri[:, 0]]
+        d1 = mesh.uv[tri[:, 1]] - uv0
+        d2 = mesh.uv[tri[:, 2]] - uv0
+        layer = mesh.tri_tex[bvh.tri_id].astype(jnp.float32)[:, None]
+        rows_a = jnp.concatenate([n0, n1, n2, alb, tid, layer, uv0, z1],
+                                 axis=1).astype(jnp.float32)
+        rows_b = jnp.concatenate([d1, d2, z1, z1, z1, z1, z1],
+                                 axis=1).astype(jnp.float32)
+        return (transpose_leaf_rows(rows_a, k),
+                transpose_leaf_rows(rows_b, k))
+    layer = jnp.full((tri.shape[0], 1), -1.0, jnp.float32)
+    rows_a = jnp.concatenate([n0, n1, n2, alb, tid, layer, z1, z1, z1],
+                             axis=1).astype(jnp.float32)
+    return (transpose_leaf_rows(rows_a, k),
+            jnp.zeros((1, 8, 128), jnp.float32))
+
+
 def attr_payload_columns(mesh: Mesh):
     """Per-triangle ORIGINAL-ORDER attr columns ([T] f32 each) to ride a
     rebuild's Morton sort as payload operands (bvh/lbvh.build_lbvh
