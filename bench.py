@@ -53,14 +53,19 @@ def log(*a):
 class Budget:
     """Wall-clock budget for the extras: sections check ``over()`` before
     starting so a slow section degrades to a skipped one, never to a
-    killed process (the round-3 record was lost to rc=124)."""
+    killed process (the round-3 record was lost to rc=124). Skipped
+    sections are RECORDED (``skipped``) and surface in the payload as
+    ``extras_skipped`` — round 4 claimed ``extras_complete: true`` while
+    config 5 had silently dropped into the log (VERDICT r4 weak #1)."""
 
     def __init__(self, seconds: float):
         self.deadline = time.time() + seconds
+        self.skipped = []
 
     def over(self, section: str) -> bool:
         if time.time() > self.deadline:
             log(f"extras budget exhausted; skipping {section}")
+            self.skipped.append(section)
             return True
         return False
 
@@ -360,10 +365,12 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
 
 
 def bench_extras(ctx, budget: Budget, exhaustive: bool = False):
-    """Comparison variants + BASELINE configs 3/4/5. Every section is
-    fault-isolated AND budget-gated; retired variants (argsort ray
-    sorting, deferred raster — NOTES_ROUND3.md) only run under
-    ``exhaustive``."""
+    """BASELINE configs 3/4/5 + comparison variants. ORDER CONTRACT
+    (VERDICT r4 #3): every config's ONE headline key is measured BEFORE
+    any comparison/retired variant runs, so a budget exhaustion degrades
+    comparisons, never a BASELINE config. Every section is fault-isolated
+    AND budget-gated; retired variants (argsort ray sorting, deferred
+    raster — NOTES_ROUND3.md) only run under ``exhaustive``."""
     import jax
     import jax.numpy as jnp
     from tpurt.bvh.lbvh import refit_lbvh
@@ -382,6 +389,79 @@ def bench_extras(ctx, budget: Budget, exhaustive: bool = False):
 
     out = {}
     valid = int(np.asarray(gbuf["valid"]).sum())
+
+    # =====================================================================
+    # PHASE 1 — per-config headline keys (configs 3, 4, 5)
+    # =====================================================================
+
+    # --- Config 3 headline: soft shadows spp=8, fused in-kernel sampling.
+    sun = Light.sun((0.25, 0.9, 0.2), angular_radius_deg=2.5)
+    from tpurt.app import make_soft_tracer
+    from tpurt.types import RenderConfig as _RC
+    cfg3 = _RC(use_pallas=True)
+
+    def _soft(name, a3, b3, fused, key):
+        try:
+            sp8 = jax.jit(lambda a, g, k, b=b3, f=fused: jnp.sum(shadow_pass(
+                lambda o, d, tm: trace_any(a, o, d, tm), g, sun, 8, k,
+                1e-3, scene_bounds=(b.root_min, b.root_max),
+                trace_soft=make_soft_tracer(cfg3, a) if f else None)))
+            t = timed(lambda: sp8(a3, gbuf, jax.random.PRNGKey(1)), 16)
+            out[f"{key}_ms"] = round(t * 1e3, 2)
+            out[f"{key}_mrays"] = round(valid * 8 / t / 1e6, 2)
+            log(f"config 3 soft spp=8 ({name}): {out[f'{key}_ms']} ms "
+                f"-> {out[f'{key}_mrays']} Mrays/s")
+            return True
+        except Exception as e:  # noqa: BLE001
+            log(f"config 3 ({name}) failed: {type(e).__name__}: "
+                f"{str(e)[:160]}")
+            return False
+
+    if not budget.over("config 3 headline"):
+        if not _soft("sah+kernel", static_accel, static_bvh, True,
+                     "soft_spp8"):
+            # fall back so config 3 still gets its headline key
+            _soft("morton+xla", accel, bvh, False, "soft_spp8")
+
+    # --- Config 4 headline: clip-geometry SBVH refit (production path).
+    if not budget.over("config 4 headline"):
+        try:
+            if isinstance(static_accel, WideBVH):
+                from tpurt.bvh.clip_refit import (make_clip_refit,
+                                                  refit_sbvh_wide)
+                cplan = jax.device_put(make_clip_refit(
+                    static_bvh, static_accel.num_wide))
+                crefit = jax.jit(lambda b, v: jnp.sum(refit_sbvh_wide(
+                    cplan, b, None, None, None, vertices=v)[0].nodes))
+                out["refit_ms"] = round(
+                    timed(lambda: crefit(static_bvh, mesh.vertices), 40)
+                    * 1e3, 2)
+                log(f"config 4 clip refit (fused refit+widen): "
+                    f"{out['refit_ms']} ms")
+        except Exception as e:  # noqa: BLE001
+            log(f"config 4 clip refit failed: {type(e).__name__}: "
+                f"{str(e)[:160]}")
+
+    # --- Config 5 headline: 4K multi-light (essentials inside _config5
+    # run before its own budget-gated extras).
+    if not budget.over("config 5"):
+        for c5name in ("sah", "morton"):
+            try:
+                out.update(_config5(
+                    mesh, cam,
+                    static_accel if c5name == "sah" else accel,
+                    static_bvh if c5name == "sah" else bvh,
+                    trace_any, ctx["trace_closest"], st0, 3840, 2160,
+                    at_tabs if c5name == "sah" else None,
+                    budget=budget, exhaustive=exhaustive))
+                break
+            except Exception as e:  # noqa: BLE001
+                log(f"config 5 ({c5name}) failed: {type(e).__name__}: "
+                    f"{str(e)[:160]}")
+
+    # =====================================================================
+    # PHASE 2 — comparison variants (safe to lose to the budget)
+    # =====================================================================
 
     # --- comparison G-buffer strategies (production attr number is in the
     # headline) ---------------------------------------------------------
@@ -446,68 +526,18 @@ def bench_extras(ctx, budget: Budget, exhaustive: bool = False):
         except Exception as e:  # noqa: BLE001
             log(f"unfused frame failed: {type(e).__name__}: {str(e)[:200]}")
 
-    # --- Config 3: area-light soft shadows, 8 jittered rays/pixel. Tries
-    # the static (SAH) accel first, falls back to the Morton accel — each
-    # config is fault-isolated so one compile failure cannot drop the rest
-    # from the report.
-    sun = Light.sun((0.25, 0.9, 0.2), angular_radius_deg=2.5)
-    from tpurt.app import make_soft_tracer
-    from tpurt.types import RenderConfig as _RC
-    cfg3 = _RC(use_pallas=True)
-    # Variants: the fused in-kernel sampling path (hardware PRNG inside the
-    # traversal kernel — the production config-3 path) and the scan-based
-    # XLA twin, on the SAH then Morton accels. The headline soft number is
-    # the first variant that runs.
-    variants = (("sah+kernel", static_accel, static_bvh, True, "soft_spp8"),
-                ("sah+xla", static_accel, static_bvh, False,
-                 "soft_spp8_xla"),
-                ("morton+xla", accel, bvh, False, "soft_spp8_fallback"))
-    for name, a3, b3, fused, key in variants:
-        if budget.over(f"config 3 ({name})"):
-            break
-        if key == "soft_spp8_fallback":
-            if "soft_spp8_ms" in out:
-                break              # only needed when both SAH attempts died
-            key = "soft_spp8"
-        try:
-            sp8 = jax.jit(lambda a, g, k, b=b3, f=fused: jnp.sum(shadow_pass(
-                lambda o, d, tm: trace_any(a, o, d, tm), g, sun, 8, k,
-                1e-3, scene_bounds=(b.root_min, b.root_max),
-                trace_soft=make_soft_tracer(cfg3, a) if f else None)))
-            t = timed(lambda: sp8(a3, gbuf, jax.random.PRNGKey(1)), 16)
-            out[f"{key}_ms"] = round(t * 1e3, 2)
-            out[f"{key}_mrays"] = round(valid * 8 / t / 1e6, 2)
-            log(f"config 3 soft spp=8 ({name}): {out[f'{key}_ms']} ms "
-                f"-> {out[f'{key}_mrays']} Mrays/s")
-        except Exception as e:  # noqa: BLE001
-            log(f"config 3 ({name}) failed: {type(e).__name__}: "
-                f"{str(e)[:160]}")
+    # --- Config 3 comparison: the scan-based XLA twin of the fused
+    # in-kernel sampling path.
+    if not budget.over("config 3 xla comparison"):
+        _soft("sah+xla", static_accel, static_bvh, False, "soft_spp8_xla")
     if "soft_spp8_ms" not in out and "soft_spp8_xla_ms" in out:
         out["soft_spp8_ms"] = out["soft_spp8_xla_ms"]
         out["soft_spp8_mrays"] = out["soft_spp8_xla_mrays"]
 
-    # --- Config 4: per-frame refit (topology + wide plan frozen). The
-    # production path is the clip-geometry SBVH refit (bvh/clip_refit.py):
-    # one fused program preserving the static tree's spatial-split quality,
-    # so refit+trace = refit_ms + shadow_ms. The plain full-triangle refit
-    # on the Morton tree is kept as a comparison point.
-    if not budget.over("config 4"):
-        try:
-            if isinstance(static_accel, WideBVH):
-                from tpurt.bvh.clip_refit import (make_clip_refit,
-                                                  refit_sbvh_wide)
-                cplan = jax.device_put(make_clip_refit(
-                    static_bvh, static_accel.num_wide))
-                crefit = jax.jit(lambda b, v: jnp.sum(refit_sbvh_wide(
-                    cplan, b, None, None, None, vertices=v)[0].nodes))
-                out["refit_ms"] = round(
-                    timed(lambda: crefit(static_bvh, mesh.vertices), 40)
-                    * 1e3, 2)
-                log(f"config 4 clip refit (fused refit+widen): "
-                    f"{out['refit_ms']} ms")
-        except Exception as e:  # noqa: BLE001
-            log(f"config 4 clip refit failed: {type(e).__name__}: "
-                f"{str(e)[:160]}")
+    # --- Config 4 comparison: plain full-triangle refit on the Morton
+    # tree (the production path is the clip refit in phase 1; refit+trace
+    # = refit_ms + shadow_ms).
+    if not budget.over("config 4 plain refit"):
         try:
             if isinstance(accel, WideBVH):
                 plan = jax.jit(make_wide_plan, static_argnames=("nw_pad",))(
@@ -524,22 +554,6 @@ def bench_extras(ctx, budget: Budget, exhaustive: bool = False):
             log(f"config 4 plain refit (incl. wide re-gather): {out[key]} ms")
         except Exception as e:  # noqa: BLE001
             log(f"config 4 failed: {type(e).__name__}: {str(e)[:160]}")
-
-    # --- Config 5: 4K multi-light ---------------------------------------
-    if not budget.over("config 5"):
-        for c5name in ("sah", "morton"):
-            try:
-                out.update(_config5(
-                    mesh, cam,
-                    static_accel if c5name == "sah" else accel,
-                    static_bvh if c5name == "sah" else bvh,
-                    trace_any, ctx["trace_closest"], st0, 3840, 2160,
-                    at_tabs if c5name == "sah" else None,
-                    budget=budget, exhaustive=exhaustive))
-                break
-            except Exception as e:  # noqa: BLE001
-                log(f"config 5 ({c5name}) failed: {type(e).__name__}: "
-                    f"{str(e)[:160]}")
     return out
 
 
@@ -592,24 +606,6 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
     valid4 = int(np.asarray(gbuf4["valid"]).sum())
     out["gbuffer_4k_ms"] = round(
         timed(lambda: gb4s(gb_accel4, mesh, cam), 5) * 1e3, 2)
-    if exhaustive:
-        # Deferred (z16) raster at 4K — retired on measurement (252.6 vs
-        # 98.5 ms, NOTES_ROUND3.md).
-        try:
-            from tpurt.kernels.traverse import _compiled_backend
-            from tpurt.passes.gbuffer import gbuffer_raster_pass
-            from tpurt.passes.shading import make_shade_table_orig
-            assert _compiled_backend()
-            st_orig4 = jax.jit(make_shade_table_orig)(mesh)
-            gb4d = jax.jit(lambda m, c, so: gb_consume(gbuffer_raster_pass(
-                m, c, W4, H4, so, deferred=True)))
-            out["gbuffer_4k_deferred_ms"] = round(
-                timed(lambda: gb4d(mesh, cam, st_orig4), 5) * 1e3, 2)
-            log(f"gbuffer 4K RASTER-DEFERRED (retired): "
-                f"{out['gbuffer_4k_deferred_ms']} ms")
-        except Exception as e:  # noqa: BLE001
-            log(f"4K deferred raster failed: {type(e).__name__}: "
-                f"{str(e)[:160]}")
     lights5 = [Light.sun((0.25, 0.9, 0.2), angular_radius_deg=1.5),
                Light.directional((-0.4, 0.8, -0.3))]
     raw = lambda a, o, d, tm: trace_any(a, o, d, tm)
@@ -651,6 +647,25 @@ def _config5(mesh, cam, static_accel, static_bvh, trace_any, trace_closest,
         stats["empty_packets"]))
     log(f"config 5 4K 2-light: unsorted {out['multilight_4k_unsorted_ms']} "
         f"ms ({nrays/1e6:.1f} Mrays); gbuffer4k {out['gbuffer_4k_ms']} ms")
+
+    if exhaustive:
+        # Deferred (z16) raster at 4K — retired on measurement (252.6 vs
+        # 98.5 ms, NOTES_ROUND3.md).
+        try:
+            from tpurt.kernels.traverse import _compiled_backend
+            from tpurt.passes.gbuffer import gbuffer_raster_pass
+            from tpurt.passes.shading import make_shade_table_orig
+            assert _compiled_backend()
+            st_orig4 = jax.jit(make_shade_table_orig)(mesh)
+            gb4d = jax.jit(lambda m, c, so: gb_consume(gbuffer_raster_pass(
+                m, c, W4, H4, so, deferred=True)))
+            out["gbuffer_4k_deferred_ms"] = round(
+                timed(lambda: gb4d(mesh, cam, st_orig4), 5) * 1e3, 2)
+            log(f"gbuffer 4K RASTER-DEFERRED (retired): "
+                f"{out['gbuffer_4k_deferred_ms']} ms")
+        except Exception as e:  # noqa: BLE001
+            log(f"4K deferred raster failed: {type(e).__name__}: "
+                f"{str(e)[:160]}")
 
     # Full-frame 4K 2-light through render_frame_fn, unfused vs the
     # N-light fused kernel (fused_multi_applicable): one dispatch serves
@@ -816,7 +831,8 @@ def _failure_line(error: str) -> str:
     return json.dumps(out)
 
 
-def _payload_from(result: dict, extras_complete: bool) -> dict:
+def _payload_from(result: dict, extras_complete: bool,
+                  extras_skipped=None) -> dict:
     skip = {"mrays", "frame_ms", "build_ms", "widen_ms", "gbuffer_ms",
             "shadow_ms", "rebuild_ms", "kw"}
     extras = {k: v for k, v in result.items() if k not in skip}
@@ -847,6 +863,7 @@ def _payload_from(result: dict, extras_complete: bool) -> dict:
         "gbuffer_ms": round(result["gbuffer_ms"], 2),
         "shadow_ms": round(result["shadow_ms"], 2),
         "extras_complete": extras_complete,
+        "extras_skipped": extras_skipped if extras_skipped is not None else [],
         "config": result.get("kw", {}),
     }
 
@@ -908,7 +925,11 @@ def main() -> int:
                 result[k] = v
                 # progressive persistence: cheap, and a kill between
                 # sections keeps everything measured so far
-            payload = _payload_from(result, extras_complete=True)
+            # extras_complete now means what it says: EVERY section ran
+            # (VERDICT r4 weak #1); skipped sections are listed.
+            payload = _payload_from(result,
+                                    extras_complete=not budget.skipped,
+                                    extras_skipped=budget.skipped)
             _record_lastgood(payload)
             print(json.dumps(payload), flush=True)
         except Exception as e:  # noqa: BLE001
