@@ -288,22 +288,30 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             log(f"rebuilt-tree trace failed: {type(e).__name__}: "
                 f"{str(e)[:160]}")
         try:
-            # Quality combo (round 4): sweep-SAH top-tree steering +
-            # the scalar-core AREA collapse kernel — exact CPU counts
-            # (probe r4f) predict ~2x fewer traversal pops than the
-            # fixed-cut Morton tree (16.8 vs 32.8 shadow pops/packet).
-            from tpurt.bvh.wide import count_wide, widen_area_kernel
+            # Quality rebuild (round 5): SUB-LEAF CLUSTERING — the top-M
+            # triangle blocks split at their largest internal Morton
+            # jump into two tight-boxed tree-leaves sharing the block's
+            # triangles (bvh/lbvh._subleaf_split; no re-gather). Exact
+            # CPU counts (probe r5c): shadow pops/packet 11.1 -> 6.4,
+            # closest 33.6 -> 22.1. Replaced the round-4 top_sah+area
+            # combo, which was retired on-device (trace unchanged,
+            # probe r4g).
+            from tpurt.bvh.lbvh import auto_split_blocks
+            from tpurt.bvh.wide import count_wide, widen_lbvh
             from tpurt.bvh.wide import round_up_bucket as _rub
+            msp = auto_split_blocks(int(np.asarray(
+                mesh.indices.shape[0])), leaf_size)
             bq = jax.jit(functools.partial(
-                build_lbvh, leaf_size=leaf_size, top_sah=True))(
+                build_lbvh, leaf_size=leaf_size, split_blocks=msp))(
                     mesh.vertices, mesh.indices)
-            nwq = _rub(max(count_wide(bq, mode="area"), 1))
+            nwq = _rub(max(count_wide(bq, mode="fixed"), 1))
 
             def _reb_acc_q(v, i):
-                b = build_lbvh(v, i, leaf_size=leaf_size, boxes="defer",
-                               top_sah=True)
-                w, _ = widen_area_kernel(b, nwq)
-                return w
+                b, dep = build_lbvh(v, i, leaf_size=leaf_size,
+                                    boxes="defer", want_depth=True,
+                                    split_blocks=msp)
+                return widen_lbvh(b, nw_pad=nwq, mode="fixed",
+                                  depths=dep)
             kq = jax.jit(_reb_acc_q)(mesh.vertices, mesh.indices)
             reb_q = jax.jit(lambda v, i: jnp.sum(
                 _reb_acc_q(v, i).nodes))
@@ -311,7 +319,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
                                                mesh.indices), 30) * 1e3
             trace_q_ms = timed(lambda: shade(kq, so, sd, stm), 32) * 1e3
             quality = (rebuild_q_ms, trace_q_ms)
-            log(f"rebuild QUALITY (top_sah+area kernel): rebuild "
+            log(f"rebuild QUALITY (sub-leaf clustered, M={msp}): rebuild "
                 f"{rebuild_q_ms:.2f} ms, trace {trace_q_ms:.2f} ms, "
                 f"same-tree {rebuild_q_ms + trace_q_ms:.2f} ms")
         except Exception as e:  # noqa: BLE001

@@ -55,10 +55,10 @@ def test_shadow_throughput_floor():
     valid = int(np.asarray(gbuf["valid"]).sum())
     mrays = valid / dt / 1e6
     print(f"\nTPU shadow throughput: {mrays:.1f} Mrays/s")
-    # Morton-tree throughput measured ~100 Mrays/s with the honest timing
-    # protocol (round 2); the floor is ratcheted to 80 so a real regression
+    # Morton-tree throughput: judge-measured 120.4 Mrays/s in round 4;
+    # floor ratcheted 80 -> 100 (VERDICT r4 #6) so a real regression
     # fails while ~20% tunnel variance still passes.
-    assert mrays > 80.0
+    assert mrays > 100.0
 
     # Production static accel (native SBVH): measured 249-255 Mrays/s on
     # this scene across rounds 3-4 (four driver/builder runs); floor 200
@@ -82,7 +82,8 @@ def test_shadow_throughput_floor():
         assert mrays_sbvh > 200.0
 
         # Attr-tracked G-buffer floor (the production primary-visibility
-        # pass): measured 33.5-34.6 ms interior across rounds 3-4; 40 ms
+        # pass): measured 31.4-34.6 ms interior across rounds 3-4
+        # (judge r4: 31.4); ratcheted 40 -> 37 ms (VERDICT r4 #6) with
         # fails a real regression with headroom (VERDICT r3 next-step 8).
         from tpurt.bvh.wide import order_children_for_point
         from tpurt.passes.gbuffer import gbuffer_attr_pass
@@ -98,10 +99,11 @@ def test_shadow_throughput_floor():
         float(r)
         gb_ms = (time.perf_counter() - t0) / 20 * 1e3
         print(f"TPU attr G-buffer: {gb_ms:.1f} ms")
-        assert gb_ms < 40.0
+        assert gb_ms < 37.0
 
         # Clip-geometry SBVH refit floor (config 4 production): measured
-        # 6.1-10.7 ms across rounds 3-4 (contention-dependent); 14 ms
+        # 6.1-10.7 ms across rounds 3-4 (judge r4: 6.44; contention can
+        # reach ~10.6); ratcheted 14 -> 12 ms (VERDICT r4 #6) with
         # fails a real regression (VERDICT r3 next-step 8).
         from tpurt.bvh.clip_refit import make_clip_refit, refit_sbvh_wide
         cplan = jax.device_put(make_clip_refit(sah, sbvh.num_wide))
@@ -114,7 +116,7 @@ def test_shadow_throughput_floor():
         float(r)
         refit_ms = (time.perf_counter() - t0) / 40 * 1e3
         print(f"TPU clip refit: {refit_ms:.2f} ms")
-        assert refit_ms < 14.0
+        assert refit_ms < 12.0
 
 
 @requires_tpu

@@ -122,10 +122,12 @@ def make_point_soft_tracer(cfg: RenderConfig, bvh):
 
 
 @partial(jax.jit, static_argnames=("leaf_size", "nw_pad", "tables",
-                                   "textured", "top_sah", "collapse"))
+                                   "textured", "top_sah", "collapse",
+                                   "split_blocks"))
 def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
                    tables: str = "st", textured: bool = False,
-                   top_sah: bool = False, collapse: str = "fixed"):
+                   top_sah: bool = False, collapse: str = "fixed",
+                   split_blocks: int = 0):
     """Config-2 hot path: LBVH build + 8-wide collapse + shading tables as
     ONE device program — no host syncs. The wide-node count rides along as
     a device scalar so callers can check pad overflow opportunistically
@@ -149,7 +151,7 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
     want_depth = collapse != "area"
     r = build_lbvh(vertices, indices, leaf_size=leaf_size, boxes="defer",
                    extra_payload=extra, want_depth=want_depth,
-                   top_sah=top_sah)
+                   top_sah=top_sah, split_blocks=split_blocks)
     depth = None
     if extra and want_depth:
         bvh, extras, depth = r
@@ -177,7 +179,7 @@ def _rebuild_fused(vertices, indices, mesh, leaf_size: int, nw_pad: int,
     st_orig = make_shade_table_orig(mesh) if tables in ("st", "sto") \
         else None
     at = leaf_attr_rows_from_sorted(
-        extras, bvh.tri_id, bvh.num_leaves, leaf_size,
+        extras, bvh.tri_id, bvh.num_blocks, leaf_size,
         textured) if tables == "attr" else None
     if cnt is None:
         cnt = wide_count_device(bvh, mode="fixed", depths=depth)
@@ -650,12 +652,19 @@ class Renderer:
         self.camera = camera
         self.lights = list(lights)
         self.mesh = jax.device_put(mesh)
-        # Rebuild-mode on-device builds honor top_sah so the wide-node
-        # count (fixed cut = depth % 3 == 0, a function of topology) is
-        # counted on the same trees the per-frame rebuild produces.
+        # Rebuild-mode on-device builds honor top_sah / rebuild_splits so
+        # the wide-node count (a function of topology) is counted on the
+        # same trees the per-frame rebuild produces.
+        self._rebuild_splits = 0
+        if mode == "rebuild" and config.rebuild_splits:
+            from .bvh.lbvh import auto_split_blocks
+            self._rebuild_splits = (
+                auto_split_blocks(mesh.num_triangles, config.leaf_size)
+                if config.rebuild_splits < 0 else config.rebuild_splits)
         self._build_jit = jax.jit(partial(
             build_lbvh, leaf_size=config.leaf_size,
-            top_sah=(config.top_sah and mode == "rebuild")))
+            top_sah=(config.top_sah and mode == "rebuild"),
+            split_blocks=self._rebuild_splits))
         self._refit_jit = jax.jit(refit_lbvh)
         self.frame_index = 0
         self._geom_dirty = False
@@ -686,6 +695,8 @@ class Renderer:
             if self._use_sah:
                 from .bvh.sah import SAH_VARIANT
                 key += "-" + SAH_VARIANT
+            if self._rebuild_splits:
+                key += f"-sp{self._rebuild_splits}"
             cached = load_bvh(cache_dir, key)
             if cached is not None:
                 return jax.device_put(cached)
@@ -783,6 +794,17 @@ class Renderer:
                 return build_chunked(self.mesh.vertices, self.mesh.indices,
                                      c, leaf_size=self.config.leaf_size)
             self._nw_pad = nw_pad
+            if self._use_attrs(nw_pad):
+                self.attr_tables = jax.jit(make_leaf_attr_rows)(
+                    self.bvh, self.mesh)
+            if self.bvh.leaf_block is not None:
+                # Sub-leaf clustered tree (rebuild mode): no refit plan —
+                # the per-frame path rebuilds from scratch; widen the
+                # as-built accel directly.
+                from .bvh.wide import _widen_jit
+                self._wide_plan = None
+                return jax.block_until_ready(_widen_jit(
+                    self.bvh, nw_pad=nw_pad, mode=collapse_mode))
             self._wide_plan = jax.jit(
                 make_wide_plan, static_argnames=("nw_pad", "mode"))(
                     self.bvh, nw_pad=nw_pad, mode=collapse_mode)
@@ -796,9 +818,6 @@ class Renderer:
             leaf_boxes = None
             if self.bvh.nodes_box is not None:
                 leaf_boxes = jax.jit(leaf_boxes_from_nodes)(self.bvh)
-            if self._use_attrs(nw_pad):
-                self.attr_tables = jax.jit(make_leaf_attr_rows)(
-                    self.bvh, self.mesh)
             return jax.block_until_ready(
                 jax.jit(widen_from_plan)(self._wide_plan, self.bvh,
                                          leaf_boxes=leaf_boxes))
@@ -829,7 +848,7 @@ class Renderer:
         # at1 is a (1, 128) dummy for leaf_size <= 8 (one row per leaf
         # otherwise) — match make_leaf_attr_rows exactly.
         rows = (2 if self.config.leaf_size > 8 else 1)
-        attr_bytes = rows * self.bvh.num_leaves * 512 + 512
+        attr_bytes = rows * self.bvh.num_blocks * 512 + 512
         total = wide_vmem_bytes(nw_pad, ntris, self.config.leaf_size) \
             + attr_bytes + self._VMEM_OVERHEAD
         return total <= self._VMEM_BUDGET_ATTR
@@ -909,7 +928,8 @@ class Renderer:
                         self.config.leaf_size, self._nw_pad,
                         tables=tables, textured=bool(self.mesh.textured),
                         top_sah=self.config.top_sah,
-                        collapse=self.config.rebuild_collapse)
+                        collapse=self.config.rebuild_collapse,
+                        split_blocks=self._rebuild_splits)
                     overflow = False
                     if self._geom_dirty:
                         # Geometry changed since the pad was chosen: check

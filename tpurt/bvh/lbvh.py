@@ -69,6 +69,22 @@ class LBVH:
     tri_id      : i32[Tpad] sorted position -> original triangle id
     root_min/max: f32[3] scene bounds
     leaf_size   : static int
+
+    Sub-leaf clustering (build_lbvh(split_blocks=M), config-2 rebuild
+    quality — round 5). When ``leaf_block`` is not None the TREE's leaves
+    are L = num_blocks + M *sub-leaves*: tree-leaf ``l`` has its own
+    tight box (``leaf_min/leaf_max[l]`` — one side of the best internal
+    Morton-jump cut of its block) but its triangle content is the FULL
+    14-triangle block ``leaf_block[l]`` (rows [blk*k, (blk+1)*k)). The
+    box gates traversal visits (the quality win: probe r5c measured
+    shadow pops 11.1 -> 6.4 vs fixed chops); scanning the whole block on
+    a visit is the same vectorized k-row loop either way, so the
+    triangle arrays never need the ~8-10 ms [L*k] re-gather a physical
+    re-layout would cost on this latency-bound platform.
+
+    leaf_block  : i32[L] tree-leaf -> triangle-block id, or None
+    leaf_min/max: f32[L, 3] per-tree-leaf boxes, or None (derive from
+                  the k-chop triangle blocks)
     """
 
     nodes_box: Any
@@ -83,6 +99,9 @@ class LBVH:
     root_min: Any
     root_max: Any
     leaf_size: int = 4
+    leaf_block: Any = None
+    leaf_min: Any = None
+    leaf_max: Any = None
 
     @property
     def num_internal(self) -> int:
@@ -96,13 +115,20 @@ class LBVH:
     def num_sorted_tris(self) -> int:
         return int(self.tri_id.shape[0])
 
+    @property
+    def num_blocks(self) -> int:
+        """Triangle blocks (= leaves unless sub-leaf clustered)."""
+        return self.num_sorted_tris // self.leaf_size
+
 
 jax.tree_util.register_pytree_node(
     LBVH,
     lambda b: ((b.nodes_box, b.nodes_child, b.nodes_first, b.nodes_last,
                 b.tri_v0, b.tri_e1, b.tri_e2, b.tri_sorted, b.tri_id,
-                b.root_min, b.root_max), (b.leaf_size,)),
-    lambda aux, c: LBVH(*c, leaf_size=aux[0]),
+                b.root_min, b.root_max, b.leaf_block, b.leaf_min,
+                b.leaf_max), (b.leaf_size,)),
+    lambda aux, c: LBVH(*c[:11], leaf_size=aux[0], leaf_block=c[11],
+                        leaf_min=c[12], leaf_max=c[13]),
 )
 
 
@@ -464,11 +490,92 @@ def _leaf_boxes(v0, e1, e2, leaf_size: int):
     return lmin, lmax, tmin, tmax
 
 
+def _subleaf_split(chs, tmin_s, tmax_s, k: int, m: int):
+    """Sub-leaf clustering pass (config-2 rebuilt-tree quality, round 5).
+
+    The fixed k-chop leaves of the Morton order are the rebuilt tree's
+    quality ceiling: a chop that straddles a big spatial jump gets a huge
+    box and eats traversal visits (probe r4f: leaf CONTENT is the
+    remaining ~2.5x trace gap vs SBVH; topology steering plateaued).
+    This pass splits the top-``m`` blocks (ranked by their largest
+    internal adjacent-code XOR — the Morton-jump magnitude) at that
+    boundary, emitting TWO tree-leaves with tight boxes that both
+    reference the same triangle block — so the triangle arrays never
+    move (no [L*k] re-gather; see the LBVH docstring). Probe r5c:
+    shadow pops/packet 11.1 -> 6.4, closest 33.6 -> 22.1 (SBVH 3.1/15.7).
+
+    chs: u32[Tpad] sorted codes; tmin_s/tmax_s: f32[Tpad, 3] sorted
+    per-triangle boxes. Returns (leaf_block i32[L], sub_codes u32[L],
+    sub_min f32[L,3], sub_max f32[L,3]) with L = Tpad//k + m exactly.
+    """
+    tpad = chs.shape[0]
+    nb = tpad // k
+    assert 0 < m <= nb, (m, nb)
+    big = jnp.float32(3.4e38)
+
+    # Boundary scores: XOR of adjacent sorted codes, remapped to a
+    # signed view that preserves unsigned order (msb flip).
+    x = chs[:-1] ^ chs[1:]
+    xi = (x ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    xi = jnp.concatenate(
+        [xi, jnp.full((1,), jnp.iinfo(jnp.int32).min, jnp.int32)])
+    sc = xi.reshape(nb, k)[:, :k - 1]       # col c-1 scores a cut at c
+    best_c = jnp.argmax(sc, axis=1).astype(jnp.int32) + 1
+    best_s = jnp.max(sc, axis=1)
+
+    # Exact top-m split set (sort is over nb blocks, not Tpad tris).
+    blk = jnp.arange(nb, dtype=jnp.int32)
+    _, ordb = jax.lax.sort((-best_s, blk), num_keys=1)
+    split = jnp.zeros((nb,), jnp.bool_).at[ordb[:m]].set(True)
+
+    # Prefix/suffix box tables per block over packed [tmin, -tmax]:
+    # p[b, c] = min over rows [0..c], q[b, c] = min over rows [c..k-1].
+    t6 = jnp.concatenate([tmin_s, -tmax_s], axis=1).reshape(nb, k, 6)
+    p, q = t6, t6
+    s = 1
+    while s < k:
+        fill = jnp.full((nb, s, 6), big)
+        p = jnp.minimum(p, jnp.concatenate([fill, p[:, :-s]], axis=1))
+        q = jnp.minimum(q, jnp.concatenate([q[:, s:], fill], axis=1))
+        s <<= 1
+    end_a = jnp.where(split, best_c, k)     # A covers rows [0, end_a)
+    box_a = jnp.take_along_axis(p, (end_a - 1)[:, None, None],
+                                axis=1)[:, 0]
+    box_b = jnp.take_along_axis(q, jnp.minimum(best_c, k - 1)[:, None, None],
+                                axis=1)[:, 0]
+
+    # Sub-leaf stream u = 2b (A, always) / 2b+1 (B, iff split), compacted
+    # to exactly L = nb + m tree-leaves in Morton order.
+    ones = jnp.ones((nb,), jnp.bool_)
+    emit = jnp.stack([ones, split], axis=1).reshape(-1)
+    offs = jnp.stack([jnp.zeros((nb,), jnp.int32), best_c],
+                     axis=1).reshape(-1)
+    boxes = jnp.stack([box_a, box_b], axis=1).reshape(2 * nb, 6)
+    n_leaves = nb + m
+    lid = jnp.cumsum(emit.astype(jnp.int32)) - 1
+    u = jnp.arange(2 * nb, dtype=jnp.int32)
+    compact_src = jnp.zeros((n_leaves,), jnp.int32).at[
+        jnp.where(emit, lid, n_leaves)].set(u, mode="drop")
+    leaf_block = compact_src >> 1
+    sub_codes = chs[leaf_block * k + offs[compact_src]]
+    b6 = boxes[compact_src]
+    return leaf_block, sub_codes, b6[:, :3], -b6[:, 3:]
+
+
+def auto_split_blocks(num_tris: int, leaf_size: int) -> int:
+    """Default sub-leaf split count M for RenderConfig.rebuild_splits=-1:
+    half the blocks (probe r5c: quality saturates near nb/2), capped so
+    the leaf count stays under the SMEM topology kernel's ~30k gate."""
+    tpad = _round_up(max(int(num_tris), 2 * leaf_size), leaf_size)
+    nb = tpad // leaf_size
+    return max(0, min(nb // 2, 30_000 - nb - 8))
+
+
 def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                leaf_size: int = 4, morton_bits: int = 30,
                builder: str = "auto", boxes: str = "full",
                extra_payload: tuple = (), want_depth: bool = False,
-               top_sah: bool = False) -> LBVH:
+               top_sah: bool = False, split_blocks: int = 0) -> LBVH:
     """Full on-device build: sort + topology + boxes. jit-able; all shapes
     depend only on (num_triangles, leaf_size).
 
@@ -511,7 +618,14 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     rebuild feeds this to widen_lbvh so the fixed-frontier wide mask
     skips the XLA pointer-doubling depth pass. Return value: LBVH, plus
     sorted extras when extra_payload is non-empty, plus depth when
-    want_depth — in that order."""
+    want_depth — in that order.
+
+    split_blocks: M > 0 enables sub-leaf clustering (config-2 rebuilt-
+    tree quality): the top-M triangle blocks by internal Morton-jump are
+    split at their best boundary into two tight-boxed tree-leaves that
+    share the block's triangle rows (see _subleaf_split / the LBVH
+    docstring). Leaf count becomes Tpad//leaf_size + M. 30-bit codes
+    only; incompatible with top_sah (retired) and refit paths."""
     # EAGER calls on compiled TPU backends are routed through an internal
     # jit: the eager dispatch path (each of the ~30 build ops compiled
     # and launched separately over the remote tunnel) has crashed the
@@ -525,7 +639,11 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
             return _build_lbvh_jitted(
                 vertices, indices, extra_payload, leaf_size=leaf_size,
                 morton_bits=morton_bits, builder=builder, boxes=boxes,
-                want_depth=want_depth, top_sah=top_sah)
+                want_depth=want_depth, top_sah=top_sah,
+                split_blocks=split_blocks)
+    if split_blocks:
+        assert morton_bits == 30, "sub-leaf clustering needs 30-bit codes"
+        assert not top_sah, "split_blocks and top_sah are exclusive"
     num_tris = int(indices.shape[0])
     tpad = _round_up(max(num_tris, 2 * leaf_size), leaf_size)
     pad = tpad - num_tris
@@ -574,7 +692,8 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
         # for big scenes; an EXPLICIT builder="kernel" is honored (the
         # Mosaic compile will fail loudly) so A/B probes never silently
         # measure the wrong builder.
-        if builder == "kernel" and tpad // leaf_size > 30_000:
+        if builder == "kernel" and \
+                tpad // leaf_size + split_blocks > 30_000:
             builder = "search"
     if morton_bits == 60:
         if builder == "kernel":
@@ -607,7 +726,14 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     se2 = jnp.stack(s[7:10], axis=1)
     tri_sorted = jnp.stack(s[10:13], axis=1)
     sorted_extras = tuple(s[13:13 + n_extra])
-    lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
+    leaf_block = None
+    if split_blocks:
+        _, _, tmin_s, tmax_s = _leaf_boxes(sv0, se1, se2, leaf_size)
+        leaf_block, sub_codes, lmin, lmax = _subleaf_split(
+            chs, tmin_s, tmax_s, leaf_size, int(split_blocks))
+        leaf_codes = (sub_codes, None)
+    else:
+        lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, leaf_size)
 
     depth = None
     d = None
@@ -662,7 +788,9 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
                    nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
                    tri_sorted=tri_sorted, tri_id=tri_id,
                    root_min=pb2[:3], root_max=-pb2[3:],
-                   leaf_size=leaf_size)
+                   leaf_size=leaf_size, leaf_block=leaf_block,
+                   leaf_min=lmin if leaf_block is not None else None,
+                   leaf_max=lmax if leaf_block is not None else None)
         return ret(out)
     nodes_box, root_min, root_max = _assemble_node_boxes(
         lmin, lmax, child, first, last)
@@ -670,7 +798,10 @@ def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,
     out = LBVH(nodes_box=nodes_box, nodes_child=child, nodes_first=first,
                nodes_last=last, tri_v0=sv0, tri_e1=se1, tri_e2=se2,
                tri_sorted=tri_sorted, tri_id=tri_id, root_min=root_min,
-               root_max=root_max, leaf_size=leaf_size)
+               root_max=root_max, leaf_size=leaf_size,
+               leaf_block=leaf_block,
+               leaf_min=lmin if leaf_block is not None else None,
+               leaf_max=lmax if leaf_block is not None else None)
     return ret(out)
 
 
@@ -679,15 +810,16 @@ import functools as _functools
 
 @_functools.partial(jax.jit, static_argnames=(
     "leaf_size", "morton_bits", "builder", "boxes", "want_depth",
-    "top_sah"))
+    "top_sah", "split_blocks"))
 def _build_lbvh_jitted(vertices, indices, extra_payload, *, leaf_size,
-                       morton_bits, builder, boxes, want_depth, top_sah):
+                       morton_bits, builder, boxes, want_depth, top_sah,
+                       split_blocks=0):
     """Jitted trampoline for eager build_lbvh calls on compiled backends
     (see the guard at the top of build_lbvh)."""
     return build_lbvh(vertices, indices, leaf_size=leaf_size,
                       morton_bits=morton_bits, builder=builder, boxes=boxes,
                       extra_payload=extra_payload, want_depth=want_depth,
-                      top_sah=top_sah)
+                      top_sah=top_sah, split_blocks=split_blocks)
 
 
 def refit_lbvh(bvh: LBVH, vertices: jnp.ndarray, indices: jnp.ndarray) -> LBVH:
@@ -698,6 +830,9 @@ def refit_lbvh(bvh: LBVH, vertices: jnp.ndarray, indices: jnp.ndarray) -> LBVH:
     reformulated as RMQ so it is a single fused XLA program.
     """
     del indices  # topology is frozen; sorted vertex ids live in the LBVH
+    assert bvh.leaf_block is None, \
+        "sub-leaf clustered trees are rebuild-mode only (refit would " \
+        "need the stored split offsets; rebuild instead)"
     sv0, se1, se2 = _sorted_tri_data(vertices, bvh.tri_sorted)
     lmin, lmax, _, _ = _leaf_boxes(sv0, se1, se2, bvh.leaf_size)
     nodes_box, root_min, root_max = _assemble_node_boxes(

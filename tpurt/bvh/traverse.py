@@ -66,6 +66,10 @@ def _traverse_one(bvh: LBVH, any_hit: bool, t_min, o, d, t_max):
     inv_d = 1.0 / d  # +/-inf on zero components; slab test resolves the NaNs
 
     def leaf_hits(leaf_id, best_t, best_id):
+        if bvh.leaf_block is not None:
+            # Sub-leaf clustered tree: the tree-leaf's triangle content
+            # is its whole parent block (lbvh.LBVH docstring).
+            leaf_id = bvh.leaf_block[leaf_id]
         base = leaf_id * k
         v0 = jax.lax.dynamic_slice(bvh.tri_v0, (base, 0), (k, 3))
         e1 = jax.lax.dynamic_slice(bvh.tri_e1, (base, 0), (k, 3))

@@ -381,6 +381,12 @@ def wide_count_device(bvh: LBVH, mode: str = None,
 
 
 def _leaf_boxes_from_tris(bvh: LBVH):
+    if bvh.leaf_block is not None:
+        # Sub-leaf clustered build (lbvh.LBVH docstring): per-tree-leaf
+        # boxes are materialized by the build (one side of the block's
+        # best internal cut) — deriving them from the triangle blocks
+        # would lose exactly the tightness the clustering buys.
+        return bvh.leaf_min, bvh.leaf_max
     v0, e1, e2 = bvh.tri_v0, bvh.tri_e1, bvh.tri_e2
     v1 = v0 + e1
     v2 = v0 + e2
@@ -402,6 +408,8 @@ def leaf_boxes_from_nodes(bvh: LBVH):
     boxes), which is strictly tighter than the full-triangle union —
     using it for the wide tree's leaf slots preserves the native
     builder's spatial-split quality at the leaf level."""
+    assert bvh.leaf_block is None, \
+        "clustered trees carry explicit leaf boxes (leaf_min/leaf_max)"
     child = bvh.nodes_child
     nl = bvh.num_leaves
     lmin = jnp.full((nl, 3), 3.4e38, jnp.float32)
@@ -418,7 +426,7 @@ def leaf_boxes_from_nodes(bvh: LBVH):
 
 
 def _assemble_wide_nodes(refs, nodes_box, leaf_min, leaf_max,
-                         ids=None, wref=None):
+                         ids=None, wref=None, leaf_block=None):
     """ONE-gather assembly of the f32[Nw, 128] wide node rows.
 
     refs: i32[Nw, 8] frontier refs (binary ids >= 0, leaves < 0 as
@@ -447,9 +455,12 @@ def _assemble_wide_nodes(refs, nodes_box, leaf_min, leaf_max,
     if ids is not None:
         # Kernel ref channel: internal -> dense wide id; leaf l -> -(l+1);
         # EMPTY -> -1 (leaf 0 with an inverted box: unhittable, acyclic).
+        # Sub-leaf clustered trees (leaf_block given): the KERNEL ref is
+        # the triangle-BLOCK id, while the row/box stays the tree-leaf's.
+        lref = (jnp.arange(nl, dtype=jnp.float32) if leaf_block is None
+                else leaf_block.astype(jnp.float32))
         kref = jnp.concatenate(
-            [ids.astype(jnp.float32),
-             -(jnp.arange(nl, dtype=jnp.float32) + 1.0),
+            [ids.astype(jnp.float32), -(lref + 1.0),
              jnp.full((1,), -1.0, jnp.float32)])
         cols.append(kref[:, None])
     table = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
@@ -463,7 +474,8 @@ def _assemble_wide_nodes(refs, nodes_box, leaf_min, leaf_max,
     return rec.reshape(nw, 128)
 
 
-def _assemble_wide_nodes_deferred(refs, src, ids, bvh, leaf_min, leaf_max):
+def _assemble_wide_nodes_deferred(refs, src, ids, bvh, leaf_min, leaf_max,
+                                  leaf_block=None):
     """One-gather assembly WITHOUT materialized binary node boxes (the
     build_lbvh(boxes="defer") fused-rebuild path): the traversal only ever
     reads WIDE nodes' boxes, and every wide node's box is a range query
@@ -485,9 +497,11 @@ def _assemble_wide_nodes_deferred(refs, src, ids, bvh, leaf_min, leaf_max):
     row = jnp.where(refs >= 0, dense,
                     jnp.where(refs == EMPTY, nw + nl, nw + (-refs - 1)))
     rec = table[row.reshape(-1)]                           # [Nw*8, 6]
+    lref = refs if leaf_block is None else \
+        -(leaf_block[jnp.clip(-refs - 1, 0, nl - 1)] + 1)  # block kernel ref
     kref = jnp.where(refs >= 0, dense.astype(jnp.float32),
                      jnp.where(refs == EMPTY, -1.0,
-                               refs.astype(jnp.float32)))
+                               lref.astype(jnp.float32)))
     rec = jnp.concatenate([rec, kref.reshape(-1, 1),
                            jnp.zeros((nw * 8, 9), jnp.float32)], axis=1)
     return rec.reshape(nw, 128)
@@ -497,6 +511,8 @@ def make_wide_plan(bvh: LBVH, nw_pad: int, mode: str = None):
     """Topology-only collapse plan: per wide node, the 8 frontier refs (as
     binary/leaf ids, EMPTY-padded) plus their pre-remapped kernel refs.
     Refits reuse the plan and only re-gather boxes (widen_from_plan)."""
+    assert bvh.leaf_block is None, \
+        "sub-leaf clustered trees are rebuild-mode only (no refit plans)"
     child = bvh.nodes_child
     ni = child.shape[0]
     front, wide = _front_and_mask(child, bvh.nodes_box, mode=mode)
@@ -585,21 +601,23 @@ def widen_lbvh(bvh: LBVH, nw_pad: int, from_node_boxes: bool = False,
             "deferred-box builds have no stored node boxes"
         leaf_min, leaf_max = _leaf_boxes_from_tris(bvh)
         nodes = _assemble_wide_nodes_deferred(refs, src, ids, bvh,
-                                              leaf_min, leaf_max)
+                                              leaf_min, leaf_max,
+                                              leaf_block=bvh.leaf_block)
     else:
         leaf_min, leaf_max = leaf_boxes_from_nodes(bvh) if from_node_boxes \
             else _leaf_boxes_from_tris(bvh)
         nodes = _assemble_wide_nodes(refs, bvh.nodes_box, leaf_min, leaf_max,
-                                     ids=ids)
+                                     ids=ids, leaf_block=bvh.leaf_block)
 
-    # Leaf/tri rows: same packing as the binary kernel layout. leaf_size
-    # > 14 cannot pack one leaf per 128-lane row — those accels are only
-    # usable through the transposed-leaf layout (build_wide_t), so the row
-    # field becomes a placeholder.
+    # Leaf/tri rows: same packing as the binary kernel layout (one row per
+    # triangle BLOCK — equal to num_leaves except on sub-leaf clustered
+    # trees). leaf_size > 14 cannot pack one leaf per 128-lane row — those
+    # accels are only usable through the transposed-leaf layout
+    # (build_wide_t), so the row field becomes a placeholder.
     k = bvh.leaf_size
     if k * 9 <= 128:
         tri9 = jnp.stack([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
-        tri9 = tri9.reshape(bvh.num_leaves, k * 9)
+        tri9 = tri9.reshape(bvh.num_blocks, k * 9)
         tris = jnp.pad(tri9, ((0, 0), (0, 128 - k * 9)))
     else:
         tris = jnp.zeros((1, 128), jnp.float32)
@@ -651,16 +669,18 @@ def widen_area_kernel(bvh: LBVH, nw_pad: int):
                     jnp.where(front == EMPTY, nw_pad + nl,
                               nw_pad + (-front - 1)))
     rec = table[row.reshape(-1)]                           # [Nw*8, 6]
+    lref = front if bvh.leaf_block is None else \
+        -(bvh.leaf_block[jnp.clip(-front - 1, 0, nl - 1)] + 1)
     kref = jnp.where(front >= 0, safe.astype(jnp.float32),
                      jnp.where(front == EMPTY, -1.0,
-                               front.astype(jnp.float32)))
+                               lref.astype(jnp.float32)))
     rec = jnp.concatenate([rec, kref.reshape(-1, 1),
                            jnp.zeros((nw_pad * 8, 9), jnp.float32)], axis=1)
     nodes = rec.reshape(nw_pad, 128)
 
     k = bvh.leaf_size
     tri9 = jnp.stack([bvh.tri_v0, bvh.tri_e1, bvh.tri_e2], axis=1)
-    tri9 = tri9.reshape(bvh.num_leaves, k * 9)
+    tri9 = tri9.reshape(bvh.num_blocks, k * 9)
     tris = jnp.pad(tri9, ((0, 0), (0, 128 - k * 9)))
     wide = WideBVH(nodes=nodes, tris=tris, tri_id=bvh.tri_id,
                    root_min=bvh.root_min, root_max=bvh.root_max,

@@ -46,11 +46,19 @@ _FIELDS = ("nodes_box", "nodes_child", "nodes_first", "nodes_last", "tri_v0",
            "root_max")
 
 
+# Optional sub-leaf clustering fields (round 5) — absent in caches of
+# unclustered trees and in pre-round-5 cache files (both load as None).
+_OPT_FIELDS = ("leaf_block", "leaf_min", "leaf_max")
+
+
 def save_bvh(cache_dir: str, key: str, bvh: LBVH) -> str:
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"lbvh_{key}.npz")
+    opt = {f: np.asarray(getattr(bvh, f)) for f in _OPT_FIELDS
+           if getattr(bvh, f) is not None}
     np.savez_compressed(path, leaf_size=np.int64(bvh.leaf_size),
-                        **{f: np.asarray(getattr(bvh, f)) for f in _FIELDS})
+                        **{f: np.asarray(getattr(bvh, f)) for f in _FIELDS},
+                        **opt)
     return path
 
 
@@ -60,4 +68,5 @@ def load_bvh(cache_dir: str, key: str) -> Optional[LBVH]:
         return None
     with np.load(path) as z:
         return LBVH(**{f: z[f] for f in _FIELDS},
+                    **{f: z[f] for f in _OPT_FIELDS if f in z},
                     leaf_size=int(z["leaf_size"]))

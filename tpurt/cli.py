@@ -172,6 +172,13 @@ def main(argv=None) -> int:
                         "depth-3 cut or 'area' SAH-greedy via the "
                         "scalar-core collapse kernel "
                         "(wide.widen_area_kernel)")
+    p.add_argument("--rebuild-splits", type=int, default=0,
+                   help="rebuild mode: sub-leaf clustering — split the "
+                        "top-M triangle blocks at their largest internal "
+                        "Morton jump into two tight-boxed tree-leaves "
+                        "(bvh/lbvh._subleaf_split; probe r5c: shadow "
+                        "pops/packet 11.1 -> 6.4). 0 = off, -1 = auto, "
+                        "> 0 = exact M")
     p.add_argument("--no-sah", action="store_true",
                    help="skip the native host SAH build for static "
                         "scenes (use the on-device Morton LBVH)")
@@ -228,7 +235,8 @@ def main(argv=None) -> int:
                        fused_shadow=not args.no_fused_shadow,
                        inkernel_attrs=not args.no_inkernel_attrs,
                        top_sah=args.top_sah,
-                       rebuild_collapse=args.rebuild_collapse)
+                       rebuild_collapse=args.rebuild_collapse,
+                       rebuild_splits=args.rebuild_splits)
 
     from .app import Renderer
     r = Renderer(mesh, cam, lights, cfg, mode=opts["mode"],

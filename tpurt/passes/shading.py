@@ -188,8 +188,9 @@ def make_leaf_attr_rows(bvh: LBVH, mesh: Mesh):
     rows16 = jnp.concatenate(
         [n0, n1, n2, alb, layer, uv0, d1, d2, tid, pad],
         axis=1).astype(jnp.float32)                 # [Tpad, 16]
-    n_leaves = bvh.num_leaves
-    return _pack_attr_rows(rows16, n_leaves, k)
+    # Rows are per triangle BLOCK (= leaves except on sub-leaf clustered
+    # trees, whose kernel refs are block ids — lbvh.LBVH docstring).
+    return _pack_attr_rows(rows16, bvh.num_blocks, k)
 
 
 def make_leaf_attr_rows_t(bvh: LBVH, mesh: Mesh):

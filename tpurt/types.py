@@ -264,6 +264,13 @@ class RenderConfig:
     # (wide.widen_area_kernel) — probe r4f counts ~30% fewer traversal
     # pops on Morton trees. Flip per on-device measurement.
     rebuild_collapse: str = "fixed"
+    # Rebuild-mode sub-leaf clustering (round 5): split the top-M
+    # triangle blocks at their largest internal Morton jump into two
+    # tight-boxed tree-leaves sharing the block's triangles
+    # (bvh/lbvh._subleaf_split — probe r5c: shadow pops/packet 11.1 ->
+    # 6.4 vs fixed chops). 0 = off, -1 = auto
+    # (lbvh.auto_split_blocks), > 0 = exact M.
+    rebuild_splits: int = 0
 
     @property
     def num_pixels(self) -> int:
