@@ -24,8 +24,14 @@ def _rays(rng, n, extent=8.0):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-@pytest.mark.parametrize("nt,leaf,seed", [(500, 4, 0), (800, 8, 3),
-                                          (250, 2, 5)])
+@pytest.mark.parametrize(
+    "nt,leaf,seed",
+    [(250, 2, 5),
+     # The larger interpret-mode comparisons vs the 64-sweep XLA area
+     # widen cost ~20 s each — slow tier (round-5 re-tier); the small
+     # case keeps kernel-vs-XLA parity in the fast signal.
+     pytest.param(500, 4, 0, marks=pytest.mark.slow),
+     pytest.param(800, 8, 3, marks=pytest.mark.slow)])
 def test_kernel_collapse_matches_xla_area_widen(nt, leaf, seed):
     mesh = random_soup(nt, seed=seed)
     v = jnp.asarray(mesh.vertices)

@@ -88,7 +88,11 @@ def test_fused_frame_matches_unfused(scene):
     assert (diff > 1e-3).mean() <= 2e-3
 
 
+@pytest.mark.slow
 def test_fused_point_light_matches_separate(scene):
+    # Slow tier (round-5 re-tier): ~22 s of interpret-mode penumbra
+    # kernel; the fused-frame and multi-light parity tests keep the
+    # fusion machinery in the fast signal.
     """Hard point-light mode: per-lane directions and the light-distance
     t cap derived in-kernel must match the production point path."""
     mesh, bvh, wide, cam = scene

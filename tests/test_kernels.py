@@ -463,9 +463,12 @@ def test_attr_gbuffer_w8t_matches_row_or_table(leaf_size):
     assert dots.min() > 1.0 - 1e-5
 
 
+@pytest.mark.slow
 def test_attr_gbuffer_w8t_textured_uv_layer():
-    """w8t in-kernel uv/layer tracking vs the shade-table path on a tiny
-    textured quad (fast tier: 2 triangles, leaf 8)."""
+    """w8t in-kernel uv/layer tracking vs the shade-table path (slow tier
+    since round 5: the w8t attr path was measured-and-retired on TPU —
+    probe r4h, 181.6 vs 111.0 ms in-process — so its parity coverage
+    follows it out of the fast tier)."""
     from tpurt.bvh.wide import build_wide, build_wide_t
     from tpurt.passes.gbuffer import gbuffer_attr_pass, gbuffer_pass
     from tpurt.passes.shading import make_leaf_attr_rows_t, make_shade_table

@@ -15,6 +15,10 @@ from tpurt.bvh.wide import build_wide, order_children_octant
 from tpurt.kernels.traverse import trace_any_pallas, trace_closest_pallas
 from tpurt.scenes import random_soup
 
+# Slow tier (round-5 re-tier): octant ordering was measured-and-retired
+# (probe r4d) - parity coverage follows the variant out of the fast tier.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def xor_visit_on(monkeypatch):

@@ -16,6 +16,11 @@ from tpurt.kernels.build import (SWEEP_BLOCK, SWEEP_MAXD, SWEEP_MIN_BLOCKS,
                                  sweep_sah_priorities)
 from tpurt.scenes import random_soup
 
+# Slow tier (round-5 re-tier): top_sah steering was retired as a config-2
+# lever on-device (probe r4g); the kernels stay, their compile-heavy
+# parity tests move out of the fast tier.
+pytestmark = pytest.mark.slow
+
 
 def _ref_priorities(d, lmin, lmax, B=SWEEP_BLOCK, R=SWEEP_MIN_BLOCKS,
                     MAXD=SWEEP_MAXD):
