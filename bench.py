@@ -312,6 +312,7 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
     # comparison key (`rebuild_plus_static_trace_ms`).
     rebuilt_shadow_ms = None
     quality = None
+    result_rebuild_frame = None
     if use_pallas and bvh_width == 8:
         try:
             def _reb_acc(v, i):
@@ -365,6 +366,37 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
         except Exception as e:  # noqa: BLE001
             log(f"quality rebuild failed: {type(e).__name__}: "
                 f"{str(e)[:160]}")
+        try:
+            # Config-2 FRAME experience (VERDICT r4 #5): the production
+            # rebuild-mode frame — fused rebuild (sub-leaf clustered,
+            # attr tables riding the sort) + ray/attr G-buffer + fused
+            # shadow + composite, all per frame. The auto G-buffer pick
+            # for clustered rebuilds is ray/attr (app.py Renderer):
+            # measured r5d 36.65 ms vs the 73.64 ms raster fallback.
+            import dataclasses as _dc3
+            from tpurt.app import _rebuild_fused
+            cfg_reb = _dc3.replace(cfg, gbuffer="ray")
+            nwr = _rub(max(count_wide(bq, mode="fixed"), 1))
+
+            def _reb_frame(v, i, m, c, key):
+                _, w, _, _, at, _ = _rebuild_fused(
+                    v, i, m, leaf_size, nwr, tables="attr",
+                    textured=False, split_blocks=msp)
+                return jnp.sum(render_frame_fn(
+                    w, m, c, (light,), key, cfg_reb,
+                    attr_tables=at)["image"])
+            rfj = jax.jit(_reb_frame)
+            kk = jax.random.PRNGKey(0)
+            reb_frame_ms = timed(
+                lambda: rfj(mesh.vertices, mesh.indices, mesh, cam, kk),
+                12) * 1e3
+            result_rebuild_frame = round(reb_frame_ms, 2)
+            log(f"rebuild-mode FRAME (clustered rebuild + attr G-buffer "
+                f"+ fused shadow): {reb_frame_ms:.2f} ms")
+        except Exception as e:  # noqa: BLE001
+            result_rebuild_frame = None
+            log(f"rebuild frame failed: {type(e).__name__}: "
+                f"{str(e)[:200]}")
 
     # Full frame: all passes on a static accel (config 1/2-style frame);
     # production default config (fused primary+shadow when applicable).
@@ -404,6 +436,8 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
         if rebuilt_shadow_ms is not None and \
                 rq + tq < rebuild_ms + rebuilt_shadow_ms:
             result["build_plus_trace_same_tree_ms"] = round(rq + tq, 2)
+    if result_rebuild_frame is not None:
+        result["rebuild_frame_ms"] = result_rebuild_frame
     ctx = dict(mesh=mesh, cam=cam, bvh=bvh, accel=accel, gbuf=gbuf,
                trace_any=trace_any, trace_closest=trace_closest,
                leaf_size=leaf_size, st0=st0, st_orig=st_orig,

@@ -646,12 +646,6 @@ class Renderer:
                          and config.bvh_width == 8 and _sah_available())
         if self._use_sah and config.gbuffer == "auto":
             config = dataclasses.replace(config, gbuffer="ray")
-        self.config = config
-        self.mode = mode
-        self.rebuild_threshold = rebuild_threshold
-        self.camera = camera
-        self.lights = list(lights)
-        self.mesh = jax.device_put(mesh)
         # Rebuild-mode on-device builds honor top_sah / rebuild_splits so
         # the wide-node count (a function of topology) is counted on the
         # same trees the per-frame rebuild produces.
@@ -661,6 +655,20 @@ class Renderer:
             self._rebuild_splits = (
                 auto_split_blocks(mesh.num_triangles, config.leaf_size)
                 if config.rebuild_splits < 0 else config.rebuild_splits)
+        if self._rebuild_splits and config.gbuffer == "auto":
+            # Sub-leaf clustered rebuilds flip the auto primary-visibility
+            # strategy to the ray/attr path: measured r5d (Sponza 1080p,
+            # v5e) the clustered rebuilt-tree attr G-buffer runs 36.65 ms
+            # vs the 73.64 ms raster fallback that plain Morton rebuilds
+            # need (r3ac: un-clustered attr was 68.1 ms — worse than
+            # raster, hence the old auto choice).
+            config = dataclasses.replace(config, gbuffer="ray")
+        self.config = config
+        self.mode = mode
+        self.rebuild_threshold = rebuild_threshold
+        self.camera = camera
+        self.lights = list(lights)
+        self.mesh = jax.device_put(mesh)
         self._build_jit = jax.jit(partial(
             build_lbvh, leaf_size=config.leaf_size,
             top_sah=(config.top_sah and mode == "rebuild"),
