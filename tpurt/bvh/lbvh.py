@@ -528,21 +528,15 @@ def _subleaf_split(chs, tmin_s, tmax_s, k: int, m: int):
     _, ordb = jax.lax.sort((-best_s, blk), num_keys=1)
     split = jnp.zeros((nb,), jnp.bool_).at[ordb[:m]].set(True)
 
-    # Prefix/suffix box tables per block over packed [tmin, -tmax]:
-    # p[b, c] = min over rows [0..c], q[b, c] = min over rows [c..k-1].
+    # Side boxes as two masked reduces over packed [tmin, -tmax] (cheaper
+    # than prefix/suffix tables + gathers: only the split row's prefix
+    # and suffix are ever read).
     t6 = jnp.concatenate([tmin_s, -tmax_s], axis=1).reshape(nb, k, 6)
-    p, q = t6, t6
-    s = 1
-    while s < k:
-        fill = jnp.full((nb, s, 6), big)
-        p = jnp.minimum(p, jnp.concatenate([fill, p[:, :-s]], axis=1))
-        q = jnp.minimum(q, jnp.concatenate([q[:, s:], fill], axis=1))
-        s <<= 1
     end_a = jnp.where(split, best_c, k)     # A covers rows [0, end_a)
-    box_a = jnp.take_along_axis(p, (end_a - 1)[:, None, None],
-                                axis=1)[:, 0]
-    box_b = jnp.take_along_axis(q, jnp.minimum(best_c, k - 1)[:, None, None],
-                                axis=1)[:, 0]
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :, None]
+    box_a = jnp.min(jnp.where(slot < end_a[:, None, None], t6, big), axis=1)
+    box_b = jnp.min(jnp.where(slot >= best_c[:, None, None], t6, big),
+                    axis=1)
 
     # Sub-leaf stream u = 2b (A, always) / 2b+1 (B, iff split), compacted
     # to exactly L = nb + m tree-leaves in Morton order.
