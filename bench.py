@@ -329,30 +329,29 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             log(f"rebuilt-tree trace failed: {type(e).__name__}: "
                 f"{str(e)[:160]}")
         try:
-            # Quality rebuild (round 5): SUB-LEAF CLUSTERING — the top-M
-            # triangle blocks split at their largest internal Morton
-            # jump into two tight-boxed tree-leaves sharing the block's
-            # triangles (bvh/lbvh._subleaf_split; no re-gather). Exact
-            # CPU counts (probe r5c): shadow pops/packet 11.1 -> 6.4,
-            # closest 33.6 -> 22.1. Replaced the round-4 top_sah+area
-            # combo, which was retired on-device (trace unchanged,
-            # probe r4g).
+            # Quality rebuild (round 5): SUB-LEAF CLUSTERING + AREA
+            # collapse — the top-M triangle blocks split at their largest
+            # internal Morton jump into two tight-boxed tree-leaves
+            # sharing the block's triangles (bvh/lbvh._subleaf_split; no
+            # re-gather), collapsed by the scalar-core area-greedy kernel
+            # (wide.widen_area_kernel). The two levers COMPOUND (probe
+            # r5e, Sponza 1080p v5e): shadow 20.22 (chop14) -> 15.95
+            # (clustered fixed) -> 12.00 ms (clustered area); same-tree
+            # 33.49 -> 29.51 ms at the M=nb/4 operating point.
             from tpurt.bvh.lbvh import auto_split_blocks
-            from tpurt.bvh.wide import count_wide, widen_lbvh
+            from tpurt.bvh.wide import count_wide, widen_area_kernel
             from tpurt.bvh.wide import round_up_bucket as _rub
             msp = auto_split_blocks(int(np.asarray(
                 mesh.indices.shape[0])), leaf_size)
             bq = jax.jit(functools.partial(
                 build_lbvh, leaf_size=leaf_size, split_blocks=msp))(
                     mesh.vertices, mesh.indices)
-            nwq = _rub(max(count_wide(bq, mode="fixed"), 1))
+            nwq = _rub(max(count_wide(bq, mode="area"), 1))
 
             def _reb_acc_q(v, i):
-                b, dep = build_lbvh(v, i, leaf_size=leaf_size,
-                                    boxes="defer", want_depth=True,
-                                    split_blocks=msp)
-                return widen_lbvh(b, nw_pad=nwq, mode="fixed",
-                                  depths=dep)
+                b = build_lbvh(v, i, leaf_size=leaf_size,
+                               boxes="defer", split_blocks=msp)
+                return widen_area_kernel(b, nwq)[0]
             kq = jax.jit(_reb_acc_q)(mesh.vertices, mesh.indices)
             reb_q = jax.jit(lambda v, i: jnp.sum(
                 _reb_acc_q(v, i).nodes))
@@ -376,12 +375,11 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             import dataclasses as _dc3
             from tpurt.app import _rebuild_fused
             cfg_reb = _dc3.replace(cfg, gbuffer="ray")
-            nwr = _rub(max(count_wide(bq, mode="fixed"), 1))
 
             def _reb_frame(v, i, m, c, key):
                 _, w, _, _, at, _ = _rebuild_fused(
-                    v, i, m, leaf_size, nwr, tables="attr",
-                    textured=False, split_blocks=msp)
+                    v, i, m, leaf_size, nwq, tables="attr",
+                    textured=False, collapse="area", split_blocks=msp)
                 return jnp.sum(render_frame_fn(
                     w, m, c, (light,), key, cfg_reb,
                     attr_tables=at)["image"])

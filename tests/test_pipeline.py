@@ -240,7 +240,8 @@ def test_renderer_rebuild_overflow_recovery(scene):
     r = Renderer(mesh, cam, light, cfg, mode="rebuild")
     assert r._nw_pad is not None
     from tpurt.bvh.wide import count_wide
-    true_count = count_wide(r.bvh, mode="fixed")  # rebuild-path frontier
+    # The rebuild-path frontier mode (config default: "area", probe r5e).
+    true_count = count_wide(r.bvh, mode=r.config.rebuild_collapse)
     # Force an undersized pad (as if geometry grew), then animate: the
     # rebuild must notice count > pad and recover via a full re-plan.
     r._nw_pad = max(1, true_count - 1)

@@ -558,11 +558,14 @@ def _subleaf_split(chs, tmin_s, tmax_s, k: int, m: int):
 
 def auto_split_blocks(num_tris: int, leaf_size: int) -> int:
     """Default sub-leaf split count M for RenderConfig.rebuild_splits=-1:
-    half the blocks (probe r5c: quality saturates near nb/2), capped so
-    the leaf count stays under the SMEM topology kernel's ~30k gate."""
+    a quarter of the blocks — probe r5e (Sponza 1080p, v5e, area
+    collapse): M=nb/4.7 traces the same as M=nb/2 (12.00 vs 12.30 ms
+    shadow) at 2 ms less build, so smaller M wins the same-tree total
+    (29.51 vs 31.83 ms). Capped so the leaf count stays under the SMEM
+    topology kernel's ~30k gate."""
     tpad = _round_up(max(int(num_tris), 2 * leaf_size), leaf_size)
     nb = tpad // leaf_size
-    return max(0, min(nb // 2, 30_000 - nb - 8))
+    return max(0, min(nb // 4, 30_000 - nb - 8))
 
 
 def build_lbvh(vertices: jnp.ndarray, indices: jnp.ndarray,

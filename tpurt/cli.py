@@ -167,12 +167,13 @@ def main(argv=None) -> int:
                         "leaf-block boxes (config-2 tree-quality lever; "
                         "kernels/build.sweep_sah_priorities)")
     p.add_argument("--rebuild-collapse", choices=("fixed", "area"),
-                   default="fixed",
+                   default="area",
                    help="rebuild mode: 8-wide collapse frontier — 'fixed' "
                         "depth-3 cut or 'area' SAH-greedy via the "
                         "scalar-core collapse kernel "
-                        "(wide.widen_area_kernel)")
-    p.add_argument("--rebuild-splits", type=int, default=0,
+                        "(wide.widen_area_kernel; default per probe r5e: "
+                        "area compounds with sub-leaf clustering)")
+    p.add_argument("--rebuild-splits", type=int, default=-1,
                    help="rebuild mode: sub-leaf clustering — split the "
                         "top-M triangle blocks at their largest internal "
                         "Morton jump into two tight-boxed tree-leaves "

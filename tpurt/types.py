@@ -261,16 +261,20 @@ class RenderConfig:
     top_sah: bool = False
     # Rebuild-mode collapse frontier: "fixed" = depth-3 cut; "area" =
     # SAH-greedy collapse via the scalar-core kernel
-    # (wide.widen_area_kernel) — probe r4f counts ~30% fewer traversal
-    # pops on Morton trees. Flip per on-device measurement.
-    rebuild_collapse: str = "fixed"
+    # (wide.widen_area_kernel). Default "area": it COMPOUNDS with the
+    # sub-leaf clustering below — probe r5e (Sponza 1080p, v5e) measured
+    # rebuilt-tree shadow 12.00 ms (clustered+area) vs 15.95
+    # (clustered+fixed) vs 20.22 (plain chop14), the same-tree
+    # rebuild+trace winning at 29.51 ms.
+    rebuild_collapse: str = "area"
     # Rebuild-mode sub-leaf clustering (round 5): split the top-M
     # triangle blocks at their largest internal Morton jump into two
     # tight-boxed tree-leaves sharing the block's triangles
     # (bvh/lbvh._subleaf_split — probe r5c: shadow pops/packet 11.1 ->
     # 6.4 vs fixed chops). 0 = off, -1 = auto
-    # (lbvh.auto_split_blocks), > 0 = exact M.
-    rebuild_splits: int = 0
+    # (lbvh.auto_split_blocks — the probe-r5e operating point), > 0 =
+    # exact M. Default auto: the r5e production winner.
+    rebuild_splits: int = -1
 
     @property
     def num_pixels(self) -> int:
