@@ -60,6 +60,42 @@ def test_shadow_throughput_floor():
     # fails while ~20% tunnel variance still passes.
     assert mrays > 100.0
 
+    # Same-tree rebuild+trace floor (the STRICT config-2 metric, VERDICT
+    # r4 #6): the production rebuild path — sub-leaf clustered build
+    # (M=auto) + scalar-core area collapse — measured 29.51 ms on this
+    # scene (probe r5e: rebuild 17.51 + shadow 12.00); floor 38 keeps
+    # ~28% headroom for tunnel variance while failing a real build- or
+    # tree-quality regression.
+    from tpurt.bvh.lbvh import auto_split_blocks
+    from tpurt.bvh.wide import count_wide, round_up_bucket, \
+        widen_area_kernel
+    msp = auto_split_blocks(int(np.asarray(mesh.indices.shape[0])), 14)
+    bq = build_lbvh(mesh.vertices, mesh.indices, leaf_size=14,
+                    split_blocks=msp)
+    nwq = round_up_bucket(max(count_wide(bq, mode="area"), 1))
+
+    def _reb(v, i):
+        b = build_lbvh(v, i, leaf_size=14, boxes="defer",
+                       split_blocks=msp)
+        return widen_area_kernel(b, nwq)[0]
+    reb_scalar = jax.jit(lambda v, i: jnp.sum(_reb(v, i).nodes))
+    float(reb_scalar(mesh.vertices, mesh.indices))  # warm + force
+    t0 = time.perf_counter()
+    for _ in range(30):
+        r = reb_scalar(mesh.vertices, mesh.indices)
+    float(r)
+    reb_ms = (time.perf_counter() - t0) / 30 * 1e3
+    acc_q = jax.jit(_reb)(mesh.vertices, mesh.indices)
+    float(shade(acc_q, so, sd, stm))  # warm + force
+    t0 = time.perf_counter()
+    for _ in range(30):
+        occ = shade(acc_q, so, sd, stm)
+    float(occ)
+    trace_q_ms = (time.perf_counter() - t0) / 30 * 1e3
+    print(f"TPU same-tree rebuild+trace (clustered+area): "
+          f"{reb_ms:.2f} + {trace_q_ms:.2f} = {reb_ms + trace_q_ms:.2f} ms")
+    assert reb_ms + trace_q_ms < 38.0
+
     # Production static accel (native SBVH): measured 249-255 Mrays/s on
     # this scene across rounds 3-4 (four driver/builder runs); floor 200
     # keeps ~20% headroom for tunnel variance while failing any real
