@@ -119,3 +119,46 @@ def test_widen_guard_blocks_device_crashing_sizes():
     # huge pad: wasteful but harmless here).
     w = widen_lbvh(bvh, nw_pad=1024, mode="fixed")
     assert w.num_wide == 1024
+
+
+def test_split_sampled_covers_all_triangles():
+    """The sampled-pivot split (split_sampled — the scale path that skips
+    the global argsort program, probe r5f) must place every triangle in
+    exactly one chunk's VALID slots, with filler slots repeating
+    in-bucket ids only."""
+    import jax.numpy as jnp
+
+    from tpurt.bvh.chunked import split_morton, split_sampled
+    from tpurt.scenes import teapot_scene
+
+    mesh = teapot_scene(1500)
+    v = jnp.asarray(mesh.vertices)
+    i = jnp.asarray(mesh.indices)
+    t = int(i.shape[0])
+    nc = 3
+    cap = int(-(-t // nc) * 1.12)
+    ct, co, counts = split_sampled(v, i, nc, cap)
+    counts = np.asarray(counts)
+    assert counts.sum() == t
+    assert counts.max() <= cap          # no overflow on a sane sample
+    co = np.asarray(co)
+    seen = []
+    for b in range(nc):
+        valid = co[b][: counts[b]]
+        # compacted ids are sorted (nonzero order), so uniqueness is easy
+        assert (np.diff(valid) > 0).all()
+        # fillers repeat in-bucket triangles
+        assert np.isin(co[b][counts[b]:], valid).all()
+        seen.append(valid)
+    seen = np.concatenate(seen)
+    assert np.array_equal(np.sort(seen), np.arange(t))
+    # Chunk AABB compactness parity vs the exact split: bucketing at the
+    # sampled quantiles must not blow the per-chunk extents up.
+    ct_ref, _ = split_morton(v, i, nc)
+
+    def extent(ctris):
+        pts = np.asarray(v)[np.asarray(ctris).reshape(-1, 3)]
+        return np.ptp(pts.reshape(len(ctris), -1, 3), axis=1).max()
+
+    for b in range(nc):
+        assert extent(ct[b]) <= 2.0 * extent(ct_ref[b]) + 1e-5

@@ -90,15 +90,82 @@ def split_morton(vertices: jnp.ndarray, indices: jnp.ndarray,
     return tri[chunk_orig], chunk_orig
 
 
+def split_sampled(vertices: jnp.ndarray, indices: jnp.ndarray,
+                  num_chunks: int, cap: int, samples: int = 1 << 16):
+    """Spatially-compact chunks WITHOUT the global rank sort: bucket by
+    Morton-code pivots read off a sorted sample, then compact each bucket
+    with a static-size ``nonzero``.
+
+    Why not ``split_morton`` at scale: the probe-r5f phase decomposition
+    showed the 1M-element argsort PROGRAM costs ~24 min of one-time
+    device load per process on this platform (its warm rerun is 0.48 s,
+    and 1M-scale gather/elementwise programs load in seconds) — and the
+    load cost recurs in every fresh process, so a scene-scale build
+    cannot ride on it. Rank precision is also unnecessary: each chunk's
+    own ``build_lbvh`` re-sorts its triangles anyway, so all the split
+    must deliver is low-overlap chunk AABBs, which value-bucketing at
+    sampled quantile pivots gives within sampling error.
+
+    Returns (chunk_tris i32[C, cap, 3], chunk_orig i32[C, cap],
+    counts i32[C]). Slots past a bucket's count repeat one of its own
+    triangles (duplicates are harmless for both query kinds and keep the
+    chunk AABB tight). counts.max() > cap means the sample misjudged a
+    quantile; callers fall back to the exact split."""
+    tri = indices.astype(jnp.int32)
+    t = tri.shape[0]
+    v0 = vertices[tri[:, 0]]
+    v1 = vertices[tri[:, 1]]
+    v2 = vertices[tri[:, 2]]
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    centroid = (lo + hi) * 0.5
+    code = morton_of_points(centroid, lo.min(axis=0), hi.max(axis=0))
+    s = min(samples, t)
+    stride = max(t // s, 1)
+    samp = jnp.sort(code[::stride][:s])          # small-program sort
+    n_s = samp.shape[0]
+    ranks = [min((c * n_s) // num_chunks, n_s - 1)
+             for c in range(1, num_chunks)]
+    pivots = samp[jnp.asarray(ranks, jnp.int32)]  # [C-1]
+    bucket = jnp.sum(code[:, None] >= pivots[None, :],
+                     axis=1).astype(jnp.int32)    # [t] in [0, C)
+    chunk_orig = []
+    counts = []
+    for b in range(num_chunks):
+        mask = bucket == b
+        counts.append(jnp.sum(mask.astype(jnp.int32)))
+        idx = jnp.nonzero(mask, size=cap, fill_value=-1)[0].astype(
+            jnp.int32)
+        fill = jnp.maximum(idx[0], 0)             # in-bucket filler tri
+        chunk_orig.append(jnp.where(idx < 0, fill, idx))
+    chunk_orig = jnp.stack(chunk_orig)
+    return tri[chunk_orig], chunk_orig, jnp.stack(counts)
+
+
 def build_chunked(vertices: jnp.ndarray, indices: jnp.ndarray,
                   num_chunks: int, leaf_size: int = 14,
-                  bucket: int = 1024) -> ChunkedAccel:
+                  bucket: int = 1024, cap_factor: float = 1.12) -> ChunkedAccel:
     """Build the chunked accel (host-level loop; one compile per stage since
     all chunks share shapes). One wide-count host sync total (the max count
-    sizes every chunk's pad so the widen program is shared)."""
-    chunk_tris, chunk_orig = jax.jit(
-        split_morton, static_argnames=("num_chunks",))(
-            vertices, indices, num_chunks)
+    sizes every chunk's pad so the widen program is shared).
+
+    The split takes the sampled-pivot bucketing path (``split_sampled``,
+    chunk capacity ``cap_factor`` over the even share) and falls back to
+    the exact global sort only if a bucket overflows its capacity — one
+    extra host sync (the counts) pays for skipping the scene-scale
+    argsort program that probe r5f measured at ~24 min of per-process
+    load time at 1M triangles."""
+    t = int(indices.shape[0])
+    cap = -(-t // num_chunks)
+    if num_chunks > 1:
+        cap = int(cap * cap_factor)
+    chunk_tris, chunk_orig, counts = jax.jit(
+        split_sampled, static_argnames=("num_chunks", "cap"))(
+            vertices, indices, num_chunks, cap)
+    if int(jnp.max(counts)) > cap:
+        chunk_tris, chunk_orig = jax.jit(
+            split_morton, static_argnames=("num_chunks",))(
+                vertices, indices, num_chunks)
     build = jax.jit(lambda v, i: build_lbvh(v, i, leaf_size=leaf_size))
     bvhs = [build(vertices, chunk_tris[c]) for c in range(num_chunks)]
     nw_pad = round_up_bucket(max(max(count_wide(b) for b in bvhs), 1),
@@ -151,14 +218,17 @@ def trace_closest_chunked(accel: ChunkedAccel, origins, dirs,
 
 
 def chunks_needed(num_tris: int, leaf_size: int, budget_bytes: int,
-                  overhead: int) -> int:
+                  overhead: int, cap_factor: float = 1.12) -> int:
     """How many chunks a scene needs to fit each chunk in the VMEM budget.
     Wide nodes are estimated at 0.5/leaf (conservative vs the measured
     0.36, unbucketed — the build's pad bucketing adds at most one bucket of
-    slack on top of the real count)."""
+    slack on top of the real count). ``cap_factor`` mirrors
+    ``build_chunked``'s sampled-split chunk capacity."""
     from ..kernels.pack import packed_shapes, ROW_BYTES
     for c in range(1, 4096):
         tc = -(-num_tris // c)
+        if c > 1:
+            tc = int(tc * cap_factor)
         _, n_leaves, _ = packed_shapes(tc, leaf_size)
         nw = max(1, int(0.5 * n_leaves))
         if (nw + n_leaves) * ROW_BYTES + overhead <= budget_bytes:
