@@ -541,6 +541,58 @@ def bench_extras(ctx, budget: Budget, exhaustive: bool = False):
                 log(f"config 5 ({c5name}) failed: {type(e).__name__}: "
                     f"{str(e)[:160]}")
 
+    # --- Scale row: 1M-triangle chunked accel (VERDICT r4 #4). Rides the
+    # sampled-pivot split (bvh/chunked.split_sampled) so no scene-scale
+    # argsort program is ever loaded (probe r5f: that program costs
+    # ~24 min of per-process device load; the sampled path builds warm in
+    # seconds — probe r5g). TPURT_BENCH_1M=0 skips.
+    if os.environ.get("TPURT_BENCH_1M", "1") != "0" \
+            and not budget.over("1M scale row"):
+        try:
+            from tpurt.bvh.chunked import (build_chunked, chunks_needed,
+                                           trace_any_chunked,
+                                           trace_closest_chunked)
+            from tpurt.camera import generate_rays
+            from tpurt.scenes import sponza_scene
+            m1 = jax.device_put(sponza_scene(1_000_000))
+            nc = chunks_needed(1_000_000, 14, 20_000_000, 1_500_000)
+            t0 = time.perf_counter()
+            acc1 = build_chunked(m1.vertices, m1.indices, nc,
+                                 leaf_size=14)
+            np.asarray(jnp.sum(acc1.chunks[-1].nodes)).ravel()[0]
+            cold_s = time.perf_counter() - t0
+
+            def _reb1m():
+                a = build_chunked(m1.vertices, m1.indices, nc,
+                                  leaf_size=14)
+                return jnp.sum(a.chunks[-1].nodes)
+            warm_s = timed(_reb1m, 2, batches=2)
+            o1, d1 = generate_rays(cam, width, height)
+            cl1 = jax.jit(lambda a, o, d: trace_closest_chunked(a, o, d))
+            t1, id1 = cl1(acc1, o1, d1)
+            valid1 = id1 >= 0
+            pos1 = o1 + d1 * jnp.where(valid1, t1, 0.0)[..., None]
+            ld = jnp.asarray(ctx["light"].direction, jnp.float32)
+            so1 = pos1 + 1e-3 * ld
+            sd1 = jnp.broadcast_to(ld, so1.shape)
+            tm1 = jnp.where(valid1, 3.4e38, 0.0)
+            sh1 = jax.jit(lambda a, o, d, t: jnp.sum(
+                trace_any_chunked(a, o, d, t).astype(jnp.int32)))
+            sh_ms = timed(lambda: sh1(acc1, so1, sd1, tm1), 16) * 1e3
+            nval = int(np.asarray(valid1).sum())
+            out["tris_1m_chunks"] = nc
+            out["tris_1m_build_cold_s"] = round(cold_s, 2)
+            out["tris_1m_build_warm_s"] = round(warm_s, 3)
+            out["tris_1m_shadow_ms"] = round(sh_ms, 2)
+            out["tris_1m_mrays"] = round(nval / (sh_ms / 1e3) / 1e6, 2)
+            log(f"1M-tri scale row: {nc} chunks, build cold {cold_s:.1f} "
+                f"s / warm {warm_s:.2f} s, shadow {sh_ms:.2f} ms "
+                f"({out['tris_1m_mrays']} Mrays/s, {nval} valid)")
+            del acc1, m1, o1, d1, t1, id1, pos1, so1, sd1, tm1
+        except Exception as e:  # noqa: BLE001
+            log(f"1M scale row failed: {type(e).__name__}: "
+                f"{str(e)[:200]}")
+
     # =====================================================================
     # PHASE 2 — comparison variants (safe to lose to the budget)
     # =====================================================================
