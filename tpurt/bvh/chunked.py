@@ -142,6 +142,18 @@ def split_sampled(vertices: jnp.ndarray, indices: jnp.ndarray,
     return tri[chunk_orig], chunk_orig, jnp.stack(counts)
 
 
+# Module-level jitted stages: a fresh jax.jit wrapper per build_chunked
+# call would compile-cache-hit but still RE-LOAD each executable onto the
+# device — probe r5g measured a repeat 1M build at 133.8 s with per-call
+# wrappers vs ~5 s steady-state when the executables are reused.
+_split_sampled_jit = jax.jit(split_sampled,
+                             static_argnames=("num_chunks", "cap"))
+_split_morton_jit = jax.jit(split_morton, static_argnames=("num_chunks",))
+_build_jit = jax.jit(lambda v, i, leaf_size: build_lbvh(
+    v, i, leaf_size=leaf_size), static_argnames=("leaf_size",))
+_widen_chunk_jit = jax.jit(widen_lbvh, static_argnames=("nw_pad",))
+
+
 def build_chunked(vertices: jnp.ndarray, indices: jnp.ndarray,
                   num_chunks: int, leaf_size: int = 14,
                   bucket: int = 1024, cap_factor: float = 1.12) -> ChunkedAccel:
@@ -159,22 +171,19 @@ def build_chunked(vertices: jnp.ndarray, indices: jnp.ndarray,
     cap = -(-t // num_chunks)
     if num_chunks > 1:
         cap = int(cap * cap_factor)
-    chunk_tris, chunk_orig, counts = jax.jit(
-        split_sampled, static_argnames=("num_chunks", "cap"))(
-            vertices, indices, num_chunks, cap)
+    chunk_tris, chunk_orig, counts = _split_sampled_jit(
+        vertices, indices, num_chunks, cap)
     if int(jnp.max(counts)) > cap:
-        chunk_tris, chunk_orig = jax.jit(
-            split_morton, static_argnames=("num_chunks",))(
-                vertices, indices, num_chunks)
-    build = jax.jit(lambda v, i: build_lbvh(v, i, leaf_size=leaf_size))
-    bvhs = [build(vertices, chunk_tris[c]) for c in range(num_chunks)]
+        chunk_tris, chunk_orig = _split_morton_jit(
+            vertices, indices, num_chunks)
+    bvhs = [_build_jit(vertices, chunk_tris[c], leaf_size)
+            for c in range(num_chunks)]
     nw_pad = round_up_bucket(max(max(count_wide(b) for b in bvhs), 1),
                              bucket)
-    widen = jax.jit(widen_lbvh, static_argnames=("nw_pad",))
     chunks = []
     orig_ids = []
     for c in range(num_chunks):
-        wide = widen(bvhs[c], nw_pad=nw_pad)
+        wide = _widen_chunk_jit(bvhs[c], nw_pad=nw_pad)
         # Compose chunk-local sorted->local-original with local->global.
         chunks.append(dataclasses.replace(
             wide, tri_id=chunk_orig[c][wide.tri_id]))
