@@ -27,8 +27,20 @@ if _FORCE_CPU:
     jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the suite is compile-bound (one big fused frame
-# program per RenderConfig), so reruns go from ~8 min to seconds.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpurt_jax_cache")
+# program per RenderConfig), so reruns go from ~8 min to seconds. A cold box
+# is seeded from the committed snapshot (tests/_compile_cache_seed/ —
+# regenerate with tests/refresh_compile_cache.sh); stale entries simply miss
+# on their hash and recompile, so the seed can never poison a run.
+_CACHE_DIR = "/tmp/tpurt_jax_cache"
+_SEED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "_compile_cache_seed")
+if _FORCE_CPU and not os.path.isdir(_CACHE_DIR) and os.path.isdir(_SEED_DIR):
+    import shutil
+    try:
+        shutil.copytree(_SEED_DIR, _CACHE_DIR)
+    except OSError:
+        pass
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np

@@ -78,7 +78,7 @@ def test_fused_frame_matches_unfused(scene):
     key = jax.random.PRNGKey(0)
     imgs = {}
     for fused in (False, True):
-        cfg = RenderConfig(width=64, height=48, use_pallas=True, leaf_size=8,
+        cfg = RenderConfig(width=64, height=32, use_pallas=True, leaf_size=8,
                            gbuffer="ray", fused_shadow=fused)
         assert fused_shadow_applicable(cfg, wide, (LIGHT,)) == fused
         out = render_frame_fn(wide, mesh, cam, (LIGHT,), key, cfg,
@@ -403,7 +403,7 @@ def test_fused_attr_paths_match_table_paths(scene):
     st = make_shade_table(bvh, mesh)
     at = make_leaf_attr_rows(bvh, mesh)
     key = jax.random.PRNGKey(0)
-    W, H = 96, 64
+    W, H = 64, 32      # 2 packets: six full interpret frames ride this
     l2 = Light.directional((-0.5, 0.7, 0.2), color=(0.5, 0.5, 0.6))
     ctr = 0.5 * (np.asarray(mesh.vertices).min(0)
                  + np.asarray(mesh.vertices).max(0))

@@ -75,6 +75,8 @@ def test_corners_path_matches_gather_path():
                                   np.asarray(b.tri_id))
 
 
+@pytest.mark.slow  # round-5 re-tier: the implicit 8-ary tree is the
+# non-default rebuild tier (clip refit is production config 4)
 def test_implicit_refit_is_correct_on_deformed_geometry():
     """Frozen topology + re-boxed leaves must stay exact for occlusion on
     the DEFORMED geometry (boxes conservative by construction)."""

@@ -53,6 +53,16 @@ def test_pack_roundtrip_node_records():
     assert vmem_bytes(packed) == (packed.nodes.size + packed.tris.size) * 4
 
 
+def test_pack_rejects_oversized_leaf_size():
+    """The guard fires on leaf_size alone, before any array is touched —
+    a stub keeps this in the fast signal (the built-LBVH variant below
+    rides the slow tier)."""
+    import types as _types
+    with pytest.raises(ValueError, match="128-lane row"):
+        pack_bvh(_types.SimpleNamespace(leaf_size=15))
+
+
+@pytest.mark.slow  # round-5 re-tier: ~8 s of builder tracing per param
 @pytest.mark.parametrize("leaf_size", [15, 20])
 def test_pack_rejects_oversized_leaves(leaf_size):
     mesh = random_soup(64, seed=1)
@@ -79,7 +89,13 @@ def test_packet_tiling_roundtrip(h, w):
 # Kernel vs JAX traversal (interpret mode)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("leaf_size", [1, 4, 8, 14])
+# Round-5 re-tier: leaf 14 (the production size) stays in the fast
+# signal; the degenerate/intermediate sizes ride the slow tier (~8 s of
+# interpret-mode walk each on the 1-CPU box).
+@pytest.mark.parametrize(
+    "leaf_size", [pytest.param(1, marks=pytest.mark.slow),
+                  pytest.param(4, marks=pytest.mark.slow),
+                  pytest.param(8, marks=pytest.mark.slow), 14])
 def test_closest_matches_jax_traversal(leaf_size, rng):
     mesh = random_soup(150, seed=leaf_size)
     bvh = _build(mesh, leaf_size=leaf_size)
@@ -92,6 +108,8 @@ def test_closest_matches_jax_traversal(leaf_size, rng):
     np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_k))
 
 
+@pytest.mark.slow  # round-5 re-tier: the seeded two-pass closest hit is
+# a measured-out variant (probe r3aa kept for reproducibility)
 @pytest.mark.parametrize("leaf_size", [4, 14])
 def test_seeded_closest_matches_unseeded(leaf_size, rng):
     """Two-pass seeded closest hit is exact: identical (t, id) to the
@@ -147,15 +165,15 @@ def test_inactive_rays_skip(rng):
 
 def test_image_shaped_rays(rng):
     """(H, W, 3) ray grids go through the spatial 32x32 tiling path."""
-    mesh = teapot_scene(1000)
+    mesh = teapot_scene(300)
     bvh = _build(mesh)
     from tpurt.scenes import default_camera_for
     from tpurt.camera import generate_rays
     cam = default_camera_for(mesh)
-    o, d = generate_rays(cam, 70, 50)  # non-multiples of 32 -> padding
+    o, d = generate_rays(cam, 40, 36)  # non-multiples of 32 -> padding
     t_ref, id_ref = traverse(bvh, o, d)
     t_k, id_k = trace_closest_pallas(bvh, o, d, interpret=True)
-    assert t_k.shape == (50, 70)
+    assert t_k.shape == (36, 40)
     np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_k),
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_k))

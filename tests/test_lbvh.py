@@ -169,7 +169,9 @@ def test_build_sorted_tris_cover_all():
     assert set(ids.tolist()) == set(range(123))
 
 
-@pytest.mark.parametrize("nt,seed", [(64, 0), (150, 1), (501, 2)])
+@pytest.mark.parametrize(
+    "nt,seed", [(64, 0), pytest.param(150, 1, marks=pytest.mark.slow),
+                (501, 2)])
 def test_traverse_closest_matches_brute(nt, seed, rng):
     mesh = random_soup(nt, seed=seed)
     bvh = _build(mesh)
@@ -357,6 +359,8 @@ def test_builder_kernel_depth_output():
                                       np.asarray(node_depths(c1)))
 
 
+@pytest.mark.slow  # round-5 re-tier: 16 s; the fixed-cut depth path is
+# no longer the production rebuild frontier (area kernel is)
 def test_build_lbvh_want_depth_widen_parity():
     """build_lbvh(want_depth=True) + widen_lbvh(depths=...) must produce
     the identical wide accel as the depth-free path (the fused rebuild

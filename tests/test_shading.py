@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpurt.bvh.lbvh import build_lbvh
 from tpurt.passes.shading import (make_shade_table, oct_decode, oct_encode,
@@ -25,6 +26,8 @@ def test_rgb_pack_roundtrip(rng):
     assert np.abs(back - a).max() <= 0.5 / 255 + 1e-6
 
 
+@pytest.mark.slow  # round-5 re-tier: 8 s; the sorted shade table is a
+# non-default strategy (production reads in-kernel attrs)
 def test_table_matches_gather_path(rng):
     mesh = teapot_scene(1200)
     bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices),

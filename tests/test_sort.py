@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpurt.app import render_frame_fn
 from tpurt.bvh.lbvh import build_lbvh
@@ -55,6 +56,8 @@ def test_unsort_inverts(rng):
                                   np.asarray(vals))
 
 
+@pytest.mark.slow  # round-5 re-tier: ray sorting is a retired-on-
+# measurement variant (NOTES_ROUND3); 9 s of interpret walk
 def test_sorted_tracer_matches_unsorted(rng):
     mesh = teapot_scene(1200)
     bvh = build_lbvh(jnp.asarray(mesh.vertices), jnp.asarray(mesh.indices))
@@ -72,6 +75,8 @@ def test_sorted_tracer_matches_unsorted(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow  # round-5 re-tier: sort=True is a retired-on-
+# measurement config (NOTES_ROUND3); ~16 s of interpret walk
 def test_pipeline_sort_rays_config(rng):
     """Full frame with cfg.sort_rays must equal the unsorted frame."""
     mesh = teapot_scene(1200)
