@@ -374,7 +374,11 @@ def bench_once(use_pallas: bool, leaf_size: int, width: int, height: int,
             # measured r5d 36.65 ms vs the 73.64 ms raster fallback.
             import dataclasses as _dc3
             from tpurt.app import _rebuild_fused
-            cfg_reb = _dc3.replace(cfg, gbuffer="ray")
+            # order_children=False: probe r5h — camera ordering loses on
+            # clustered rebuilt trees (fused any-hit +11.9 vs closest
+            # -7.3 ms); matches the Renderer's rebuild-mode flip.
+            cfg_reb = _dc3.replace(cfg, gbuffer="ray",
+                                   order_children=False)
 
             def _reb_frame(v, i, m, c, key):
                 _, w, _, _, at, _ = _rebuild_fused(

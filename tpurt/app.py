@@ -236,12 +236,13 @@ def gbuffer_production(bvh: LBVH, mesh: Mesh, cam: Camera,
     else:
         from .bvh.chunked import ChunkedAccel
         gb_accel = bvh
-        if isinstance(bvh, WideBVH):
+        if isinstance(bvh, WideBVH) and cfg.order_children:
             # Near-first child ordering w.r.t. the camera: primary-ray
             # packets pop near children first so per-lane best_t culls the
-            # far ones.
+            # far ones. Gated by cfg.order_children: on fused frames the
+            # ordered accel also serves the shadow phase (see types.py).
             gb_accel = order_children_for_point(bvh, cam.position)
-        elif isinstance(bvh, ChunkedAccel):
+        elif isinstance(bvh, ChunkedAccel) and cfg.order_children:
             gb_accel = dataclasses.replace(bvh, chunks=tuple(
                 order_children_for_point(c, cam.position)
                 for c in bvh.chunks))
@@ -387,7 +388,8 @@ def gbuffer_soft_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     from .bvh.wide import order_children_for_point
     from .kernels.traverse import trace_closest_soft_multi_shadow_pallas
     from .types import LIGHT_POINT
-    gb_accel = order_children_for_point(bvh, cam.position)
+    gb_accel = order_children_for_point(bvh, cam.position) \
+        if cfg.order_children else bvh
     l0 = lights[0]
     if l0.kind == LIGHT_POINT:
         light0 = ("disk", jnp.asarray(l0.position, jnp.float32),
@@ -461,7 +463,8 @@ def gbuffer_multi_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
     from .bvh.wide import order_children_for_point
     from .kernels.traverse import trace_closest_multi_shadow_pallas
     from .types import LIGHT_POINT
-    gb_accel = order_children_for_point(bvh, cam.position)
+    gb_accel = order_children_for_point(bvh, cam.position) \
+        if cfg.order_children else bvh
     spec = []
     for l in lights:
         if l.kind == LIGHT_POINT:
@@ -518,7 +521,8 @@ def gbuffer_shadow_fused_production(bvh, mesh: Mesh, cam: Camera,
                                    trace_closest_shadow_pallas,
                                    trace_closest_soft_shadow_pallas)
     from .types import LIGHT_AREA_CONE, LIGHT_POINT
-    gb_accel = order_children_for_point(bvh, cam.position)
+    gb_accel = order_children_for_point(bvh, cam.position) \
+        if cfg.order_children else bvh
     soft = light.kind == LIGHT_AREA_CONE and cfg.spp > 1
     psoft = light.kind == LIGHT_POINT and cfg.spp > 1
     lpos = (jnp.asarray(light.position, jnp.float32)
@@ -663,6 +667,12 @@ class Renderer:
             # need (r3ac: un-clustered attr was 68.1 ms — worse than
             # raster, hence the old auto choice).
             config = dataclasses.replace(config, gbuffer="ray")
+        if self._rebuild_splits:
+            # Camera-ordering the accel loses on clustered rebuilt trees:
+            # the fused frame's any-hit phase pays +11.9 ms (probe r5h,
+            # near-camera-first == far-from-light-first) against a
+            # -7.3 ms closest-hit gain. See RenderConfig.order_children.
+            config = dataclasses.replace(config, order_children=False)
         self.config = config
         self.mode = mode
         self.rebuild_threshold = rebuild_threshold

@@ -253,6 +253,15 @@ class RenderConfig:
     # Applies on the batched 8-wide Pallas path when the accel + attr
     # rows fit the VMEM budget; other paths ignore it.
     inkernel_attrs: bool = True
+    # Near-first child ordering of the G-buffer accel w.r.t. the camera
+    # (bvh/wide.order_children_for_point). On fused frames the SAME
+    # ordered accel serves the shadow phase — a clear win on static SBVH
+    # frames, but on clustered rebuilt trees near-CAMERA-first is
+    # far-from-LIGHT-first and the any-hit phase loses more than the
+    # closest-hit phase gains (probe r5h, Sponza 1080p: gbuffer
+    # 44.25 -> 36.98 ms but shadow 12.05 -> 23.99) — Renderer flips
+    # this off for clustered rebuild mode.
+    order_children: bool = True
     # Rebuild-mode tree quality: re-choose the top ~8 levels of the
     # per-frame Morton topology by a sweep-SAH over 8-leaf block boxes
     # (kernels/build.sweep_sah_priorities — the Cartesian-tree priorities
